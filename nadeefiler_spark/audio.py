@@ -1,0 +1,158 @@
+"""Deterministic audio synthesis + codec layer for the clips table.
+
+The engine's audio-aware rules (BASELINE.json input_hint: decoded-PCM
+allclose SNR>=30dB, decoded duration vs dur_ms, codec/sr consistency)
+need a decode step. Real compressed-codec libraries (soundfile, ffmpeg,
+opus, lame) are NOT installed in this container, so:
+
+- ``pcm_s16le`` is a REAL RIFF/WAVE PCM16 mono container, encoded and
+  decoded here with struct + numpy (public WAV spec).
+- ``flac`` / ``opus`` / ``mp3`` use a clearly-marked DETERMINISTIC FAKE
+  container (magic ``NDF1`` + codec tag + header + raw PCM16). The
+  Spark-side plumbing — binary column, Arrow batching, UDF signatures,
+  SNR math — is real and tested; only the codec bitstream is faked.
+  ``decode_real_codec`` shows where a production build plugs in
+  soundfile/ffmpeg and raises NotImplementedError in the sandbox.
+
+Everything is seeded off clip_id so any executor can re-render the
+reference PCM for a clip independently (no driver state, no broadcast of
+waveforms) — that is what makes the SNR check embarrassingly parallel at
+10^12 clips.
+
+Reference parity: nadeefiler hands whole-dataset CSV files to
+out-of-process profilers (``/root/reference/profilers/worker.js:160-175``,
+``profilers/outliers/index.js:15-42``); here the analogous "external
+analysis" runs inside Arrow-vectorized pandas UDFs instead.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+FAKE_MAGIC = b"NDF1"
+REAL_CODECS = ("pcm_s16le",)
+FAKE_CODECS = ("flac", "opus", "mp3")
+ALL_CODECS = REAL_CODECS + FAKE_CODECS
+VALID_SR = (8000, 16000, 22050, 44100, 48000)
+
+
+def clip_seed(clip_id: str) -> int:
+    """Stable 32-bit seed for a clip — crc32, identical on every executor."""
+    return zlib.crc32(clip_id.encode("utf-8")) & 0xFFFFFFFF
+
+
+def render_pcm(clip_id: str, sr_hz: int, dur_ms: int) -> np.ndarray:
+    """Deterministic mono int16 waveform: seeded sine mix + noise."""
+    n = max(int(sr_hz * dur_ms / 1000), 1)
+    seed = clip_seed(clip_id)
+    rng = np.random.default_rng(seed)
+    f0 = 80.0 + (seed % 800)
+    t = np.arange(n, dtype=np.float64) / sr_hz
+    wave = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.2 * np.sin(2 * np.pi * 2.7 * f0 * t)
+    wave += 0.02 * rng.standard_normal(n)
+    return np.clip(wave * 16384.0, -32768, 32767).astype(np.int16)
+
+
+# --- containers -------------------------------------------------------------
+
+def _wav_encode(pcm: np.ndarray, sr_hz: int) -> bytes:
+    data = pcm.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, sr_hz, sr_hz * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def _wav_decode(blob: bytes) -> tuple[int, np.ndarray]:
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    sr = struct.unpack_from("<I", blob, 24)[0]
+    dlen = struct.unpack_from("<I", blob, 40)[0]
+    pcm = np.frombuffer(blob, dtype="<i2", count=dlen // 2, offset=44)
+    return sr, pcm
+
+
+def _fake_encode(pcm: np.ndarray, sr_hz: int, codec: str) -> bytes:
+    data = pcm.astype("<i2").tobytes()
+    hdr = FAKE_MAGIC + codec.encode().ljust(10, b"\0") + struct.pack("<II", sr_hz, len(pcm))
+    return hdr + data
+
+
+def _fake_decode(blob: bytes) -> tuple[str, int, np.ndarray]:
+    codec = blob[4:14].rstrip(b"\0").decode()
+    sr, n = struct.unpack_from("<II", blob, 14)
+    pcm = np.frombuffer(blob, dtype="<i2", count=n, offset=22)
+    return codec, sr, pcm
+
+
+def encode(pcm: np.ndarray, sr_hz: int, codec: str) -> bytes:
+    if codec == "pcm_s16le":
+        return _wav_encode(pcm, sr_hz)
+    if codec in FAKE_CODECS:
+        return _fake_encode(pcm, sr_hz, codec)
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def sniff_codec(blob: bytes) -> str:
+    """Codec tag from the container header ('' if unrecognized)."""
+    if blob is None or len(blob) < 14:
+        return ""
+    if blob[:4] == b"RIFF":
+        return "pcm_s16le"
+    if blob[:4] == FAKE_MAGIC:
+        return blob[4:14].rstrip(b"\0").decode(errors="replace")
+    return ""
+
+
+def decode(blob: bytes) -> tuple[str, int, np.ndarray]:
+    """-> (codec_tag, sample_rate, int16 pcm). Raises on garbage."""
+    if blob[:4] == b"RIFF":
+        sr, pcm = _wav_decode(blob)
+        return "pcm_s16le", sr, pcm
+    if blob[:4] == FAKE_MAGIC:
+        return _fake_decode(blob)
+    raise ValueError("unrecognized audio container")
+
+
+def decode_real_codec(blob: bytes, codec: str) -> tuple[int, np.ndarray]:  # pragma: no cover
+    """Production decode hook for real flac/opus/mp3 bitstreams.
+
+    STUB: the sandbox container has no audio codec libraries. A
+    production deployment ships soundfile/ffmpeg on the executors and
+    this function routes to them; the rest of the engine is unchanged.
+    """
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real codec decode requires soundfile/ffmpeg on executors; "
+            "sandbox uses the deterministic NDF1 fake container instead"
+        ) from exc
+    raise NotImplementedError("route to soundfile.read(BytesIO(blob))")
+
+
+def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
+    """Signal-to-noise ratio of `test` against reference `ref` (dB).
+
+    Per-row invariant from BASELINE.json input_hint: decoded-PCM allclose
+    asserted as SNR >= 30 dB. Length mismatch => compare common prefix and
+    penalize missing tail as pure noise.
+    """
+    ref = ref.astype(np.float64)
+    test = test.astype(np.float64)
+    n = min(len(ref), len(test))
+    if n == 0:
+        return -np.inf if len(ref) else np.inf
+    noise = ref[:n] - test[:n]
+    noise_power = float(np.sum(noise * noise)) + float(np.sum(ref[n:] ** 2))
+    sig_power = float(np.sum(ref * ref))
+    if noise_power == 0.0:
+        return np.inf
+    if sig_power == 0.0:
+        return -np.inf
+    return 10.0 * np.log10(sig_power / noise_power)

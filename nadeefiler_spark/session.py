@@ -1,0 +1,77 @@
+"""SparkSession factory tuned for the validation engine.
+
+Local-mode knobs are sized for the sandbox (local[N], single JVM); on a
+real cluster the same builder works with ``--master yarn/k8s`` via
+``spark-submit --py-files`` (BASELINE.json north_rule). AQE is on so
+skewed codec/duration partitions get runtime re-planned
+(skew-join split + partition coalescing); Arrow is on for the pandas-UDF
+audio rules.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip this package for executor shipping (the --py-files artifact).
+
+    On a real cluster the job is launched with
+    ``spark-submit --py-files nadeefiler_spark.zip job.py`` (north_rule);
+    locally we build the same artifact and ``addPyFile`` it so pandas-UDF
+    workers can import the package regardless of driver cwd.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(tempfile.gettempdir(), "nadeefiler_spark_pyfiles.zip")
+    with zipfile.ZipFile(out, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    return out
+
+
+def get_spark(
+    app_name: str = "nadeefiler_spark",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    parallelism: local core count (``local[N]``). Defaults to
+    ``$SPARK_GRAFT_CPUS`` or all cores. On a cluster this arg is ignored
+    by spark-submit (master comes from the submit command).
+    """
+    cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    shuffle = shuffle_partitions or max(cpus * 2, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # idempotent per-partition overwrite (Iceberg overwritePartitions
+        # analog for the sandbox parquet catalog)
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addPyFile(package_zip())
+    return spark
