@@ -46,7 +46,12 @@ def clip_seed(clip_id: str) -> int:
 
 def render_pcm(clip_id: str, sr_hz: int, dur_ms: int) -> np.ndarray:
     """Deterministic mono int16 waveform: seeded sine mix + noise."""
-    n = max(int(sr_hz * dur_ms / 1000), 1)
+    return render_pcm_samples(clip_id, sr_hz, max(int(sr_hz * dur_ms / 1000), 1))
+
+
+def render_pcm_samples(clip_id: str, sr_hz: int, n: int) -> np.ndarray:
+    """Render exactly n samples — lets a validator re-create the reference
+    waveform for a decoded clip independently on any executor."""
     seed = clip_seed(clip_id)
     rng = np.random.default_rng(seed)
     f0 = 80.0 + (seed % 800)

@@ -1,0 +1,243 @@
+"""Validation engine: stages, idempotent writes, checkpoint manifest.
+
+Job model mapped from the reference (SURVEY §2.8):
+- task grain (dataset × profiler) -> (partition × stage); lineage columns
+  stamped on every output row (reference stamps {dataset, profiler,
+  createdAt} on results, ``/root/reference/profilers/worker.js:72``).
+- idempotent re-run = delete-before-write per (stage, partition)
+  (reference ``worker.js:97-100`` deleteMany before recompute) —
+  implemented as explicit partition-directory replace, the parquet
+  stand-in for Iceberg ``overwritePartitions``.
+- cascade DAG (``profilers/config.js:10-20``) -> fixed stage order +
+  rule ``depends_on``; a later stage reads earlier stages' output tables
+  (the semantic profiler reads messystreams results the same way,
+  ``profilers/semantic.js:50-55``).
+- resume (north_rule) = checkpoint manifest table of completed
+  (partition, stage) with metrics; a re-run skips completed pairs.
+
+Scale notes: each stage runs ONE Spark job covering all pending
+partitions (partition-pruned scan), not a job per partition — at 10^5
+partitions per-partition jobs would be scheduler-bound. Per-partition
+metrics still come out of the same job via groupBy(part). Driver state
+is O(#partitions), never O(rows).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import profiler as prof
+from .rules.base import Rule, RuleContext, topo_sort
+from .rules.audio_rules import decode_facts
+
+STAGE_ORDER = ("profile", "constraints", "audio", "drift", "semantic")
+
+MANIFEST_SCHEMA = (
+    "run_id string, part string, stage string, completed_at timestamp, "
+    "n_rows bigint, n_violations bigint, wall_ms bigint"
+)
+VERDICT_SCHEMA = (
+    "part string, stage string, passed boolean, n_rows bigint, "
+    "n_violations bigint, wall_ms bigint, run_id string"
+)
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
+@dataclass
+class ValidationEngine:
+    spark: SparkSession
+    out_dir: str
+    rules: list[Rule] = field(default_factory=list)
+    profile_cfg: prof.ProfileConfig | None = None
+    key_col: str = "clip_id"
+    part_col: str = "part"
+
+    # --- output tables -------------------------------------------------
+    @property
+    def violations_path(self) -> str:
+        return f"{self.out_dir}/violations"
+
+    def manifest(self) -> DataFrame:
+        return _read_or_empty(self.spark, f"{self.out_dir}/manifest", MANIFEST_SCHEMA)
+
+    def verdicts(self) -> DataFrame:
+        return _read_or_empty(self.spark, f"{self.out_dir}/verdicts", VERDICT_SCHEMA)
+
+    def violations(self) -> DataFrame:
+        return _read_or_empty(
+            self.spark, self.violations_path,
+            "part string, rule string, clip_id string, detail string, stage string",
+        )
+
+    def profile_summary(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.out_dir}/profile_summary")
+
+    def profile_hist(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.out_dir}/profile_hist")
+
+    # --- run -------------------------------------------------------------
+    def run(
+        self,
+        clips: DataFrame,
+        refs: DataFrame | None = None,
+        baseline_hist: DataFrame | None = None,
+        resume: bool = True,
+        run_id: str | None = None,
+        fail_stage: str | None = None,  # test hook: raise before this stage commits
+    ) -> DataFrame:
+        """Execute all stages over partitions not yet in the manifest.
+
+        Returns the verdicts DataFrame for this run.
+        """
+        run_id = run_id or uuid.uuid4().hex[:12]
+        cfg = self.profile_cfg or prof.ProfileConfig(part_col=self.part_col)
+        all_parts = [r[0] for r in clips.select(self.part_col).distinct().collect()]
+
+        done: set[tuple[str, str]] = set()
+        if resume:
+            done = {
+                (r["part"], r["stage"])
+                for r in self.manifest().select("part", "stage").distinct().collect()
+            }
+
+        rules_by_stage: dict[str, list[Rule]] = {}
+        for r in topo_sort(self.rules):
+            rules_by_stage.setdefault(r.stage, []).append(r)
+
+        stages: list[str] = ["profile"] + [
+            s for s in STAGE_ORDER[1:] if rules_by_stage.get(s)
+        ]
+
+        for stage in stages:
+            pending = [p for p in all_parts if (str(p), stage) not in done]
+            if not pending:
+                continue
+            if fail_stage == stage:
+                raise RuntimeError(f"injected failure before stage {stage!r}")
+            t0 = time.monotonic()
+            scoped = clips.where(F.col(self.part_col).isin(pending))
+            refs_scoped = refs
+            if refs is not None and self.part_col in refs.columns:
+                refs_scoped = refs.where(F.col(self.part_col).isin(pending))
+
+            if stage == "profile":
+                n_rows_by_part, n_viol_by_part = self._run_profile(scoped, cfg, pending)
+            else:
+                # decode once, check many: persist the (small, scalar-only)
+                # decoded-facts so the unioned audio rules share one pass
+                decoded = decode_facts(scoped).persist() if stage == "audio" else None
+                ctx = RuleContext(
+                    spark=self.spark,
+                    clips=scoped,
+                    refs=refs_scoped,
+                    decoded=decoded,
+                    profile_summary=_read_or_empty(
+                        self.spark, f"{self.out_dir}/profile_summary", prof.SUMMARY_SCHEMA
+                    ),
+                    profile_hist=_read_or_empty(
+                        self.spark, f"{self.out_dir}/profile_hist",
+                        "part string, key string, kind string, bin string, count bigint",
+                    ),
+                    baseline_hist=baseline_hist,
+                    key_col=self.key_col,
+                    part_col=self.part_col,
+                )
+                n_viol_by_part = self._run_rule_stage(stage, rules_by_stage[stage], ctx, pending)
+                n_rows_by_part = self._rows_by_part(pending)
+                if decoded is not None:
+                    decoded.unpersist()
+
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            self._commit(run_id, stage, pending, n_rows_by_part, n_viol_by_part, wall_ms)
+
+        return self.verdicts().where(F.col("run_id") == run_id)
+
+    # --- stage bodies -----------------------------------------------------
+    def _run_profile(self, scoped, cfg, pending):
+        summary = prof.profile_summary(scoped, cfg)
+        self._overwrite_parts(summary, f"{self.out_dir}/profile_summary", pending)
+        if cfg.value_hist_cols or cfg.bucket_hist_cols:
+            hist = prof.profile_histograms(scoped, cfg)
+            self._overwrite_parts(hist, f"{self.out_dir}/profile_hist", pending)
+        n_rows = self._rows_by_part(pending)
+        return n_rows, {p: 0 for p in pending}
+
+    def _run_rule_stage(self, stage, rules, ctx, pending):
+        out = None
+        for rule in rules:
+            v = rule.violations(ctx).withColumn("stage", F.lit(stage))
+            out = v if out is None else out.unionByName(v)
+        for p in pending:
+            _delete_path(self.spark, f"{self.violations_path}/stage={stage}/part={p}")
+        (
+            out.select("stage", "part", "rule", "clip_id", "detail")
+            .write.mode("append")
+            .partitionBy("stage", "part")
+            .parquet(self.violations_path)
+        )
+        written = self.violations().where(
+            (F.col("stage") == stage) & F.col("part").isin([str(p) for p in pending])
+        )
+        counts = {r["part"]: r["n"] for r in
+                  written.groupBy("part").agg(F.count(F.lit(1)).alias("n")).collect()}
+        return {p: int(counts.get(str(p), 0)) for p in pending}
+
+    def _rows_by_part(self, pending):
+        summary = _read_or_empty(
+            self.spark, f"{self.out_dir}/profile_summary", prof.SUMMARY_SCHEMA
+        ).where(F.col("part").isin([str(p) for p in pending]))
+        rows = summary.groupBy("part").agg(F.max("n_rows").alias("n")).collect()
+        return {r["part"]: int(r["n"]) for r in rows}
+
+    def _overwrite_parts(self, df: DataFrame, path: str, pending) -> None:
+        """Idempotent per-partition replace (Iceberg overwritePartitions
+        analog; reference delete-before-write, worker.js:97-100)."""
+        for p in pending:
+            _delete_path(self.spark, f"{path}/part={p}")
+        df.write.mode("append").partitionBy("part").parquet(path)
+
+    # --- commit ------------------------------------------------------------
+    def _commit(self, run_id, stage, pending, n_rows_by_part, n_viol_by_part, wall_ms):
+        now = F.current_timestamp()
+        rows = [
+            (
+                run_id, str(p), stage,
+                int(n_rows_by_part.get(str(p), n_rows_by_part.get(p, 0))),
+                int(n_viol_by_part.get(str(p), n_viol_by_part.get(p, 0))),
+                wall_ms,
+            )
+            for p in pending
+        ]
+        mdf = self.spark.createDataFrame(
+            rows, "run_id string, part string, stage string, n_rows bigint, "
+                  "n_violations bigint, wall_ms bigint",
+        ).withColumn("completed_at", now)
+        mdf.select(
+            "run_id", "part", "stage", "completed_at", "n_rows", "n_violations", "wall_ms"
+        ).write.mode("append").parquet(f"{self.out_dir}/manifest")
+
+        vdf = mdf.select(
+            "part", "stage",
+            (F.col("n_violations") == 0).alias("passed"),
+            "n_rows", "n_violations", "wall_ms", "run_id",
+        )
+        vdf.write.mode("append").parquet(f"{self.out_dir}/verdicts")

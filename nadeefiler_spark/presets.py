@@ -1,0 +1,28 @@
+"""Default rule set for the input_hint clips schema (BASELINE.json)."""
+
+from __future__ import annotations
+
+from . import audio
+from .rules.audio_rules import default_audio_rules
+from .rules.base import Rule
+from .rules.constraints import (
+    DomainRule,
+    MatchRule,
+    ReferentialRule,
+    RequiredRule,
+    UniquenessRule,
+)
+
+
+def default_clip_rules(with_refs: bool = True, with_audio: bool = True) -> list[Rule]:
+    rules: list[Rule] = [
+        UniquenessRule(keys=("clip_id",)),
+        DomainRule(name="sr_domain", column="sr_hz", allowed=audio.VALID_SR),
+        RequiredRule(name="transcript_required", column="transcript"),
+    ]
+    if with_refs:
+        rules.append(ReferentialRule(name="ref_integrity", key="clip_id"))
+        rules.append(MatchRule(name="transcript_equality", key="clip_id", column="transcript"))
+    if with_audio:
+        rules.extend(default_audio_rules())
+    return rules

@@ -1,0 +1,149 @@
+"""Single-pass, schema-driven column profiler.
+
+Reference semantics: nadeefiler's messystreams profiler runs one Mongo
+``[$match, $group-by-value]`` pipeline PER COLUMN
+(``/root/reference/profilers/messystreams.js:100-106``) and the worker
+iterates whatever columns the first tuple has
+(``profilers/worker.js:152-158``). The Spark-first re-expression:
+
+- **summary stats**: ALL columns' aggregates folded into ONE ``agg()``
+  per partition group — Catalyst plans a single partial+final hash
+  aggregation, so the input is scanned exactly once regardless of the
+  number of columns or rules (SURVEY §2.3 A2/A3/A7, §4 custom-work #1).
+- **histograms**: all requested columns in ONE shuffle via
+  explode(array(struct(key,value))) -> groupBy(part,key,value)
+  (SURVEY §2.3 A1), with numeric columns pre-binned (width buckets) so
+  cardinality stays bounded at 10^12 rows.
+- **NDV**: HyperLogLog++ ``approx_count_distinct`` by default
+  (north_star), exact ``countDistinct`` opt-in for oracle tests.
+
+Scale notes: the one-agg summary is shuffle-light (bytes ∝ #parts ×
+#cols × #stats, independent of row count). The histogram explode
+multiplies rows ×|cols| before partial aggregation — partial combine
+happens map-side, so shuffle bytes ∝ distinct (part,key,value) triples;
+unbounded-cardinality string columns should be excluded or binned
+(FIXTURES.md §5, SURVEY §7 hard-part b).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SUMMARY_SCHEMA = (
+    "part string, key string, n_rows bigint, n_nulls bigint, ndv bigint, "
+    "min string, max string, mean double, stddev double, avg_len double"
+)
+
+
+@dataclass
+class ProfileConfig:
+    exact_ndv: bool = False
+    # columns to histogram by raw value (bounded cardinality!)
+    value_hist_cols: tuple[str, ...] = ()
+    # numeric columns binned to fixed-width buckets: {col: width}
+    bucket_hist_cols: dict[str, float] = field(default_factory=dict)
+    part_col: str = "part"
+    # skip these columns entirely (e.g. huge binary payloads profile via length)
+    skip_cols: tuple[str, ...] = ()
+
+
+def _is_numeric(dt: T.DataType) -> bool:
+    return isinstance(dt, T.NumericType)
+
+
+def _col_stat_exprs(name: str, dt: T.DataType, cfg: ProfileConfig) -> list[Column]:
+    """Aggregate expressions for one column (aliased ``{name}::{stat}``)."""
+    c = F.col(name)
+    if isinstance(dt, T.BinaryType):
+        base, is_str = F.length(c), False
+        null_pred = c.isNull()
+    elif isinstance(dt, T.StringType):
+        base, is_str = c, True
+        # reference maps '' to type null (messystreams.js:52) — count both
+        null_pred = c.isNull() | (c == F.lit(""))
+    else:
+        base, is_str = c, False
+        null_pred = c.isNull()
+
+    ndv = (F.count_distinct(base) if cfg.exact_ndv else F.approx_count_distinct(base))
+    exprs = [
+        F.count(F.lit(1)).alias(f"{name}::n_rows"),
+        F.sum(null_pred.cast("long")).alias(f"{name}::n_nulls"),
+        ndv.alias(f"{name}::ndv"),
+        F.min(base).cast("string").alias(f"{name}::min"),
+        F.max(base).cast("string").alias(f"{name}::max"),
+        (F.avg(base.cast("double")) if _is_numeric(dt) or isinstance(dt, T.BinaryType)
+         else F.lit(None).cast("double")).alias(f"{name}::mean"),
+        (F.stddev_pop(base.cast("double")) if _is_numeric(dt) or isinstance(dt, T.BinaryType)
+         else F.lit(None).cast("double")).alias(f"{name}::stddev"),
+        (F.avg(F.length(c).cast("double")) if is_str or isinstance(dt, T.BinaryType)
+         else F.lit(None).cast("double")).alias(f"{name}::avg_len"),
+    ]
+    return exprs
+
+
+def profile_summary(df: DataFrame, cfg: ProfileConfig | None = None) -> DataFrame:
+    """One-pass per-partition column stats -> long format.
+
+    Output: (part, key, n_rows, n_nulls, ndv, min, max, mean, stddev,
+    avg_len) — one row per (partition, column). FIXTURES.md §5 `profile`.
+    """
+    cfg = cfg or ProfileConfig()
+    cols = [f for f in df.schema.fields if f.name != cfg.part_col and f.name not in cfg.skip_cols]
+    agg_exprs: list[Column] = []
+    for f_ in cols:
+        agg_exprs.extend(_col_stat_exprs(f_.name, f_.dataType, cfg))
+    wide = df.groupBy(F.col(cfg.part_col).cast("string").alias("part")).agg(*agg_exprs)
+
+    stats = ("n_rows", "n_nulls", "ndv", "min", "max", "mean", "stddev", "avg_len")
+    structs = [
+        F.struct(
+            F.lit(f_.name).alias("key"),
+            *[F.col(f"`{f_.name}::{s}`").alias(s) for s in stats],
+        )
+        for f_ in cols
+    ]
+    return wide.select("part", F.explode(F.array(*structs)).alias("s")).select("part", "s.*")
+
+
+def profile_histograms(df: DataFrame, cfg: ProfileConfig) -> DataFrame:
+    """All configured columns' histograms in ONE shuffle.
+
+    Output: (part, key, kind, bin, count). kind='value' for raw values,
+    'bucket' for width-binned numerics (bin = inclusive lower bound).
+    """
+    entries: list[Column] = []
+    for c in cfg.value_hist_cols:
+        entries.append(F.struct(
+            F.lit(c).alias("key"), F.lit("value").alias("kind"),
+            F.col(c).cast("string").alias("bin"),
+        ))
+    for c, width in cfg.bucket_hist_cols.items():
+        lower = F.floor(F.col(c).cast("double") / F.lit(width)) * F.lit(width)
+        entries.append(F.struct(
+            F.lit(c).alias("key"), F.lit("bucket").alias("kind"),
+            lower.cast("long").cast("string").alias("bin"),
+        ))
+    if not entries:
+        raise ValueError("no histogram columns configured")
+    return (
+        df.select(F.col(cfg.part_col).cast("string").alias("part"),
+                  F.explode(F.array(*entries)).alias("h"))
+        .select("part", "h.*")
+        .groupBy("part", "key", "kind", "bin")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def default_clips_config(exact_ndv: bool = False) -> ProfileConfig:
+    """Profile config for the input_hint clips schema."""
+    return ProfileConfig(
+        exact_ndv=exact_ndv,
+        value_hist_cols=("codec", "sr_hz"),
+        bucket_hist_cols={"dur_ms": 100.0},
+        skip_cols=(),
+    )

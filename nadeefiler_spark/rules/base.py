@@ -1,0 +1,86 @@
+"""Rule protocol — the Spark-native analog of nadeefiler's profiler plug-ins.
+
+The reference validates a plug-in contract at load time
+(``/root/reference/profilers/worker.js:197-222``): a module exports
+``onFinish`` plus one of ``onFile | onTuple | onValue``, optionally a
+custom input ``selector`` and a ``resultsCatcher`` sink. Here a rule is an
+object that, given a :class:`RuleContext` (its "selector"), returns a
+violations DataFrame (its "resultsCatcher" writes); expression-only rules
+compile to Catalyst columns and never touch Python rows.
+
+Cascade semantics (``/root/reference/profilers/config.js:10-20``,
+``api/hooks/amqp.js:40-42``: profilers form a tree, children read their
+parents' results) map to ``depends_on`` + :func:`topo_sort`; a dependent
+rule reads the upstream stage's output table from the context.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VIOLATION_COLS = ("part", "rule", "clip_id", "detail")
+
+
+@dataclass
+class RuleContext:
+    """Inputs a rule may select from (reference: the ``selector`` hook)."""
+
+    spark: SparkSession
+    clips: DataFrame
+    refs: Optional[DataFrame] = None
+    decoded: Optional[DataFrame] = None  # shared one-pass audio decode facts
+    profile_summary: Optional[DataFrame] = None
+    profile_hist: Optional[DataFrame] = None
+    baseline_hist: Optional[DataFrame] = None  # drift comparison side
+    key_col: str = "clip_id"
+    part_col: str = "part"
+
+
+@dataclass
+class Rule:
+    """Base rule. Subclasses override :meth:`violations`."""
+
+    name: str = ""
+    stage: str = "constraints"  # profile | constraints | audio | drift | semantic
+    depends_on: tuple[str, ...] = field(default_factory=tuple)
+
+    def violations(self, ctx: RuleContext) -> DataFrame:
+        raise NotImplementedError
+
+    @staticmethod
+    def shape(df: DataFrame, ctx: RuleContext, rule_name: str, detail) -> DataFrame:
+        """Project any row source onto the canonical violations schema."""
+        return df.select(
+            F.col(ctx.part_col).cast("string").alias("part"),
+            F.lit(rule_name).alias("rule"),
+            F.col(ctx.key_col).cast("string").alias("clip_id"),
+            detail.cast("string").alias("detail"),
+        )
+
+
+def topo_sort(rules: list[Rule]) -> list[Rule]:
+    """Stable topological order over ``depends_on`` (cascade tree analog)."""
+    by_name = {r.name: r for r in rules}
+    seen: dict[str, int] = {}
+    out: list[Rule] = []
+
+    def visit(r: Rule, chain: tuple[str, ...]) -> None:
+        state = seen.get(r.name)
+        if state == 2:
+            return
+        if state == 1:
+            raise ValueError(f"rule dependency cycle: {' -> '.join(chain + (r.name,))}")
+        seen[r.name] = 1
+        for dep in r.depends_on:
+            if dep in by_name:
+                visit(by_name[dep], chain + (r.name,))
+        seen[r.name] = 2
+        out.append(r)
+
+    for r in rules:
+        visit(r, ())
+    return out

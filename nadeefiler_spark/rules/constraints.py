@@ -1,0 +1,159 @@
+"""Row-level constraint rules: uniqueness, domain, required, referential.
+
+Reference parity: nadeefiler has no explicit constraint rules — its
+closest analogs are the parent-child referential links enforced by
+cascade deletes (``/root/reference/api/models/Dataset.js:46-48``,
+``Project.js:34-36``; SURVEY §2.4 J2) and per-column emptiness/type
+signals from profiling. The new engine promotes these to first-class
+validation rules per BASELINE.json north_star.
+
+Scale notes (each rule's plan at 10^12 rows):
+- Uniqueness: groupBy(key).count > 1 gives the (tiny) duplicate-key set
+  with map-side partial aggregation, then a join back to recover each
+  offending row; AQE broadcasts the dup set when small. This beats a
+  window count(*) over(partition by key), which shuffles EVERY row with
+  no partial combine.
+- Referential: left ANTI join child->parent on the key — Spark plans
+  sort-merge with AQE skew split; no driver-side state.
+- Domain/required: pure filters, pushed down to the scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .base import Rule, RuleContext
+
+
+@dataclass
+class UniquenessRule(Rule):
+    """clip_id (or any key tuple) must be unique across the table."""
+
+    keys: tuple[str, ...] = ("clip_id",)
+
+    def __post_init__(self) -> None:
+        self.name = self.name or f"unique_{'_'.join(self.keys)}"
+        self.stage = "constraints"
+
+    def violations(self, ctx: RuleContext) -> DataFrame:
+        df = ctx.clips
+        dups = (
+            df.groupBy(*self.keys)
+            .agg(F.count(F.lit(1)).alias("_dup_count"))
+            .where(F.col("_dup_count") > 1)
+        )
+        hit = df.join(dups, list(self.keys), "inner")
+        return self.shape(hit, ctx, self.name,
+                          F.concat(F.lit("duplicate_count="), F.col("_dup_count")))
+
+
+@dataclass
+class DomainRule(Rule):
+    """Column value must be in an allowed set."""
+
+    column: str = ""
+    allowed: Sequence = field(default_factory=tuple)
+
+    def __post_init__(self) -> None:
+        self.name = self.name or f"{self.column}_domain"
+        self.stage = "constraints"
+
+    def violations(self, ctx: RuleContext) -> DataFrame:
+        c = F.col(self.column)
+        bad = ctx.clips.where(~c.isin(list(self.allowed)) | c.isNull())
+        return self.shape(bad, ctx, self.name,
+                          F.concat(F.lit(f"{self.column}="), c.cast("string")))
+
+
+@dataclass
+class RequiredRule(Rule):
+    """Column must be non-null and (for strings) non-empty —
+    reference maps '' to type null (profilers/messystreams.js:52)."""
+
+    column: str = ""
+
+    def __post_init__(self) -> None:
+        self.name = self.name or f"{self.column}_required"
+        self.stage = "constraints"
+
+    def violations(self, ctx: RuleContext) -> DataFrame:
+        c = F.col(self.column)
+        bad = ctx.clips.where(c.isNull() | (c.cast("string") == F.lit("")))
+        return self.shape(
+            bad, ctx, self.name,
+            F.when(c.isNull(), F.lit("null")).otherwise(F.lit("empty")),
+        )
+
+
+@dataclass
+class RangeRule(Rule):
+    """Numeric column within [lo, hi]."""
+
+    column: str = ""
+    lo: float | None = None
+    hi: float | None = None
+
+    def __post_init__(self) -> None:
+        self.name = self.name or f"{self.column}_range"
+        self.stage = "constraints"
+
+    def violations(self, ctx: RuleContext) -> DataFrame:
+        c = F.col(self.column).cast("double")
+        pred = F.lit(False)
+        if self.lo is not None:
+            pred = pred | (c < self.lo)
+        if self.hi is not None:
+            pred = pred | (c > self.hi)
+        bad = ctx.clips.where(pred | c.isNull())
+        return self.shape(bad, ctx, self.name,
+                          F.concat(F.lit(f"{self.column}="), F.col(self.column).cast("string")))
+
+
+@dataclass
+class ReferentialRule(Rule):
+    """Every refs.key must exist in clips.key (SURVEY §2.4 J2 -> anti join)."""
+
+    key: str = "clip_id"
+
+    def __post_init__(self) -> None:
+        self.name = self.name or "ref_integrity"
+        self.stage = "constraints"
+
+    def violations(self, ctx: RuleContext) -> DataFrame:
+        assert ctx.refs is not None, "ReferentialRule needs ctx.refs"
+        orphans = ctx.refs.join(ctx.clips.select(self.key), self.key, "left_anti")
+        return self.shape(orphans, ctx, self.name, F.lit("orphan_ref"))
+
+
+@dataclass
+class MatchRule(Rule):
+    """A refs column must equal the parent clips column (null-safe).
+
+    input_hint per-row invariant: transcript equality. Duplicate parent
+    rows are exact copies, so the inner join cannot create false
+    mismatches; violations are de-duplicated per (key, detail).
+    """
+
+    key: str = "clip_id"
+    column: str = "transcript"
+
+    def __post_init__(self) -> None:
+        self.name = self.name or f"{self.column}_equality"
+        self.stage = "constraints"
+
+    def violations(self, ctx: RuleContext) -> DataFrame:
+        assert ctx.refs is not None, "MatchRule needs ctx.refs"
+        c = ctx.clips.select(
+            self.key, ctx.part_col, F.col(self.column).alias("_parent_val")
+        ).dropDuplicates([self.key])
+        joined = ctx.refs.select(self.key, F.col(self.column).alias("_ref_val")).join(
+            c, self.key, "inner"
+        )
+        bad = joined.where(~F.col("_ref_val").eqNullSafe(F.col("_parent_val"))).dropDuplicates(
+            [self.key, "_ref_val"]
+        )
+        return self.shape(bad, ctx, self.name, F.lit(f"{self.column}_mismatch"))
