@@ -200,6 +200,50 @@ def write_clips(spark, out_dir: str, cfg: GenConfig) -> None:
     refs_df(spark, cfg).write.mode("overwrite").partitionBy("part").parquet(f"{out_dir}/transcript_refs")
 
 
+# --- detector-fidelity fixtures (FIXTURES.md §3-4) ---------------------------
+
+def tuples_typed_pdf(n_rows: int = 400, seed: int = 42) -> pd.DataFrame:
+    """All-string table exercising the messystreams detector cascade."""
+    rng = np.random.default_rng(seed)
+
+    def pick(options, i):
+        return options[int(rng.integers(0, len(options)))]
+
+    bools = ["true", "False", "T", "f", "YES", "no", "y", "N", "1", "0", "maybe", "truish"]
+    ints = ["5", "+5", "-17", "1e2", "12E3", "007", "5.", "123456789"]
+    floats = ["3.14", "-0.5", "1.23e1", "2.5E-3", "0.0", "3.0", "+2.75"]
+    pcts = ["15%", "3.5%", "-2%", "100%", "0.1%"]
+    dates = ["2/29/2000", "4/30/1999", "12/31/2024", "1/1/1900", "02/9/2001", "13/1/2000"]
+    strings = ["alpha", "new york", "blue whale", "12ab", "a1", "N/A", "-", "paris"]
+    nullmix = ["", "", "", "42", "x", "", "7", "zed"]
+
+    rows = {
+        "col_bool": [pick(bools, i) for i in range(n_rows)],
+        "col_int": [pick(ints, i) for i in range(n_rows)],
+        "col_float": [pick(floats, i) for i in range(n_rows)],
+        "col_percent": [pick(pcts, i) for i in range(n_rows)],
+        "col_date": [pick(dates, i) for i in range(n_rows)],
+        "col_string": [pick(strings, i) for i in range(n_rows)],
+        "col_nullmix": [pick(nullmix, i) for i in range(n_rows)],
+    }
+    return pd.DataFrame(rows)
+
+
+def yago_types_pdf() -> pd.DataFrame:
+    """Broadcast-sized knowledge base shaped like yagoSimpleTypes
+    (/root/reference/import-yago.js:43-48): normalized subject ->
+    objects array. Subjects overlap tuples_typed.col_string."""
+    rows = [
+        ("new york", ["wikicat_Cities_in_New_York", "wikicat_Populated_places"]),
+        ("paris", ["wikicat_Capitals_in_Europe", "wikicat_Cities_in_France"]),
+        ("blue whale", ["wikicat_Baleen_whales", "wikicat_Mammals"]),
+        ("alpha", ["wikicat_Greek_letters"]),
+        ("london", ["wikicat_Capitals_in_Europe"]),
+        ("red fox", ["wikicat_Mammals"]),
+    ]
+    return pd.DataFrame(rows, columns=["subject", "objects"])
+
+
 # --- golden expectations (pure Python, no Spark) -----------------------------
 
 def golden_violations(cfg: GenConfig) -> dict[str, set[str]]:

@@ -1,0 +1,132 @@
+"""Distribution-drift tests between partition histograms: PSI and KS.
+
+north_star: "KS/PSI distribution-drift tests between partitions".
+The reference has no drift math — its nearest analog is the dBoost
+outlier profiler consuming per-column histograms
+(/root/reference/profilers/outliers/index.js:16-18, SURVEY §2.3 A9);
+this module is the engine-native generalization, computed as pure
+DataFrame math over the (tiny) profile_hist table (SURVEY §4 item 3):
+
+- PSI  = sum_bins (p - q) * ln(p / q), with zero-bin smoothing
+- KS D = max_bins |ECDF_p - ECDF_q| over bins ordered numerically
+
+Scale notes: inputs are aggregated histograms — rows ∝ #parts × #cols ×
+#bins, never ∝ data rows — so every join/window here is on sketch-sized
+data. The expensive part (building the histograms) already happened in
+the single-pass profile stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .rules.base import Rule, RuleContext
+
+EPS = 1e-4  # zero-bin smoothing (SURVEY §7 hard-part d); standard PSI floor
+
+
+def global_baseline(hist: DataFrame) -> DataFrame:
+    """Aggregate all partitions' histograms into one baseline histogram."""
+    return hist.groupBy("key", "kind", "bin").agg(F.sum("count").alias("count"))
+
+
+def drift_metrics(hist: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Per (part, key): PSI and KS-D of the part's histogram vs baseline.
+
+    `hist`: (part, key, kind, bin, count); `baseline`: (key, kind, bin,
+    count). Bins absent on one side get smoothed probability EPS.
+    """
+    p = hist.select("part", "key", "kind", "bin", F.col("count").alias("c_p"))
+    q = baseline.select("key", "kind", "bin", F.col("count").alias("c_q"))
+
+    # align bins per (part, key): full outer on bin within each part×key.
+    # Build the (part, key) × bin frame first so a bin missing on either
+    # side still appears for that part.
+    part_keys = p.select("part", "key", "kind").distinct()
+    all_bins = q.select("key", "kind", "bin").union(
+        p.select("key", "kind", "bin")
+    ).distinct()
+    grid = part_keys.join(all_bins, ["key", "kind"])
+    joined = (
+        grid.join(p, ["part", "key", "kind", "bin"], "left")
+        .join(q, ["key", "kind", "bin"], "left")
+        .fillna(0, subset=["c_p", "c_q"])
+    )
+
+    tot = Window.partitionBy("part", "key", "kind")
+    probs = joined.select(
+        "part", "key", "kind", "bin", "c_p", "c_q",
+        (F.col("c_p") / F.greatest(F.sum("c_p").over(tot), F.lit(1))).alias("pp"),
+        (F.col("c_q") / F.greatest(F.sum("c_q").over(tot), F.lit(1))).alias("qq"),
+    ).select(
+        "part", "key", "kind", "bin", "c_p", "c_q",
+        F.greatest(F.col("pp"), F.lit(EPS)).alias("p"),
+        F.greatest(F.col("qq"), F.lit(EPS)).alias("q"),
+    )
+
+    # ECDF over numerically-ordered bins (string bins order lexically —
+    # meaningful KS applies to 'bucket' kind; PSI covers categorical)
+    order = Window.partitionBy("part", "key", "kind").orderBy(
+        F.col("bin").try_cast("double").asc_nulls_last(), F.col("bin")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_cdf = probs.select(
+        "*",
+        (F.sum("c_p").over(order) / F.greatest(F.sum("c_p").over(tot), F.lit(1))).alias("cdf_p"),
+        (F.sum("c_q").over(order) / F.greatest(F.sum("c_q").over(tot), F.lit(1))).alias("cdf_q"),
+    )
+
+    return with_cdf.groupBy("part", "key", "kind").agg(
+        F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("psi"),
+        F.max(F.abs(F.col("cdf_p") - F.col("cdf_q"))).alias("ks_d"),
+    )
+
+
+@dataclass
+class DriftRule(Rule):
+    """Flag partitions whose histograms drift from the baseline.
+
+    Baseline = ctx.baseline_hist if supplied (e.g. last known-good run's
+    profile_hist), else the global aggregate of the current run — the
+    'this partition vs everything' test. Violations are partition-level:
+    clip_id = '*' (lineage still carries part + rule + metric detail).
+    """
+
+    name: str = "distribution_drift"
+    psi_threshold: float = 0.25
+    ks_threshold: float = 0.2
+    # columns to exclude — at minimum the column the partitioning is
+    # derived from (its within-partition distribution is degenerate and
+    # trivially "drifts" from the pooled baseline)
+    exclude_keys: tuple[str, ...] = ()
+
+    def __post_init__(self) -> None:
+        self.stage = "drift"
+
+    def violations(self, ctx: RuleContext) -> DataFrame:
+        hist = ctx.profile_hist
+        assert hist is not None, "DriftRule needs ctx.profile_hist"
+        if self.exclude_keys:
+            hist = hist.where(~F.col("key").isin(list(self.exclude_keys)))
+        baseline = ctx.baseline_hist
+        if baseline is not None and "part" in baseline.columns:
+            baseline = global_baseline(baseline)
+        if baseline is None:
+            baseline = global_baseline(hist)
+        m = drift_metrics(hist, baseline)
+        bad = m.where(
+            (F.col("psi") > self.psi_threshold) | (F.col("ks_d") > self.ks_threshold)
+        )
+        detail = F.concat(
+            F.lit("key="), F.col("key"),
+            F.lit(" psi="), F.round("psi", 4).cast("string"),
+            F.lit(" ks_d="), F.round("ks_d", 4).cast("string"),
+        )
+        return bad.select(
+            F.col("part").cast("string").alias("part"),
+            F.lit(self.name).alias("rule"),
+            F.lit("*").alias("clip_id"),
+            detail.alias("detail"),
+        )

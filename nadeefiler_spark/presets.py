@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from . import audio
+from .drift import DriftRule
 from .rules.audio_rules import default_audio_rules
 from .rules.base import Rule
 from .rules.constraints import (
@@ -14,7 +15,9 @@ from .rules.constraints import (
 )
 
 
-def default_clip_rules(with_refs: bool = True, with_audio: bool = True) -> list[Rule]:
+def default_clip_rules(
+    with_refs: bool = True, with_audio: bool = True, with_drift: bool = True
+) -> list[Rule]:
     rules: list[Rule] = [
         UniquenessRule(keys=("clip_id",)),
         DomainRule(name="sr_domain", column="sr_hz", allowed=audio.VALID_SR),
@@ -25,4 +28,7 @@ def default_clip_rules(with_refs: bool = True, with_audio: bool = True) -> list[
         rules.append(MatchRule(name="transcript_equality", key="clip_id", column="transcript"))
     if with_audio:
         rules.extend(default_audio_rules())
+    if with_drift:
+        # clips partitioning is derived from codec -> exclude it
+        rules.append(DriftRule(exclude_keys=("codec",)))
     return rules

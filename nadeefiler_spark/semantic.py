@@ -1,0 +1,80 @@
+"""Semantic-type scoring: the Spark analog of nadeefiler's `semantic`
+profiler (SURVEY §2.4 J1, §2.3 A5/A6).
+
+Reference pipeline (/root/reference/profilers/semantic.js):
+1. input = messystreams' string-histogram RESULTS (key, value, count) —
+   a cascaded profiler reading another profiler's output
+   (semantic.js:50-55); here: `typedetect.type_histograms(...)` rows
+   where histogram == 'string'.
+2. each distinct value is $text-searched against the yagoSimpleTypes
+   knowledge base (Mongo text index, top-10 by textScore)
+   (semantic.js:60-66).
+3. for each hit, every object in its `objects` array accumulates
+   score += textScore * value_count (semantic.js:8-15).
+4. output: top-10 (object, score) per column (semantic.js:17-29).
+
+Spark-first re-expression: the KB is broadcast-sized (import-yago.js
+normalizes subjects; the bundled extract is 10k rows), so the text
+search becomes a broadcast token equi-join: tokenize both sides, join on
+shared tokens, score = |shared tokens| (a deterministic textScore
+stand-in), then weighted sum + window top-k. Values are deduplicated
+BEFORE the join — the reference's dedupe-before-expensive-work shape.
+
+Scale notes: values side is already distinct (key, value, count)
+triples from the profile stage; the KB side is broadcast; the only
+shuffle is the final groupBy(key, object) on match rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_subject(c) -> F.Column:
+    """import-yago.js:38-41: strip <>, '_' -> ' ', lowercase."""
+    return F.lower(F.regexp_replace(F.regexp_replace(c, "^<(.+)>$", "$1"), "_", " "))
+
+
+def semantic_scores(
+    string_hist: DataFrame,
+    kb: DataFrame,
+    top_k: int = 10,  # topScores = 10, semantic.js:6
+) -> DataFrame:
+    """(key, object, score, rank): top-k weighted semantic types per column.
+
+    string_hist: (key, value, count) distinct string values per column.
+    kb: (subject, objects array<string>) pre-normalized subjects.
+    """
+    vals = (
+        string_hist.select("key", "value", "count")
+        .withColumn("tok", F.explode(F.split(F.lower("value"), "\\s+")))
+        .where(F.col("tok") != "")
+    )
+    subs = (
+        kb.select("subject", "objects")
+        .withColumn("tok", F.explode(F.split(F.col("subject"), "\\s+")))
+        .where(F.col("tok") != "")
+    )
+    # token equi-join (broadcast KB), then per (key,value,subject):
+    # match score = number of shared tokens (textScore stand-in)
+    matches = (
+        vals.join(F.broadcast(subs), "tok")
+        .groupBy("key", "value", "count", "subject", "objects")
+        .agg(F.count(F.lit(1)).alias("match_score"))
+    )
+    # accumulate score*count into each object (semantic.js:8-15)
+    scored = (
+        matches.select(
+            "key",
+            F.explode("objects").alias("object"),
+            (F.col("match_score") * F.col("count")).alias("w"),
+        )
+        .groupBy("key", "object")
+        .agg(F.sum("w").cast("double").alias("score"))
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("score"), F.asc("object"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )

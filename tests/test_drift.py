@@ -1,0 +1,95 @@
+"""KS/PSI drift math vs numpy/scipy-style references computed by hand."""
+
+import math
+
+import numpy as np
+import pytest
+
+from nadeefiler_spark import drift
+
+
+def _hist_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "part string, key string, kind string, bin string, count bigint"
+    )
+
+
+def _baseline_df(spark, rows):
+    return spark.createDataFrame(rows, "key string, kind string, bin string, count bigint")
+
+
+def _psi_py(p_counts, q_counts, eps=drift.EPS):
+    bins = sorted(set(p_counts) | set(q_counts))
+    tp, tq = sum(p_counts.values()), sum(q_counts.values())
+    psi = 0.0
+    for b in bins:
+        p = max(p_counts.get(b, 0) / tp, eps)
+        q = max(q_counts.get(b, 0) / tq, eps)
+        psi += (p - q) * math.log(p / q)
+    return psi
+
+
+def _ks_py(p_counts, q_counts):
+    bins = sorted(set(p_counts) | set(q_counts), key=float)
+    tp, tq = sum(p_counts.values()), sum(q_counts.values())
+    cp = cq = 0.0
+    d = 0.0
+    for b in bins:
+        cp += p_counts.get(b, 0) / tp
+        cq += q_counts.get(b, 0) / tq
+        d = max(d, abs(cp - cq))
+    return d
+
+
+def test_drift_metrics_match_hand_math(spark):
+    p_counts = {"0": 50, "100": 30, "200": 20}
+    q_counts = {"0": 20, "100": 30, "200": 40, "300": 10}
+    hist = _hist_df(spark, [("a", "dur_ms", "bucket", b, c) for b, c in p_counts.items()])
+    base = _baseline_df(spark, [("dur_ms", "bucket", b, c) for b, c in q_counts.items()])
+    got = drift.drift_metrics(hist, base).collect()[0]
+    assert got["part"] == "a" and got["key"] == "dur_ms"
+    assert got["psi"] == pytest.approx(_psi_py(p_counts, q_counts), rel=1e-9)
+    assert got["ks_d"] == pytest.approx(_ks_py(p_counts, q_counts), rel=1e-9)
+
+
+def test_identical_distributions_have_zero_drift(spark):
+    counts = {"0": 10, "100": 20, "200": 30}
+    hist = _hist_df(spark, [("a", "k", "bucket", b, c) for b, c in counts.items()])
+    base = _baseline_df(spark, [("k", "bucket", b, c * 7) for b, c in counts.items()])
+    got = drift.drift_metrics(hist, base).collect()[0]
+    assert got["psi"] == pytest.approx(0.0, abs=1e-9)
+    assert got["ks_d"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_drift_rule_flags_shifted_partition(spark):
+    rng = np.random.default_rng(7)
+    bins = ["0", "100", "200", "300", "400"]
+    clean = [0.30, 0.30, 0.20, 0.10, 0.10]
+    shifted = [0.05, 0.10, 0.15, 0.30, 0.40]
+    rows = []
+    for part, probs in [("p1", clean), ("p2", clean), ("p3", shifted)]:
+        cnts = rng.multinomial(4000, probs)
+        rows += [(part, "dur_ms", "bucket", b, int(c)) for b, c in zip(bins, cnts)]
+    hist = _hist_df(spark, rows)
+    from nadeefiler_spark.rules.base import RuleContext
+
+    rule = drift.DriftRule()
+    ctx = RuleContext(spark=spark, clips=hist, profile_hist=hist)
+    v = rule.violations(ctx).toPandas()
+    assert "p3" in set(v["part"])          # shifted partition flagged
+    assert set(v["part"]) <= {"p3"}        # unshifted ones are not
+
+
+def test_drift_rule_with_external_baseline(spark):
+    hist = _hist_df(spark, [("a", "k", "bucket", "0", 100), ("a", "k", "bucket", "100", 100)])
+    # baseline with part column (a prior run's profile_hist) gets aggregated
+    base = _hist_df(
+        spark,
+        [("x", "k", "bucket", "0", 10), ("y", "k", "bucket", "0", 10)],
+    )
+    from nadeefiler_spark.rules.base import RuleContext
+
+    rule = drift.DriftRule()
+    ctx = RuleContext(spark=spark, clips=hist, profile_hist=hist, baseline_hist=base)
+    v = rule.violations(ctx).toPandas()
+    assert list(v["part"]) == ["a"]  # 50/50 vs 100/0 drifts hard

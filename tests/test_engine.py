@@ -64,9 +64,11 @@ def test_verdicts_and_manifest(spark, tiny_cfg, run_dir):
     eng = _engine(spark, run_dir)
     v = eng.verdicts().toPandas()
     stages = set(v["stage"])
-    assert {"profile", "constraints", "audio"} <= stages
+    assert {"profile", "constraints", "audio", "drift"} <= stages
     # profile stage always passes; constraint stages fail where planted
     assert v[v["stage"] == "profile"]["passed"].all()
+    # dur_ms distribution is codec-independent by construction -> no drift
+    assert v[v["stage"] == "drift"]["passed"].all()
     assert not v[v["stage"] == "constraints"]["passed"].all()
     m = eng.manifest().toPandas()
     # one manifest row per (part, stage)
@@ -98,9 +100,9 @@ def test_resume_after_midrun_failure(spark, tiny_cfg, clips_dir, tmp_path_factor
     m1 = eng.manifest().toPandas()
     assert set(m1["stage"]) == {"profile", "constraints"}
 
-    eng.run(clips, refs, run_id="k2")  # resume completes only the audio stage
+    eng.run(clips, refs, run_id="k2")  # resume completes only remaining stages
     m2 = eng.manifest().toPandas()
-    assert set(m2[m2["run_id"] == "k2"]["stage"]) == {"audio"}
+    assert set(m2[m2["run_id"] == "k2"]["stage"]) == {"audio", "drift"}
 
     # final state identical to the uninterrupted run in run_dir
     # (exact-duplicate source rows legitimately yield identical violation
