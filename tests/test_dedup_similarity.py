@@ -1,0 +1,137 @@
+"""Dedup + similarity operators vs pure-Python oracles."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from nadeefiler_spark.functions import similarity as S
+from nadeefiler_spark.operators import ann, dedup
+
+
+def _docs(spark):
+    base = "spark shuffle join agg window filter scan sort hash merge batch stream"
+    words = base.split()
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(40):
+        toks = [words[j] for j in rng.integers(0, len(words), 30)]
+        rows.append((i, " ".join(toks)))
+    # planted near-dups: 100/101 differ by one word; 102 = copy of 0
+    rows.append((100, rows[0][1].replace("spark", "flink", 1)))
+    rows.append((101, rows[1][1] + " extra"))
+    rows.append((102, rows[0][1]))
+    return spark.createDataFrame(rows, "doc_id long, text string"), rows
+
+
+def _jaccard_py(a: str, b: str, n=3):
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def test_exact_dedup(spark):
+    df, rows = _docs(spark)
+    groups = dedup.exact_dup_groups(df, "doc_id", "text").toPandas()
+    dup_groups = groups[groups["n_dups"] > 1]
+    assert len(dup_groups) == 1 and int(dup_groups.iloc[0]["keeper_id"]) == 0
+    survivors = dedup.exact_dedup(df, "doc_id", "text")
+    assert survivors.count() == df.count() - 1
+    assert survivors.where("doc_id = 102").count() == 0
+
+
+def test_ngram_jaccard_matches_python(spark):
+    df, rows = _docs(spark)
+    got = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).toPandas()
+    expected = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        j = _jaccard_py(ta, tb)
+        if j >= 0.5:
+            expected[(min(ia, ib), max(ia, ib))] = j
+    got_map = {(a, b): j for a, b, j in zip(got["id_a"], got["id_b"], got["jaccard"])}
+    assert set(got_map) == set(expected)
+    for k, j in expected.items():
+        assert got_map[k] == pytest.approx(j, abs=1e-6)
+    assert (0, 100) in got_map and (0, 102) in got_map  # planted pairs found
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    df, rows = _docs(spark)
+    got = dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).toPandas()
+    pairs = {(a, b) for a, b in zip(got["id_a"], got["id_b"])}
+    assert (0, 102) in pairs  # identical
+    assert (0, 100) in pairs  # one-word edit
+    # verified jaccard is exact -> no false positives above threshold
+    for a, b, j in zip(got["id_a"], got["id_b"], got["jaccard"]):
+        ta = next(t for i, t in rows if i == a)
+        tb = next(t for i, t in rows if i == b)
+        assert j == pytest.approx(_jaccard_py(ta, tb), abs=1e-6)
+
+
+def test_simhash_near_dups(spark):
+    df, rows = _docs(spark)
+    got = dedup.simhash_pairs(df, "doc_id", "text", max_hamming=6).toPandas()
+    pairs = {(a, b) for a, b in zip(got["id_a"], got["id_b"])}
+    assert (0, 102) in pairs
+    ham = {(a, b): h for a, b, h in zip(got["id_a"], got["id_b"], got["hamming"])}
+    assert ham[(0, 102)] == 0  # identical docs -> identical fingerprints
+
+
+def test_cosine_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((6, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = dedup.embedding_cosine_pairs(df, "vec_id", "embedding", threshold=-1.0).toPandas()
+    for a, b, c in zip(got["id_a"], got["id_b"], got["cos"]):
+        va, vb = vecs[a].astype(np.float64), vecs[b].astype(np.float64)
+        expect = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert c == pytest.approx(expect, abs=1e-6)
+
+
+def test_brute_force_topk_and_lsh(spark):
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((60, 16))
+    vecs[50] = vecs[0] + 0.01 * rng.standard_normal(16)  # planted neighbor
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.where("vec_id < 3")
+    got = ann.brute_force_topk(df, queries, k=3).toPandas()
+    assert set(got["query_id"]) == {0, 1, 2}
+    top_of_0 = got[(got["query_id"] == 0) & (got["rank"] == 1)].iloc[0]
+    assert int(top_of_0["neighbor_id"]) == 50
+
+    # numpy oracle for ranks of query 0
+    sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    order = [i for i in np.argsort(-sims) if i != 0][:3]
+    assert list(got[got["query_id"] == 0].sort_values("rank")["neighbor_id"]) == order
+
+    # LSH variant finds the planted near-identical vector (same bucket)
+    lsh = ann.lsh_topk(df, queries, k=3, bits=6, dim=16).toPandas()
+    l0 = lsh[(lsh["query_id"] == 0) & (lsh["rank"] == 1)]
+    assert len(l0) == 1 and int(l0.iloc[0]["neighbor_id"]) == 50
+
+
+def test_multimodal_meta_and_stub(spark, clips_dir):
+    from nadeefiler_spark.operators import multimodal as M
+
+    clips = spark.read.parquet(f"{clips_dir}/clips").limit(50)
+    meta = M.binary_meta(clips, "clip_id", "bytes").toPandas()
+    assert set(meta["kind"]) <= {"audio/wav", "audio/ndf-fake"}
+    assert (meta["n_bytes"] > 0).all()
+
+    img_rows = [("i1", M.encode_fake_image(4, 2, bytes(range(8)))), ("i2", b"\x89PNGxxxx")]
+    idf = spark.createDataFrame(img_rows, "id string, img binary")
+    feats = M.image_features(idf, "id", "img").toPandas().set_index("id")
+    assert feats.loc["i1"]["width"] == 4 and feats.loc["i1"]["height"] == 2
+    assert feats.loc["i1"]["mean_lum"] == pytest.approx(3.5)
+    assert feats.loc["i2"]["width"] == -1  # real decode is stubbed
