@@ -1,38 +1,962 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry re-expresses one operator family from SURVEY.md §2
+(reference: daqcri/nadeefiler, read-only at /root/reference) through the
+``nadeefiler_spark`` engine over the driver's testdata tables; the matching
+``oracle_sql()`` entry is plain DuckDB SQL over the same parquet views.
+
+Operator → query map (SURVEY §2 ids in brackets):
+- profile_summary        [A1-A3, A7, S2, P1]  single-pass column profiler
+- value_histogram        [A1]   per-column value histogram (melt, 1 shuffle)
+- bucket_histogram       [A1/A9] width-bucket numeric histograms
+- type_scores            [A2, F1-F4] messystreams summary rows
+- type_histograms        [F1-F4] messystreams per-type histogram rows
+- distinct_counts        [A7]   exact NDV per column
+- topk_values            [S9/O2] top-k values by count
+- topk_per_group         [A6/O3] window row_number <= k
+- pagination             [S5/O1] deterministic keyset-style paging
+- referential_orphans    [J2]   left anti join
+- uniqueness_violations  [north_star] UniquenessRule through the engine
+- domain_violations      [north_star] DomainRule
+- required_violations    [F4-null semantics] RequiredRule
+- range_violations       [A9-ish fences] RangeRule
+- cascade_delete_targets [P3/P4] soft-delete cascade resolution
+- pivot_counts           [J4]   groupBy().pivot()
+- percent_histogram      [A8]   percentage-of-total normalization
+- kb_group_import        [S8]   group-to-array KB import
+- semantic_scores        [J1/A5/A6] token join + weighted score + top-k
+- drift_metrics          [north_star] KS + PSI vs pooled baseline
+- exact_dup_groups       [pipeline: dedup-exact]
+- ngram_jaccard          [pipeline: dedup-jaccard]
+- minhash_pairs          [pipeline: dedup-minhash-LSH]      (no oracle: xxhash64)
+- simhash_pairs          [pipeline: dedup-simhash]          (no oracle: xxhash64)
+- embedding_cosine_dups  [pipeline: dedup-embedding]
+- ann_topk               [pipeline: ANN brute-force top-k]
+- lsh_topk               [pipeline: ANN hyperplane-LSH top-k]
+- text_quality           [pipeline: text analysis suite]
+- audio_validate         [north_star audio rules]           (no oracle: binary audio)
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nadeefiler_spark import datagen, drift, profiler, semantic, typedetect
+from nadeefiler_spark.functions import detectors as det
+from nadeefiler_spark.functions import text as tx
+from nadeefiler_spark.operators import ann, dedup
+from nadeefiler_spark.rules.audio_rules import decode_facts, default_audio_rules
+from nadeefiler_spark.rules.base import RuleContext
+from nadeefiler_spark.rules.constraints import (
+    DomainRule,
+    RangeRule,
+    RequiredRule,
+    UniquenessRule,
+)
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Deterministic mixed-type string table used by the type-detector queries:
+# categorical / boolean-ish / integer / percent / float / date strings,
+# derived identically in Spark and DuckDB from the events table.
+_TYPED_COLS = ("s_cat", "s_bool", "s_int", "s_pct", "s_float", "s_date")
+
+
+def _typed_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_type").alias("s_cat"),
+        (F.col("event_id") % 2).cast("string").alias("s_bool"),
+        F.col("user_id").cast("string").alias("s_int"),
+        F.concat(F.col("user_id").cast("string"), F.lit("%")).alias("s_pct"),
+        F.concat(
+            (F.col("user_id") % 100).cast("string"),
+            F.lit("."),
+            (F.col("event_id") % 1000).cast("string"),
+        ).alias("s_float"),
+        F.date_format("ts", "M/d/yyyy").alias("s_date"),
+    )
+
+
+_TYPED_STRINGS_SQL = """
+SELECT event_type AS s_cat,
+       CAST(event_id % 2 AS VARCHAR) AS s_bool,
+       CAST(user_id AS VARCHAR) AS s_int,
+       CAST(user_id AS VARCHAR) || '%' AS s_pct,
+       CAST(user_id % 100 AS VARCHAR) || '.' || CAST(event_id % 1000 AS VARCHAR) AS s_float,
+       strftime(ts, '%-m/%-d/%Y') AS s_date
+FROM events
+"""
+
+# messystreams type cascade (reference profilers/messystreams.js:17-54) in
+# DuckDB SQL — the oracle twin of functions.detectors.detect_type.
+_NUM = det.NUMBER_REGEX
+_DATE = det.DATE_REGEX
+_BOOLS = ", ".join(f"'{b}'" for b in det.BOOLEAN_VALUES)
+
+
+def _detect_sql(v: str) -> str:
+    return f"""CASE
+      WHEN lower({v}) IN ({_BOOLS}) THEN 'boolean'
+      WHEN regexp_matches({v}, '{_NUM}') THEN
+        CASE WHEN regexp_extract({v}, '{_NUM}', 7) <> '' THEN 'percent'
+             WHEN regexp_extract({v}, '{_NUM}', 6) = '' THEN
+               CASE WHEN regexp_extract({v}, '{_NUM}', 3) <> '' THEN 'float' ELSE 'integer' END
+             WHEN CAST(regexp_extract({v}, '{_NUM}', 6) AS INTEGER)
+                  - length(regexp_extract({v}, '{_NUM}', 3)) < 0 THEN 'float'
+             ELSE 'integer' END
+      WHEN regexp_matches({v}, '{_DATE}') THEN 'date'
+      WHEN {v} IS NULL OR {v} = '' THEN 'null'
+      ELSE 'string'
+    END"""
+
+
+_MELT_TYPED_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS key, {c} AS value FROM typed" for c in _TYPED_COLS
+)
+
+# Inline semantic KB (normalized subjects, reference import-yago.js:38-48).
+_KB = [
+    ("click", ["wikicat_UI_Actions", "wordnet_action"]),
+    ("view", ["wikicat_UI_Actions", "wordnet_observation"]),
+    ("purchase", ["wordnet_commerce", "wikicat_Transactions"]),
+    ("signup", ["wordnet_commerce", "wikicat_Registrations"]),
+    ("error click", ["wikicat_Failures"]),
+]
+
+
+def _kb_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_KB, "subject string, objects array<string>")
+
+
+_KB_SQL_ROWS = ", ".join(
+    "('{}', [{}])".format(s, ", ".join(f"'{o}'" for o in objs)) for s, objs in _KB
+)
+
+# Fixed hyperplanes for lsh_topk — identical literals in Spark and SQL.
+_LSH_BITS, _LSH_DIM, _LSH_SEED = 8, 64, 7
+
+
+def _lsh_planes() -> np.ndarray:
+    # must match operators.ann.hyperplane_expr's generator exactly
+    rng = np.random.default_rng(_LSH_SEED)
+    return rng.standard_normal((_LSH_BITS, _LSH_DIM))
+
+
+def _lsh_bucket_sql(vec: str) -> str:
+    planes = _lsh_planes()
+    terms = []
+    for i, plane in enumerate(planes):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        terms.append(
+            f"CASE WHEN list_dot_product({vec}, [{lits}]) >= 0 THEN {1 << i} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-partition single-pass profile + constraint verdicts.
+
+    The engine's signature move (SURVEY §3.4): partition lineitem by
+    l_returnflag, fold every column's stats into ONE agg() pass, run the
+    constraint stage, and emit a per-partition verdict row — the Spark
+    re-expression of nadeefiler's per-(dataset × profiler) task results
+    (/root/reference/profilers/worker.js:60-106).
+    """
+    sf_dir = "/root/testdata/sf0.001"
+    li = _t(spark, sf_dir, "lineitem")
+    cfg = profiler.ProfileConfig(exact_ndv=True, part_col="l_returnflag")
+    summary = profiler.profile_summary(li, cfg)
+
+    ctx = RuleContext(
+        spark=spark, clips=li, key_col="l_orderkey", part_col="l_returnflag"
+    )
+    viol = (
+        RangeRule(name="discount_range", column="l_discount", lo=0.0, hi=0.08)
+        .violations(ctx)
+        .unionByName(
+            DomainRule(
+                name="linestatus_domain", column="l_linestatus", allowed=("O", "F")
+            ).violations(ctx)
+        )
+    )
+    vcounts = viol.groupBy("part").agg(F.count(F.lit(1)).alias("n_violations"))
+    nrows = summary.groupBy("part").agg(F.max("n_rows").alias("n_rows"))
+    return (
+        nrows.join(vcounts, "part", "left")
+        .select(
+            "part",
+            "n_rows",
+            F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
+            (F.coalesce("n_violations", F.lit(0)) == 0).alias("passed"),
+        )
+        .orderBy("part")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # engine-stable stats only (mean/stddev are pytest-validated instead:
+    # cross-engine float formatting of min/max strings is not hash-stable)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_linestatus", "l_shipdate"
+    )
+    cfg = profiler.ProfileConfig(exact_ndv=True, part_col="l_returnflag")
+    return profiler.profile_summary(li, cfg).select(
+        "part", "key", "n_rows", "n_nulls", "ndv", "min", "max"
+    )
+
+
+def _sql_profile_summary() -> str:
+    cols = ["l_orderkey", "l_linenumber", "l_linestatus", "l_shipdate"]
+    parts = []
+    for c in cols:
+        null_pred = (
+            f"({c} IS NULL OR {c} = '')" if c == "l_linestatus" else f"{c} IS NULL"
+        )
+        parts.append(
+            f"""SELECT l_returnflag AS part, '{c}' AS key,
+            count(*) AS n_rows,
+            CAST(sum(CASE WHEN {null_pred} THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+            count(DISTINCT {c}) AS ndv,
+            CAST(min({c}) AS VARCHAR) AS "min", CAST(max({c}) AS VARCHAR) AS "max"
+            FROM lineitem GROUP BY l_returnflag"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority")
+    melted = typedetect.melt_values(o)
+    return melted.groupBy("key", "value").agg(F.count(F.lit(1)).alias("count"))
+
+
+_SQL_VALUE_HISTOGRAM = """
+SELECT key, value, count(*) AS count FROM (
+  SELECT 'o_orderstatus' AS key, o_orderstatus AS value FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority' AS key, o_orderpriority AS value FROM orders
+) GROUP BY key, value
+"""
+
+
+def _q_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    cfg = profiler.ProfileConfig(
+        part_col="event_type", bucket_hist_cols={"value": 5.0}
+    )
+    return profiler.profile_histograms(e, cfg)
+
+
+_SQL_BUCKET_HISTOGRAM = """
+SELECT event_type AS part, 'value' AS key, 'bucket' AS kind,
+       CAST(CAST(floor("value" / 5.0) * 5.0 AS BIGINT) AS VARCHAR) AS bin,
+       count(*) AS count
+FROM events GROUP BY 1, 4
+"""
+
+
+def _q_type_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return typedetect.type_scores(_typed_strings(spark, sf_dir))
+
+
+def _sql_type_scores() -> str:
+    sums = ", ".join(
+        f'CAST(coalesce(sum(CASE WHEN type = \'{t}\' THEN cnt END), 0) AS BIGINT) AS "{t}"'
+        for t in det.TYPE_LABELS
+    )
+    return f"""
+    WITH typed AS ({_TYPED_STRINGS_SQL}),
+    melted AS ({_MELT_TYPED_SQL}),
+    hist AS (SELECT key, value, count(*) AS cnt FROM melted GROUP BY key, value),
+    labeled AS (SELECT key, cnt, {_detect_sql('value')} AS type FROM hist)
+    SELECT key, {sums} FROM labeled GROUP BY key
+    """
+
+
+def _q_type_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return typedetect.type_histograms(_typed_strings(spark, sf_dir))
+
+
+def _sql_type_histograms() -> str:
+    return f"""
+    WITH typed AS ({_TYPED_STRINGS_SQL}),
+    melted AS ({_MELT_TYPED_SQL}),
+    hist AS (SELECT key, value, count(*) AS count FROM melted GROUP BY key, value),
+    labeled AS (SELECT {_detect_sql('value')} AS histogram, key, value, count FROM hist)
+    SELECT histogram, key, value,
+           CASE WHEN histogram IN ('integer', 'float', 'percent')
+                THEN CAST(regexp_replace(value, '%$', '') AS DOUBLE) END AS value_num,
+           count
+    FROM labeled WHERE histogram <> 'null'
+    """
+
+
+def _q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.agg(
+        *[
+            F.count_distinct(F.col(col)).alias(f"ndv_{col}")
+            for col in ("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        ]
+    )
+
+
+_SQL_DISTINCT_COUNTS = """
+SELECT count(DISTINCT c_custkey) AS ndv_c_custkey,
+       count(DISTINCT c_name) AS ndv_c_name,
+       count(DISTINCT c_nationkey) AS ndv_c_nationkey,
+       count(DISTINCT c_mktsegment) AS ndv_c_mktsegment
+FROM customer
+"""
+
+
+def _q_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy(F.col("p_brand").alias("value"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("value"))
+        .limit(20)
+    )
+
+
+_SQL_TOPK_VALUES = """
+SELECT p_brand AS value, count(*) AS count FROM part
+GROUP BY p_brand ORDER BY count DESC, value ASC LIMIT 20
+"""
+
+
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rank")
+    )
+
+
+_SQL_TOPK_PER_GROUP = """
+SELECT p_brand, p_partkey, p_retailprice, rank FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey ASC) AS rank
+  FROM part
+) WHERE rank <= 3
+"""
+
+
+def _q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .offset(100)
+        .limit(50)
+    )
+
+
+_SQL_PAGINATION = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50 OFFSET 100
+"""
+
+
+def _q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_nationkey") < 20)
+    return c.join(
+        n, c["c_nationkey"] == n["n_nationkey"], "left_anti"
+    ).select("c_custkey", "c_nationkey")
+
+
+_SQL_REFERENTIAL_ORPHANS = """
+SELECT c_custkey, c_nationkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM nation n
+                  WHERE n.n_nationkey = c.c_nationkey AND n.n_nationkey < 20)
+"""
+
+
+def _orders_ctx(spark: SparkSession, sf_dir: str) -> RuleContext:
+    return RuleContext(
+        spark=spark,
+        clips=_t(spark, sf_dir, "orders"),
+        key_col="o_orderkey",
+        part_col="o_orderpriority",
+    )
+
+
+def _q_uniqueness_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # duplicate (o_custkey, o_orderdate) pairs -> each offending row
+    return UniquenessRule(
+        name="unique_cust_date", keys=("o_custkey", "o_orderdate")
+    ).violations(_orders_ctx(spark, sf_dir))
+
+
+_SQL_UNIQUENESS_VIOLATIONS = """
+WITH dups AS (
+  SELECT o_custkey, o_orderdate, count(*) AS dc FROM orders
+  GROUP BY 1, 2 HAVING count(*) > 1
+)
+SELECT o.o_orderpriority AS part, 'unique_cust_date' AS rule,
+       CAST(o.o_orderkey AS VARCHAR) AS clip_id,
+       'duplicate_count=' || CAST(d.dc AS VARCHAR) AS detail
+FROM orders o JOIN dups d
+  ON o.o_custkey = d.o_custkey AND o.o_orderdate = d.o_orderdate
+"""
+
+
+def _q_domain_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DomainRule(
+        name="priority_domain",
+        column="o_orderpriority",
+        allowed=("1-URGENT", "2-HIGH", "3-MEDIUM"),
+    ).violations(_orders_ctx(spark, sf_dir))
+
+
+_SQL_DOMAIN_VIOLATIONS = """
+SELECT o_orderpriority AS part, 'priority_domain' AS rule,
+       CAST(o_orderkey AS VARCHAR) AS clip_id,
+       'o_orderpriority=' || o_orderpriority AS detail
+FROM orders
+WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+   OR o_orderpriority IS NULL
+"""
+
+
+def _q_required_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # documents shorter than 60 chars are treated via RangeRule-like gate;
+    # RequiredRule itself checks null/empty text (reference '' -> null type)
+    ctx = RuleContext(
+        spark=spark,
+        clips=_t(spark, sf_dir, "documents"),
+        key_col="doc_id",
+        part_col="lang",
+    )
+    return RequiredRule(name="text_required", column="text").violations(ctx)
+
+
+_SQL_REQUIRED_VIOLATIONS = """
+SELECT lang AS part, 'text_required' AS rule, CAST(doc_id AS VARCHAR) AS clip_id,
+       CASE WHEN text IS NULL THEN 'null' ELSE 'empty' END AS detail
+FROM documents WHERE text IS NULL OR text = ''
+"""
+
+
+def _q_range_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ctx = RuleContext(
+        spark=spark,
+        clips=_t(spark, sf_dir, "events"),
+        key_col="event_id",
+        part_col="event_type",
+    )
+    return RangeRule(name="value_range", column="value", lo=-20.0, hi=20.0).violations(
+        ctx
+    )
+
+
+_SQL_RANGE_VIOLATIONS = """
+SELECT event_type AS part, 'value_range' AS rule, CAST(event_id AS VARCHAR) AS clip_id,
+       'value=' || CAST("value" AS VARCHAR) AS detail
+FROM events WHERE "value" < -20.0 OR "value" > 20.0 OR "value" IS NULL
+"""
+
+
+def _q_cascade_delete_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # soft-deleted parents (synthetic flag) cascade to child rows
+    # (reference Project -> Dataset -> Tuple cascade, Dataset.js:46-48)
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 50 == 0)
+    o = _t(spark, sf_dir, "orders")
+    return o.join(c.select("c_custkey"), o["o_custkey"] == c["c_custkey"], "left_semi").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+_SQL_CASCADE_DELETE_TARGETS = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0)
+"""
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    piv = (
+        e.withColumn("cohort", (F.col("user_id") % 10).cast("bigint"))
+        .groupBy("cohort")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    return piv.select(
+        "cohort", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+_SQL_PIVOT_COUNTS = """
+SELECT user_id % 10 AS cohort,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events GROUP BY 1
+"""
+
+
+def _q_percent_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    hist = c.groupBy(F.col("c_mktsegment").alias("value")).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    total = Window.partitionBy()
+    return hist.select(
+        "value",
+        "count",
+        F.round(F.col("count") * 100.0 / F.sum("count").over(total)).alias("pct"),
+    )
+
+
+_SQL_PERCENT_HISTOGRAM = """
+SELECT c_mktsegment AS value, count(*) AS count,
+       round(count(*) * 100.0 / (SELECT count(*) FROM customer)) AS pct
+FROM customer GROUP BY 1
+"""
+
+
+def _q_kb_group_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("members"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_SQL_KB_GROUP_IMPORT = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS members, count(*) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def _q_semantic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("event_type")
+    string_hist = typedetect.melt_values(e).groupBy("key", "value").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    out = semantic.semantic_scores(string_hist, _kb_df(spark), top_k=10)
+    return out.select("key", "object", "score", F.col("rank").cast("bigint").alias("rank"))
+
+
+_SQL_SEMANTIC_SCORES = f"""
+WITH string_hist AS (
+  SELECT 'event_type' AS key, event_type AS value, count(*) AS count
+  FROM events GROUP BY 2
+),
+kb(subject, objects) AS (VALUES {_KB_SQL_ROWS}),
+vals AS (
+  SELECT key, value, count, unnest(list_filter(string_split_regex(lower(value), '\\s+'),
+                                               t -> t <> '')) AS tok
+  FROM string_hist
+),
+subs AS (
+  SELECT subject, objects, unnest(list_filter(string_split_regex(subject, '\\s+'),
+                                              t -> t <> '')) AS tok
+  FROM kb
+),
+matches AS (
+  SELECT v.key, v.value, v.count, s.subject, s.objects, count(*) AS match_score
+  FROM vals v JOIN subs s USING (tok)
+  GROUP BY 1, 2, 3, 4, 5
+),
+scored AS (
+  SELECT key, unnest(objects) AS object, match_score * count AS w FROM matches
+),
+agg AS (
+  SELECT key, object, CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS score
+  FROM scored GROUP BY 1, 2
+)
+SELECT key, object, score, rank FROM (
+  SELECT key, object, score,
+         row_number() OVER (PARTITION BY key ORDER BY score DESC, object ASC) AS rank
+  FROM agg
+) WHERE rank <= 10
+"""
+
+
+def _q_drift_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    cfg = profiler.ProfileConfig(part_col="event_type", bucket_hist_cols={"value": 5.0})
+    hist = profiler.profile_histograms(e, cfg)
+    m = drift.drift_metrics(hist, drift.global_baseline(hist))
+    return m.select(
+        "part", "key", "kind", F.round("psi", 6).alias("psi"), F.round("ks_d", 6).alias("ks_d")
+    )
+
+
+_SQL_DRIFT_METRICS = """
+WITH hist AS (
+  SELECT event_type AS part, 'value' AS key, 'bucket' AS kind,
+         CAST(CAST(floor("value" / 5.0) * 5.0 AS BIGINT) AS VARCHAR) AS bin,
+         count(*) AS c
+  FROM events GROUP BY 1, 4
+),
+base AS (SELECT key, kind, bin, CAST(sum(c) AS BIGINT) AS cq FROM hist GROUP BY 1, 2, 3),
+parts AS (SELECT DISTINCT part, key, kind FROM hist),
+bins AS (SELECT DISTINCT key, kind, bin FROM hist),
+grid AS (SELECT p.part, b.key, b.kind, b.bin FROM parts p JOIN bins b USING (key, kind)),
+j AS (
+  SELECT g.part, g.key, g.kind, g.bin,
+         coalesce(h.c, 0) AS c_p, coalesce(q.cq, 0) AS c_q
+  FROM grid g
+  LEFT JOIN hist h ON h.part = g.part AND h.bin = g.bin
+  LEFT JOIN base q ON q.bin = g.bin
+),
+probs AS (
+  SELECT part, key, kind, bin, c_p, c_q,
+    greatest(c_p / greatest(CAST(sum(c_p) OVER w AS BIGINT), 1), 1e-4) AS p,
+    greatest(c_q / greatest(CAST(sum(c_q) OVER w AS BIGINT), 1), 1e-4) AS q,
+    (CAST(sum(c_p) OVER ord AS BIGINT) * 1.0) / greatest(CAST(sum(c_p) OVER w AS BIGINT), 1) AS cdf_p,
+    (CAST(sum(c_q) OVER ord AS BIGINT) * 1.0) / greatest(CAST(sum(c_q) OVER w AS BIGINT), 1) AS cdf_q
+  FROM j
+  WINDOW w AS (PARTITION BY part, key, kind),
+         ord AS (PARTITION BY part, key, kind
+                 ORDER BY try_cast(bin AS DOUBLE) ASC NULLS LAST, bin
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT part, key, kind,
+       round(sum((p - q) * ln(p / q)), 6) AS psi,
+       round(max(abs(cdf_p - cdf_q)), 6) AS ks_d
+FROM probs GROUP BY 1, 2, 3
+"""
+
+
+def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dup_groups(d, "doc_id", "text")
+
+
+_SQL_EXACT_DUP_GROUPS = """
+SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keeper_id
+FROM documents GROUP BY 1
+"""
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+
+
+_SQL_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+shing AS (
+  SELECT id, CASE WHEN len(tk) >= 3
+                  THEN list_transform(range(1, len(tk) - 1),
+                                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                  ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks
+),
+sh AS (SELECT DISTINCT id, unnest(shingles) AS shingle FROM shing),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
+  SELECT c.id_a, c.id_b,
+         c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) AS jac
+  FROM common c
+  JOIN sizes sa ON sa.id = c.id_a
+  JOIN sizes sb ON sb.id = c.id_b
+) WHERE jac >= 0.2
+"""
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no oracle: signatures use Spark's xxhash64 (not available in DuckDB);
+    # recall vs ngram_jaccard is pytest-validated instead
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no oracle: xxhash64-based fingerprints
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+def _q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return dedup.embedding_cosine_pairs(e, "vec_id", "embedding", threshold=0.8)
+
+
+_SQL_EMBEDDING_COSINE_DUPS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.8
+"""
+
+
+def _embeddings_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embeddings_double(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 5)
+    out = ann.brute_force_topk(e, q, id_col="vec_id", vec_col="embedding", k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cos", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+_SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), qv), 6) AS cos
+  FROM embeddings c CROSS JOIN q WHERE q.query_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embeddings_double(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 5)
+    out = ann.lsh_topk(
+        e, q, id_col="vec_id", vec_col="embedding", k=5,
+        bits=_LSH_BITS, dim=_LSH_DIM, seed=_LSH_SEED,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def _sql_lsh_topk() -> str:
+    bucket = _lsh_bucket_sql("CAST(embedding AS DOUBLE[])")
+    return f"""
+    WITH c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+                      {bucket} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                 {bucket} AS bucket
+          FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             round(list_cosine_similarity(c.cv, q.qv), 6) AS cos
+      FROM c JOIN q USING (bucket) WHERE q.query_id <> c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count("text").cast("bigint").alias("n_tokens"),
+        tx.bpe_ish_token_count("text").cast("bigint").alias("n_bpe"),
+        F.round(tx.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(tx.mean_word_len("text"), 6).alias("mean_wlen"),
+        tx.quality_score("text").alias("quality"),
+        tx.lang_id("text").alias("lang_guess"),
+        tx.fingerprint("text").alias("fp"),
+    )
+
+
+def _sql_text_quality() -> str:
+    markers = {
+        lang: ", ".join(f"'{w}'" for w in words)
+        for lang, words in tx.LANG_MARKERS.items()
+    }
+    hit = {
+        lang: f"len(list_intersect(toks_d, [{words}]))"
+        for lang, words in markers.items()
+    }
+    best = "greatest({}, {}, {}, {})".format(*hit.values())
+    lang_case = (
+        f"CASE WHEN {best} <= 0 THEN 'und' "
+        + " ".join(f"WHEN {hit[lang]} = {best} THEN '{lang}'" for lang in tx.LANG_MARKERS)
+        + " ELSE 'und' END"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks,
+             list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                       t -> t <> '')) AS toks_d
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, text, toks, toks_d,
+             len(toks) AS n_tokens,
+             len(regexp_extract_all(text, '{tx.BPE_ISH_REGEX}')) AS n_bpe,
+             length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) * 1.0
+               / greatest(length(text), 1) AS praw,
+             CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               / greatest(len(toks), 1) AS mwl
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_bpe AS BIGINT) AS n_bpe,
+           round(praw, 6) AS punct_ratio,
+           round(mwl, 6) AS mean_wlen,
+           round(0.4 * (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * (CASE WHEN mwl >= 3.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * (1.0 - least(praw * 5.0, 1.0)), 6) AS quality,
+           {lang_case} AS lang_guess,
+           md5(array_to_string(list_sort(toks_d), ' ')) AS fp
+    FROM m
+    """
+
+
+def _q_audio_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audio-aware validation on the deterministic synthetic
+    clips table (BASELINE.json input_hint schema; the testdata tables have
+    no audio payloads). No oracle: decode runs in pandas UDFs over binary.
+    """
+    cfg = datagen.GenConfig(n_rows=240)
+    clips = datagen.clips_df(spark, cfg)
+    refs = datagen.refs_df(spark, cfg)
+    ctx = RuleContext(
+        spark=spark,
+        clips=clips,
+        refs=refs,
+        decoded=decode_facts(clips),
+        key_col="clip_id",
+        part_col="part",
+    )
+    from nadeefiler_spark.presets import default_clip_rules
+
+    rules = [r for r in default_clip_rules(with_drift=False)]
+    out = None
+    for r in rules:
+        v = r.violations(ctx)
+        out = v if out is None else out.unionByName(v)
+    return out.orderBy("rule", "clip_id", "part")
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "profile_summary": _q_profile_summary,
+        "value_histogram": _q_value_histogram,
+        "bucket_histogram": _q_bucket_histogram,
+        "type_scores": _q_type_scores,
+        "type_histograms": _q_type_histograms,
+        "distinct_counts": _q_distinct_counts,
+        "topk_values": _q_topk_values,
+        "topk_per_group": _q_topk_per_group,
+        "pagination": _q_pagination,
+        "referential_orphans": _q_referential_orphans,
+        "uniqueness_violations": _q_uniqueness_violations,
+        "domain_violations": _q_domain_violations,
+        "required_violations": _q_required_violations,
+        "range_violations": _q_range_violations,
+        "cascade_delete_targets": _q_cascade_delete_targets,
+        "pivot_counts": _q_pivot_counts,
+        "percent_histogram": _q_percent_histogram,
+        "kb_group_import": _q_kb_group_import,
+        "semantic_scores": _q_semantic_scores,
+        "drift_metrics": _q_drift_metrics,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_cosine_dups": _q_embedding_cosine_dups,
+        "ann_topk": _q_ann_topk,
+        "lsh_topk": _q_lsh_topk,
+        "text_quality": _q_text_quality,
+        "audio_validate": _q_audio_validate,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "profile_summary": _sql_profile_summary(),
+        "value_histogram": _SQL_VALUE_HISTOGRAM,
+        "bucket_histogram": _SQL_BUCKET_HISTOGRAM,
+        "type_scores": _sql_type_scores(),
+        "type_histograms": _sql_type_histograms(),
+        "distinct_counts": _SQL_DISTINCT_COUNTS,
+        "topk_values": _SQL_TOPK_VALUES,
+        "topk_per_group": _SQL_TOPK_PER_GROUP,
+        "pagination": _SQL_PAGINATION,
+        "referential_orphans": _SQL_REFERENTIAL_ORPHANS,
+        "uniqueness_violations": _SQL_UNIQUENESS_VIOLATIONS,
+        "domain_violations": _SQL_DOMAIN_VIOLATIONS,
+        "required_violations": _SQL_REQUIRED_VIOLATIONS,
+        "range_violations": _SQL_RANGE_VIOLATIONS,
+        "cascade_delete_targets": _SQL_CASCADE_DELETE_TARGETS,
+        "pivot_counts": _SQL_PIVOT_COUNTS,
+        "percent_histogram": _SQL_PERCENT_HISTOGRAM,
+        "kb_group_import": _SQL_KB_GROUP_IMPORT,
+        "semantic_scores": _SQL_SEMANTIC_SCORES,
+        "drift_metrics": _SQL_DRIFT_METRICS,
+        "exact_dup_groups": _SQL_EXACT_DUP_GROUPS,
+        "ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "embedding_cosine_dups": _SQL_EMBEDDING_COSINE_DUPS,
+        "ann_topk": _SQL_ANN_TOPK,
+        "lsh_topk": _sql_lsh_topk(),
+        "text_quality": _sql_text_quality(),
+        # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB
+        # audio_validate: binary audio payloads, pandas-UDF decode
+    }

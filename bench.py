@@ -1,0 +1,138 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline metric (BASELINE.json): clips validated/sec for the end-to-end
+profile + constraint + audio pass over the deterministic synthetic clips
+table, plus per-query wall-clock for the SURVEY §2 operator queries over
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Env:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  BENCH_CLIPS          synthetic clip count for the engine pass
+                       (default 40000 * sf)
+  BENCH_QUERIES        comma-separated subset of query names (default all
+                       headline queries)
+
+Execution is forced with the noop datasource (full computation + row
+materialization, no sink cost), matching how the driver measures.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from nadeefiler_spark import datagen  # noqa: E402
+from nadeefiler_spark.engine import ValidationEngine  # noqa: E402
+from nadeefiler_spark.presets import default_clip_rules  # noqa: E402
+from nadeefiler_spark.profiler import default_clips_config  # noqa: E402
+from nadeefiler_spark.session import get_spark  # noqa: E402
+
+HEADLINE_QUERIES = (
+    "profile_summary",
+    "value_histogram",
+    "bucket_histogram",
+    "type_scores",
+    "type_histograms",
+    "drift_metrics",
+    "uniqueness_violations",
+    "referential_orphans",
+    "topk_per_group",
+    "semantic_scores",
+    "exact_dup_groups",
+    "ngram_jaccard",
+    "minhash_pairs",
+    "simhash_pairs",
+    "ann_topk",
+    "lsh_topk",
+    "text_quality",
+)
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def bench_queries(spark, sf_dir: str, names) -> dict[str, float]:
+    qs = entry_mod.queries()
+    out: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        t0 = time.monotonic()
+        _force(fn(spark, sf_dir))
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def bench_engine(spark, n_clips: int) -> dict[str, float]:
+    """End-to-end engine pass: generate clips -> profile + constraints +
+    audio stages -> violations/verdicts/manifest written. Generation is
+    excluded from the timed window (clips are staged to parquet first,
+    as they would already exist as an Iceberg table in production)."""
+    tmp = tempfile.mkdtemp(prefix="bench_clips_")
+    try:
+        cfg = datagen.GenConfig(n_rows=n_clips)
+        datagen.write_clips(spark, tmp, cfg)
+        clips = spark.read.parquet(f"{tmp}/clips")
+        refs = spark.read.parquet(f"{tmp}/transcript_refs")
+
+        out_dir = f"{tmp}/out"
+        eng = ValidationEngine(
+            spark,
+            out_dir,
+            rules=default_clip_rules(with_drift=True),
+            profile_cfg=default_clips_config(),
+        )
+        t0 = time.monotonic()
+        eng.run(clips, refs=refs, resume=False)
+        wall = time.monotonic() - t0
+        return {"clips": n_clips, "wall_s": round(wall, 3),
+                "clips_per_sec": round(n_clips / wall, 1)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    n_clips = int(os.environ.get("BENCH_CLIPS", str(max(int(40000 * sf), 500))))
+    names = [
+        n for n in os.environ.get("BENCH_QUERIES", ",".join(HEADLINE_QUERIES)).split(",")
+        if n
+    ]
+
+    spark = get_spark(app_name="bench", parallelism=cpus)
+    # warm the JVM/session so the first timed query doesn't pay startup
+    _force(entry_mod.queries()["value_histogram"](spark, sf_dir))
+
+    queries = bench_queries(spark, sf_dir, names)
+    engine = bench_engine(spark, n_clips)
+
+    print(json.dumps({
+        "metric": "clips validated/sec (end-to-end profile+constraint pass)",
+        "value": engine["clips_per_sec"],
+        "unit": "clips/sec",
+        "queries": queries,
+        "sf": sf,
+        "engine": engine,
+        "total_query_sec": round(sum(queries.values()), 3),
+        "parallelism": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()
