@@ -51,6 +51,16 @@ class Rule:
     def violations(self, ctx: RuleContext) -> DataFrame:
         raise NotImplementedError
 
+    def predicate(self, ctx: RuleContext):
+        """Optional fast path: return ``(violation_pred, detail)`` Columns
+        evaluated per clips row. Rules that implement this are folded by
+        the engine into ONE shared scan per stage (the row-rule analog of
+        the profiler's single-pass agg; reference runs each profiler as a
+        separate pass over the dataset, profilers/worker.js:121-144).
+        Return None (default) for rules needing joins/aggregation.
+        """
+        return None
+
     @staticmethod
     def shape(df: DataFrame, ctx: RuleContext, rule_name: str, detail) -> DataFrame:
         """Project any row source onto the canonical violations schema."""

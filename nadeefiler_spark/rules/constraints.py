@@ -63,10 +63,14 @@ class DomainRule(Rule):
         self.stage = "constraints"
 
     def violations(self, ctx: RuleContext) -> DataFrame:
+        pred, detail = self.predicate(ctx)
+        return self.shape(ctx.clips.where(pred), ctx, self.name, detail)
+
+    def predicate(self, ctx: RuleContext):
         c = F.col(self.column)
-        bad = ctx.clips.where(~c.isin(list(self.allowed)) | c.isNull())
-        return self.shape(bad, ctx, self.name,
-                          F.concat(F.lit(f"{self.column}="), c.cast("string")))
+        pred = ~c.isin(list(self.allowed)) | c.isNull()
+        detail = F.concat(F.lit(f"{self.column}="), c.cast("string"))
+        return pred, detail
 
 
 @dataclass
@@ -81,12 +85,14 @@ class RequiredRule(Rule):
         self.stage = "constraints"
 
     def violations(self, ctx: RuleContext) -> DataFrame:
+        pred, detail = self.predicate(ctx)
+        return self.shape(ctx.clips.where(pred), ctx, self.name, detail)
+
+    def predicate(self, ctx: RuleContext):
         c = F.col(self.column)
-        bad = ctx.clips.where(c.isNull() | (c.cast("string") == F.lit("")))
-        return self.shape(
-            bad, ctx, self.name,
-            F.when(c.isNull(), F.lit("null")).otherwise(F.lit("empty")),
-        )
+        pred = c.isNull() | (c.cast("string") == F.lit(""))
+        detail = F.when(c.isNull(), F.lit("null")).otherwise(F.lit("empty"))
+        return pred, detail
 
 
 @dataclass
@@ -102,15 +108,18 @@ class RangeRule(Rule):
         self.stage = "constraints"
 
     def violations(self, ctx: RuleContext) -> DataFrame:
+        pred, detail = self.predicate(ctx)
+        return self.shape(ctx.clips.where(pred), ctx, self.name, detail)
+
+    def predicate(self, ctx: RuleContext):
         c = F.col(self.column).cast("double")
         pred = F.lit(False)
         if self.lo is not None:
             pred = pred | (c < self.lo)
         if self.hi is not None:
             pred = pred | (c > self.hi)
-        bad = ctx.clips.where(pred | c.isNull())
-        return self.shape(bad, ctx, self.name,
-                          F.concat(F.lit(f"{self.column}="), F.col(self.column).cast("string")))
+        detail = F.concat(F.lit(f"{self.column}="), F.col(self.column).cast("string"))
+        return pred | c.isNull(), detail
 
 
 @dataclass

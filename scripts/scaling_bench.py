@@ -1,0 +1,89 @@
+"""Two-parallelism scaling evidence for BASELINE.json's north_rule.
+
+No real cluster exists in the sandbox, so the N -> 4N executor scaling
+criterion is evidenced by running the IDENTICAL engine job on the
+IDENTICAL input at local[8] and local[32] (fresh process each — Spark
+fixes master at JVM start) and reporting throughput at both plus
+efficiency (T_32 / T_8) / 4. Results land in BENCH/BASELINE.md.
+
+Usage: python scripts/scaling_bench.py [n_clips] [trials]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = """
+import sys, time, tempfile, json
+sys.path.insert(0, {repo!r})
+from nadeefiler_spark.session import get_spark
+from nadeefiler_spark import datagen
+from nadeefiler_spark.engine import ValidationEngine
+from nadeefiler_spark.presets import default_clip_rules
+from nadeefiler_spark.profiler import default_clips_config
+
+cpus, n_clips, trials, data_dir = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+spark = get_spark(app_name=f"scale{{cpus}}", parallelism=cpus)
+clips = spark.read.parquet(f"{{data_dir}}/clips")
+refs = spark.read.parquet(f"{{data_dir}}/transcript_refs")
+walls = []
+for t in range(trials):
+    out = tempfile.mkdtemp(prefix=f"scale_out_{{cpus}}_")
+    eng = ValidationEngine(spark, out, rules=default_clip_rules(with_drift=True),
+                           profile_cfg=default_clips_config())
+    t0 = time.monotonic()
+    eng.run(clips, refs=refs, resume=False)
+    walls.append(time.monotonic() - t0)
+wall = sorted(walls)[len(walls) // 2]
+print("RESULT " + json.dumps({{"cpus": cpus, "wall_s": round(wall, 3),
+                               "clips_per_sec": round(n_clips / wall, 1),
+                               "trials_s": [round(w, 3) for w in walls]}}))
+"""
+
+
+def gen_data(n_clips: int) -> str:
+    data_dir = tempfile.mkdtemp(prefix="scale_data_")
+    code = (
+        f"import sys; sys.path.insert(0, {REPO!r})\n"
+        "from nadeefiler_spark.session import get_spark\n"
+        "from nadeefiler_spark import datagen\n"
+        f"spark = get_spark(app_name='gen', parallelism=32)\n"
+        f"datagen.write_clips(spark, {data_dir!r}, datagen.GenConfig(n_rows={n_clips}))\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    return data_dir
+
+
+def run_at(cpus: int, n_clips: int, trials: int, data_dir: str) -> dict:
+    p = subprocess.run(
+        [sys.executable, "-c", CHILD.format(repo=REPO),
+         str(cpus), str(n_clips), str(trials), data_dir],
+        capture_output=True, text=True, check=True,
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT line in child output:\n{p.stdout}\n{p.stderr}")
+
+
+def main() -> None:
+    n_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 32000
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    data_dir = gen_data(n_clips)
+    r8 = run_at(8, n_clips, trials, data_dir)
+    r32 = run_at(32, n_clips, trials, data_dir)
+    eff = (r32["clips_per_sec"] / r8["clips_per_sec"]) / 4.0
+    out = {"n_clips": n_clips, "local8": r8, "local32": r32,
+           "scaling_efficiency_N_to_4N": round(eff, 3)}
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
