@@ -232,12 +232,34 @@ class ValidationEngine:
         out = out.withColumn("stage", F.lit(stage))
         for p in pending:
             _delete_path(self.spark, f"{self.violations_path}/stage={stage}/part={p}")
+
+        # Per-part violation counts ride along on the write job via the
+        # Observation API (conditional sums) — no second job. Falls back
+        # to a read-back aggregation when the pending set is large (the
+        # observe expression list is O(#parts)).
+        to_write = out.select("stage", "part", "rule", "clip_id", "detail")
+        obs = None
+        if len(pending) <= 64:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"viol_{stage}")
+            to_write = to_write.observe(
+                obs,
+                *[
+                    F.coalesce(
+                        F.sum(F.when(F.col("part") == str(p), 1).otherwise(0)), F.lit(0)
+                    ).alias(f"n_{i}")
+                    for i, p in enumerate(pending)
+                ],
+            )
         (
-            out.select("stage", "part", "rule", "clip_id", "detail")
-            .write.mode("append")
+            to_write.write.mode("append")
             .partitionBy("stage", "part")
             .parquet(self.violations_path)
         )
+        if obs is not None:
+            got = obs.get
+            return {p: int(got[f"n_{i}"]) for i, p in enumerate(pending)}
         written = _read_or_empty(
             self.spark, f"{self.violations_path}/stage={stage}",
             "part string, rule string, clip_id string, detail string",

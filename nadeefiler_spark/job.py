@@ -1,0 +1,84 @@
+"""spark-submit entrypoint (north_rule: "run via spark-submit --py-files").
+
+    spark-submit --py-files nadeefiler_spark.zip -m ...  # or directly:
+    spark-submit nadeefiler_spark/job.py \
+        --clips /data/clips --refs /data/transcript_refs \
+        --out /data/validation_out [--no-resume] [--partitions p1 p2 ...]
+
+On a cluster, master/executor conf comes from spark-submit; locally the
+session factory falls back to local[$SPARK_GRAFT_CPUS]. The job is
+idempotent and resumable: completed (partition, stage) pairs recorded in
+the checkpoint manifest are skipped unless --no-resume
+(SURVEY §2.8 T3/T5; reference delete-before-write,
+/root/reference/profilers/worker.js:97-100).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="nadeefiler_spark validation job")
+    p.add_argument("--clips", required=True, help="clips table path (parquet)")
+    p.add_argument("--refs", default=None, help="transcript_refs table path")
+    p.add_argument("--out", required=True, help="output dir (violations/manifest/profile)")
+    p.add_argument("--partitions", nargs="*", default=None,
+                   help="restrict to these partition values")
+    p.add_argument("--no-resume", action="store_true",
+                   help="ignore the checkpoint manifest and recompute")
+    p.add_argument("--no-audio", action="store_true", help="skip audio rules")
+    p.add_argument("--no-drift", action="store_true", help="skip drift rules")
+    p.add_argument("--run-id", default=None)
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> dict:
+    args = build_parser().parse_args(argv)
+
+    if spark is None:
+        from .session import get_spark
+
+        spark = get_spark(app_name="nadeefiler_spark_job")
+
+    from .engine import ValidationEngine
+    from .presets import default_clip_rules
+    from .profiler import default_clips_config
+
+    clips = spark.read.parquet(args.clips)
+    refs = spark.read.parquet(args.refs) if args.refs else None
+    if args.partitions:
+        clips = clips.where(F.col("part").isin(args.partitions))
+        if refs is not None:
+            refs = refs.where(F.col("part").isin(args.partitions))
+
+    eng = ValidationEngine(
+        spark,
+        args.out,
+        rules=default_clip_rules(
+            with_refs=refs is not None,
+            with_audio=not args.no_audio,
+            with_drift=not args.no_drift,
+        ),
+        profile_cfg=default_clips_config(),
+    )
+    verdicts = eng.run(clips, refs=refs, resume=not args.no_resume, run_id=args.run_id)
+    rows = verdicts.orderBy("part", "stage").collect()
+    summary = {
+        "partitions": sorted({r["part"] for r in rows}),
+        "stages": sorted({r["stage"] for r in rows}),
+        "passed": all(r["passed"] for r in rows),
+        "n_violations": sum(r["n_violations"] for r in rows),
+        "out": args.out,
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

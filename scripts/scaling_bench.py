@@ -32,6 +32,13 @@ cpus, n_clips, trials, data_dir = int(sys.argv[1]), int(sys.argv[2]), int(sys.ar
 spark = get_spark(app_name=f"scale{{cpus}}", parallelism=cpus)
 clips = spark.read.parquet(f"{{data_dir}}/clips")
 refs = spark.read.parquet(f"{{data_dir}}/transcript_refs")
+
+# JVM/codegen/Python-worker warmup outside the timed window
+warm = tempfile.mkdtemp(prefix=f"scale_warm_{{cpus}}_")
+weng = ValidationEngine(spark, warm, rules=default_clip_rules(with_drift=True),
+                        profile_cfg=default_clips_config())
+weng.run(clips.limit(512), refs=refs.limit(512), resume=False)
+
 walls = []
 for t in range(trials):
     out = tempfile.mkdtemp(prefix=f"scale_out_{{cpus}}_")
@@ -47,14 +54,15 @@ print("RESULT " + json.dumps({{"cpus": cpus, "wall_s": round(wall, 3),
 """
 
 
-def gen_data(n_clips: int) -> str:
+def gen_data(n_clips: int, dur_min_ms: int, dur_max_ms: int) -> str:
     data_dir = tempfile.mkdtemp(prefix="scale_data_")
     code = (
         f"import sys; sys.path.insert(0, {REPO!r})\n"
         "from nadeefiler_spark.session import get_spark\n"
         "from nadeefiler_spark import datagen\n"
         f"spark = get_spark(app_name='gen', parallelism=32)\n"
-        f"datagen.write_clips(spark, {data_dir!r}, datagen.GenConfig(n_rows={n_clips}))\n"
+        f"datagen.write_clips(spark, {data_dir!r}, datagen.GenConfig("
+        f"n_rows={n_clips}, dur_min_ms={dur_min_ms}, dur_max_ms={dur_max_ms}))\n"
     )
     subprocess.run([sys.executable, "-c", code], check=True,
                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
@@ -76,11 +84,17 @@ def run_at(cpus: int, n_clips: int, trials: int, data_dir: str) -> dict:
 def main() -> None:
     n_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 32000
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    data_dir = gen_data(n_clips)
+    # realistic speech-clip durations (seconds, not the test-default
+    # 60-400ms) so decode compute — the part that scales with cores —
+    # dominates fixed job-launch latency, as it would at production scale
+    dur_min = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
+    dur_max = int(sys.argv[4]) if len(sys.argv) > 4 else 6000
+    data_dir = gen_data(n_clips, dur_min, dur_max)
     r8 = run_at(8, n_clips, trials, data_dir)
     r32 = run_at(32, n_clips, trials, data_dir)
     eff = (r32["clips_per_sec"] / r8["clips_per_sec"]) / 4.0
-    out = {"n_clips": n_clips, "local8": r8, "local32": r32,
+    out = {"n_clips": n_clips, "dur_ms": [dur_min, dur_max],
+           "local8": r8, "local32": r32,
            "scaling_efficiency_N_to_4N": round(eff, 3)}
     print(json.dumps(out, indent=2))
 

@@ -1,0 +1,129 @@
+"""Tests for the spark-submit job entrypoint, salted aggregation, and
+streaming incremental validation."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from nadeefiler_spark import datagen, job, skew
+from nadeefiler_spark.engine import ValidationEngine
+from nadeefiler_spark.presets import default_clip_rules
+from nadeefiler_spark.profiler import default_clips_config
+from nadeefiler_spark.streaming import StreamingValidator
+
+
+@pytest.fixture(scope="module")
+def clips_dirs(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("jobdata")
+    datagen.write_clips(spark, str(base), datagen.GenConfig(n_rows=400))
+    return str(base)
+
+
+def test_job_main_runs_and_summarizes(spark, clips_dirs, tmp_path):
+    out = str(tmp_path / "out")
+    summary = job.main(
+        [
+            "--clips", f"{clips_dirs}/clips",
+            "--refs", f"{clips_dirs}/transcript_refs",
+            "--out", out,
+            "--no-drift",
+        ],
+        spark=spark,
+    )
+    assert summary["n_violations"] > 0  # planted violations found
+    assert not summary["passed"]
+    assert set(summary["stages"]) == {"profile", "constraints", "audio"}
+    # resumed run does no extra work and returns no new verdict rows
+    summary2 = job.main(
+        [
+            "--clips", f"{clips_dirs}/clips",
+            "--refs", f"{clips_dirs}/transcript_refs",
+            "--out", out,
+            "--no-drift",
+        ],
+        spark=spark,
+    )
+    assert summary2["partitions"] == []
+
+
+def test_job_partition_filter(spark, clips_dirs, tmp_path):
+    out = str(tmp_path / "out_part")
+    summary = job.main(
+        ["--clips", f"{clips_dirs}/clips", "--out", out,
+         "--no-audio", "--no-drift", "--partitions", "flac"],
+        spark=spark,
+    )
+    assert summary["partitions"] == ["flac"]
+
+
+def test_salted_count_equals_plain_groupby(spark, clips_dirs):
+    clips = spark.read.parquet(f"{clips_dirs}/clips")
+    plain = {
+        (r["codec"],): r["count"]
+        for r in clips.groupBy("codec").count().collect()
+    }
+    salted = {
+        (r["codec"],): r["count"]
+        for r in skew.salted_count(
+            clips, ["codec"], buckets=8, salt_from="clip_id"
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_agg_general(spark, clips_dirs):
+    clips = spark.read.parquet(f"{clips_dirs}/clips")
+    out = skew.salted_agg(
+        clips,
+        ["codec"],
+        partial_aggs=[F.sum("dur_ms").alias("s"), F.max("dur_ms").alias("m")],
+        final_aggs=[F.sum("s").alias("sum_dur"), F.max("m").alias("max_dur")],
+        buckets=8,
+        salt_from="clip_id",
+    )
+    expect = clips.groupBy("codec").agg(
+        F.sum("dur_ms").alias("sum_dur"), F.max("dur_ms").alias("max_dur")
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_streaming_incremental_validation(spark, tmp_path):
+    base = tmp_path / "stream"
+    datagen.write_clips(spark, str(base), datagen.GenConfig(n_rows=300))
+    out = str(base / "out")
+    eng = ValidationEngine(
+        spark, out,
+        rules=default_clip_rules(with_refs=True, with_audio=False, with_drift=False),
+        profile_cfg=default_clips_config(),
+    )
+    sv = StreamingValidator(
+        spark=spark,
+        clips_dir=f"{base}/clips",
+        refs_dir=f"{base}/transcript_refs",
+        checkpoint_dir=str(base / "ckpt"),
+        engine=eng,
+    )
+    q = sv.start(available_now=True)
+    q.awaitTermination(120)
+
+    verdicts = eng.verdicts()
+    assert verdicts.count() > 0
+    viols = eng.violations()
+    assert viols.where(F.col("rule") == "unique_clip_id").count() > 0
+
+    # batch-equivalent run on the same input produces the same violation set
+    out2 = str(base / "out_batch")
+    eng2 = ValidationEngine(
+        spark, out2,
+        rules=default_clip_rules(with_refs=True, with_audio=False, with_drift=False),
+        profile_cfg=default_clips_config(),
+    )
+    eng2.run(
+        spark.read.parquet(f"{base}/clips"),
+        refs=spark.read.parquet(f"{base}/transcript_refs"),
+        resume=False,
+    )
+    a = sorted(map(tuple, viols.select("part", "rule", "clip_id").collect()))
+    b = sorted(map(tuple, eng2.violations().select("part", "rule", "clip_id").collect()))
+    assert a == b
