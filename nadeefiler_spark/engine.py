@@ -24,8 +24,11 @@ is O(#partitions), never O(rows).
 
 from __future__ import annotations
 
+import os
+import threading
 import time
 import uuid
+from concurrent.futures import ThreadPoolExecutor, as_completed
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -129,16 +132,15 @@ class ValidationEngine:
         for r in topo_sort(self.rules):
             rules_by_stage.setdefault(r.stage, []).append(r)
 
-        stages: list[str] = ["profile"] + [
-            s for s in STAGE_ORDER[1:] if rules_by_stage.get(s)
-        ]
+        rule_stages: list[str] = [s for s in STAGE_ORDER[1:] if rules_by_stage.get(s)]
 
         rows_cache: dict[str, int] = {}  # filled by the profile stage
+        commit_lock = threading.Lock()
 
-        for stage in stages:
+        def run_stage(stage: str) -> None:
             pending = [p for p in all_parts if (str(p), stage) not in done]
             if not pending:
-                continue
+                return
             if fail_stage == stage:
                 raise RuntimeError(f"injected failure before stage {stage!r}")
             t0 = time.monotonic()
@@ -180,7 +182,41 @@ class ValidationEngine:
                     decoded.unpersist()
 
             wall_ms = int((time.monotonic() - t0) * 1000)
-            self._commit(run_id, stage, pending, n_rows_by_part, n_viol_by_part, wall_ms)
+            with commit_lock:
+                self._commit(run_id, stage, pending, n_rows_by_part, n_viol_by_part, wall_ms)
+
+        # profile runs first: every later stage may read its outputs
+        run_stage("profile")
+
+        # Later stages CAN run concurrently when their rules have no
+        # dependencies on rules in other pending stages (opt-in via
+        # NADEEFILER_CONCURRENT_STAGES=1). Default is serial: measured at
+        # local[32], concurrent stage submission contends on the local
+        # driver's scheduler/GC and makes wall-clock unstable (14-16s
+        # serial vs 23-46s concurrent on the same input); on a real
+        # multi-executor cluster with scheduler pools, concurrency hides
+        # stage latency instead. Cascades (cross-stage depends_on,
+        # reference profilers/config.js:10-20) always run serially in
+        # topological order.
+        stage_of = {r.name: r.stage for r in self.rules}
+        cross_dep = any(
+            stage_of.get(dep) not in (None, r.stage, "profile")
+            for r in self.rules
+            for dep in r.depends_on
+        )
+        concurrent_env = os.environ.get("NADEEFILER_CONCURRENT_STAGES", "") == "1"
+        if cross_dep or not concurrent_env or fail_stage is not None or len(rule_stages) <= 1:
+            for stage in rule_stages:
+                run_stage(stage)
+        else:
+            with ThreadPoolExecutor(max_workers=len(rule_stages)) as pool:
+                futures = {pool.submit(run_stage, s): s for s in rule_stages}
+                errs = []
+                for fut in as_completed(futures):
+                    if fut.exception() is not None:
+                        errs.append((futures[fut], fut.exception()))
+                if errs:
+                    raise errs[0][1]
 
         return self.verdicts().where(F.col("run_id") == run_id)
 
@@ -229,7 +265,6 @@ class ValidationEngine:
         out = branches[0]
         for b in branches[1:]:
             out = out.unionByName(b)
-        out = out.withColumn("stage", F.lit(stage))
         for p in pending:
             _delete_path(self.spark, f"{self.violations_path}/stage={stage}/part={p}")
 
@@ -237,7 +272,7 @@ class ValidationEngine:
         # Observation API (conditional sums) — no second job. Falls back
         # to a read-back aggregation when the pending set is large (the
         # observe expression list is O(#parts)).
-        to_write = out.select("stage", "part", "rule", "clip_id", "detail")
+        to_write = out.select("part", "rule", "clip_id", "detail")
         obs = None
         if len(pending) <= 64:
             from pyspark.sql import Observation
@@ -252,10 +287,13 @@ class ValidationEngine:
                     for i, p in enumerate(pending)
                 ],
             )
+        # each stage writes under its own `stage=` root so concurrent
+        # stage writers never share a _temporary staging directory; the
+        # resulting layout is identical to partitionBy("stage", "part")
         (
             to_write.write.mode("append")
-            .partitionBy("stage", "part")
-            .parquet(self.violations_path)
+            .partitionBy("part")
+            .parquet(f"{self.violations_path}/stage={stage}")
         )
         if obs is not None:
             got = obs.get

@@ -62,7 +62,18 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # small Arrow batches: decode workers stream ~200KB-2MB/clip of
+        # binary; 64-clip batches (~20MB) keep per-worker working sets
+        # cache-friendly — 2048-clip batches (~400MB) measurably thrash
+        # at 32 workers (2.5x core-second inflation)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        # multi-MB binary cells allocate as G1 humongous objects; with the
+        # default region size (heap/2048) every Arrow batch fragments the
+        # heap and GC burns cores (measured: 32-core decode 29-67s ->
+        # 11-18s with 32m regions). defaultJavaOptions prepends, so the
+        # distribution's extraJavaOptions (--add-opens etc.) still apply.
+        .config("spark.driver.defaultJavaOptions",
+                "-XX:+UseG1GC -XX:G1HeapRegionSize=32m")
         # idempotent per-partition overwrite (Iceberg overwritePartitions
         # analog for the sandbox parquet catalog)
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

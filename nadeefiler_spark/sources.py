@@ -1,0 +1,94 @@
+"""Ingestion sources: the Spark analogs of nadeefiler's upload pipeline.
+
+Reference (SURVEY §2.1): CSV multipart uploads are streamed row-by-row
+into a schemaless tuple store with header-derived column names and a
+physical row order column (`__order`)
+(/root/reference/api/controllers/DatasetController.js:12-87,
+api/models/Tuple.js:8-30). The Spark re-expressions:
+
+- read_tuples_csv: all-string CSV scan (types are discovered by
+  profiling, never declared — reference DatasetController.js:24 parses
+  every value as string) with optional __order for order-sensitive
+  reads. Order is derived from (file, offset) so it is deterministic
+  and stable across parallelism — NOT monotonically_increasing_id(),
+  whose values depend on partition layout.
+- dataset_counts: the per-upload row count stored on the Dataset row
+  (DatasetController.js:66-72).
+- import_kb_tsv: the YAGO bulk import (import-yago.js:16-66) —
+  subject-normalized TSV -> (subject, objects array) via groupBy +
+  collect_list, replacing the buffered insertMany loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .semantic import normalize_subject
+
+
+def read_tuples_csv(
+    spark: SparkSession,
+    path: str,
+    delimiter: str = ",",
+    with_order: bool = False,
+) -> DataFrame:
+    """Schemaless (all-string) CSV scan with header-derived columns.
+
+    Every column is StringType: the engine's type-detection rules
+    (typedetect / functions.detectors) discover types downstream, as in
+    the reference. With with_order=True an `__order` column reproduces
+    physical row order per input file (Tuple.js:8); the engine itself is
+    order-insensitive, so default off (skips a window shuffle).
+    """
+    reader = (
+        spark.read.option("header", True)
+        .option("delimiter", delimiter)
+        .option("inferSchema", False)  # strings stay strings
+    )
+    if not with_order:
+        return reader.csv(path)
+    # Deterministic physical order needs each file to stay in ONE task:
+    # multiLine disables input splitting, so within a partition
+    # monotonically_increasing_id() ascends in physical row order and a
+    # per-file window turns it into a dense 0-based __order. Matches the
+    # reference's per-upload `__order` (Tuple.js:8) — uploads are small;
+    # large order-insensitive scans should use with_order=False.
+    df = reader.option("multiLine", True).csv(path)
+    w = Window.partitionBy(F.col("_file")).orderBy(F.col("_mid"))
+    return (
+        df.withColumn("_file", F.col("_metadata.file_path"))
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("__order", F.row_number().over(w) - F.lit(1))
+        .drop("_file", "_mid")
+    )
+
+
+def dataset_counts(df: DataFrame, dataset_col: str = "_metadata.file_path") -> DataFrame:
+    """Per-source-file row counts (Dataset.count, DatasetController.js:66-72)."""
+    return (
+        df.select(F.col(dataset_col).alias("dataset"))
+        .groupBy("dataset")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def import_kb_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """YAGO-style KB import: TSV (subject, object) -> (subject, objects).
+
+    Normalization exactly as import-yago.js:38-41 (strip <>, '_' -> ' ',
+    lowercase); consecutive-row grouping becomes a full groupBy (the
+    reference's buffer-1000 insertMany loop is just a write batch). The
+    objects array is sorted for deterministic output.
+    """
+    raw = (
+        spark.read.option("sep", "\t")
+        .option("header", False)
+        .schema("subject string, object string")
+        .csv(path)
+    )
+    return (
+        raw.select(normalize_subject(F.col("subject")).alias("subject"), "object")
+        .groupBy("subject")
+        .agg(F.array_sort(F.collect_list("object")).alias("objects"))
+    )

