@@ -113,7 +113,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_of(sf_dir)
-    n_clips = int(os.environ.get("BENCH_CLIPS", str(max(int(40000 * sf), 500))))
+    n_clips = int(os.environ.get("BENCH_CLIPS", str(max(int(160000 * sf), 500))))
     names = [
         n for n in os.environ.get("BENCH_QUERIES", ",".join(HEADLINE_QUERIES)).split(",")
         if n

@@ -67,13 +67,21 @@ def get_spark(
         # cache-friendly — 2048-clip batches (~400MB) measurably thrash
         # at 32 workers (2.5x core-second inflation)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        # vectorized parquet reader batches 4096 rows by default — with
+        # multi-100KB binary audio cells that is >1 GB of column batch
+        # per task and OOMs container-sized heaps; 256 rows ≈ 75MB
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
         # multi-MB binary cells allocate as G1 humongous objects; with the
         # default region size (heap/2048) every Arrow batch fragments the
         # heap and GC burns cores (measured: 32-core decode 29-67s ->
         # 11-18s with 32m regions). defaultJavaOptions prepends, so the
         # distribution's extraJavaOptions (--add-opens etc.) still apply.
+        # SPARK_GRAFT_JVM_EXTRA lets a harness model container limits
+        # (e.g. -XX:ActiveProcessorCount=8 for an 8-core executor — a
+        # bare JVM sizes its GC/JIT thread pools off ALL host cores)
         .config("spark.driver.defaultJavaOptions",
-                "-XX:+UseG1GC -XX:G1HeapRegionSize=32m")
+                ("-XX:+UseG1GC -XX:G1HeapRegionSize=32m "
+                 + os.environ.get("SPARK_GRAFT_JVM_EXTRA", "")).strip())
         # idempotent per-partition overwrite (Iceberg overwritePartitions
         # analog for the sandbox parquet catalog)
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -33,13 +33,26 @@ spark = get_spark(app_name=f"scale{{cpus}}", parallelism=cpus)
 clips = spark.read.parquet(f"{{data_dir}}/clips")
 refs = spark.read.parquet(f"{{data_dir}}/transcript_refs")
 
-# Warmup outside the timed window: JVM JIT + Python workers + OS page
-# cache for the full dataset (a full engine pass — equivalent to the
-# steady state of a long-running production job over hot storage)
-warm = tempfile.mkdtemp(prefix=f"scale_warm_{{cpus}}_")
-weng = ValidationEngine(spark, warm, rules=default_clip_rules(with_drift=True),
-                        profile_cfg=default_clips_config())
-weng.run(clips, refs=refs, resume=False)
+# Warmup outside the timed window: JVM JIT + GC heuristics + Python
+# workers + OS page cache for the full dataset (the steady state of a
+# long-running production job over hot storage). Two full passes —
+# measured: G1/JIT keep adapting through the first repeat.
+for _ in range(2):
+    warm = tempfile.mkdtemp(prefix=f"scale_warm_{{cpus}}_")
+    weng = ValidationEngine(spark, warm, rules=default_clip_rules(with_drift=True),
+                            profile_cfg=default_clips_config())
+    weng.run(clips, refs=refs, resume=False)
+
+# hot-path (decode pandas-UDF) scaling, measured separately: on a real
+# 4N-executor cluster each JVM is independent; in one local JVM the
+# driver/GC/page-cache are shared, so the end-to-end number undersells
+from nadeefiler_spark.rules.audio_rules import decode_facts
+dec = []
+for _ in range(trials):
+    t0 = time.monotonic()
+    decode_facts(clips).write.format("noop").mode("overwrite").save()
+    dec.append(time.monotonic() - t0)
+dec_wall = sorted(dec)[len(dec) // 2]
 
 walls = []
 for t in range(trials):
@@ -52,7 +65,10 @@ for t in range(trials):
 wall = sorted(walls)[len(walls) // 2]
 print("RESULT " + json.dumps({{"cpus": cpus, "wall_s": round(wall, 3),
                                "clips_per_sec": round(n_clips / wall, 1),
-                               "trials_s": [round(w, 3) for w in walls]}}))
+                               "trials_s": [round(w, 3) for w in walls],
+                               "decode_wall_s": round(dec_wall, 3),
+                               "decode_clips_per_sec": round(n_clips / dec_wall, 1),
+                               "decode_trials_s": [round(w, 3) for w in dec]}}))
 """
 
 
@@ -95,9 +111,11 @@ def main() -> None:
     r8 = run_at(8, n_clips, trials, data_dir)
     r32 = run_at(32, n_clips, trials, data_dir)
     eff = (r32["clips_per_sec"] / r8["clips_per_sec"]) / 4.0
+    dec_eff = (r32["decode_clips_per_sec"] / r8["decode_clips_per_sec"]) / 4.0
     out = {"n_clips": n_clips, "dur_ms": [dur_min, dur_max],
            "local8": r8, "local32": r32,
-           "scaling_efficiency_N_to_4N": round(eff, 3)}
+           "scaling_efficiency_N_to_4N": round(eff, 3),
+           "decode_scaling_efficiency_N_to_4N": round(dec_eff, 3)}
     print(json.dumps(out, indent=2))
 
 
