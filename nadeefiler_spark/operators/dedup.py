@@ -70,7 +70,9 @@ def ngram_jaccard_pairs(
     guard — a stopword shingle would otherwise produce a quadratic
     candidate blowup; this is the skew handling for this operator).
     """
-    sh = shingle_sets(df, id_col, text_col, n)
+    # persist: the (id, shingle) pairs feed the doc-size agg AND both
+    # sides of the inverted-index self-join — tokenize once, not thrice
+    sh = shingle_sets(df, id_col, text_col, n).persist()
     if max_df is not None:
         rare = (
             sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
@@ -115,12 +117,18 @@ def minhash_lsh_pairs(
     (computed on MinHash signatures' underlying shingle sets).
     """
     rows_per_band = num_hashes // bands
+    # pre-hashed shingles (arithmetic, no string building) + persist:
+    # the shingle set feeds signature generation AND both sides of the
+    # exact-Jaccard verify — materialize once instead of recomputing the
+    # tokenization three times (the 100TB analog: write the shingle-set
+    # stage table once, read it per consumer)
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(X.word_shingles(text_col, n)).alias("shingles"),
-    ).where(F.size("shingles") > 0)
+        F.array_distinct(S.word_shingle_hashes(text_col, n)).alias("shingles"),
+    ).where(F.size("shingles") > 0).persist()
     sig = sh.select(
-        "id", "shingles", S.minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+        "id", "shingles",
+        S.minhash_signature_hashed(F.col("shingles"), num_hashes).alias("sig"),
     )
     banded = sig.select(
         "id", F.explode(S.minhash_bands(F.col("sig"), bands, rows_per_band)).alias("b")
@@ -160,7 +168,7 @@ def simhash_pairs(
     fp = df.select(
         F.col(id_col).alias("id"),
         S.simhash64(X.tokens(text_col)).alias("fp"),
-    )
+    ).persist()  # feeds both sides of the chunk-blocking self-join
     chunked = fp.select(
         "id", "fp", F.explode(S.simhash_chunks(F.col("fp"))).alias("c")
     ).select("id", "fp", "c.chunk", "c.key")

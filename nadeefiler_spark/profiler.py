@@ -69,11 +69,14 @@ def _col_stat_exprs(name: str, dt: T.DataType, cfg: ProfileConfig) -> list[Colum
         base, is_str = c, False
         null_pred = c.isNull()
 
-    ndv = (F.count_distinct(base) if cfg.exact_ndv else F.approx_count_distinct(base))
     exprs = [
         F.count(F.lit(1)).alias(f"{name}::n_rows"),
         F.sum(null_pred.cast("long")).alias(f"{name}::n_nulls"),
-        ndv.alias(f"{name}::ndv"),
+        # exact NDV is computed in a separate melt-based two-phase pass
+        # (see profile_summary): N count_distinct() aggregates in one
+        # agg() force an Expand (xN input rows) into SortAggregate
+        (F.lit(None).cast("long") if cfg.exact_ndv
+         else F.approx_count_distinct(base)).alias(f"{name}::ndv"),
         F.min(base).cast("string").alias(f"{name}::min"),
         F.max(base).cast("string").alias(f"{name}::max"),
         (F.avg(base.cast("double")) if _is_numeric(dt) or isinstance(dt, T.BinaryType)
@@ -86,11 +89,38 @@ def _col_stat_exprs(name: str, dt: T.DataType, cfg: ProfileConfig) -> list[Colum
     return exprs
 
 
+def _exact_ndv(df: DataFrame, cols, cfg: ProfileConfig) -> DataFrame:
+    """(part, key, ndv) by melt -> two-phase distinct count.
+
+    groupBy(part, key, value) gets map-side partial aggregation, so the
+    shuffle carries only distinct triples — unlike N count_distinct()
+    aggregates, which Expand the input xN and disable partial combine.
+    Matches count(DISTINCT col) semantics: nulls excluded; binary
+    columns count distinct lengths (same base as the stat exprs).
+    """
+    entries = []
+    for f_ in cols:
+        base = F.length(F.col(f_.name)) if isinstance(f_.dataType, T.BinaryType) else F.col(f_.name)
+        entries.append(F.struct(
+            F.lit(f_.name).alias("key"), base.cast("string").alias("value")
+        ))
+    melted = df.select(
+        F.col(cfg.part_col).cast("string").alias("part"),
+        F.explode(F.array(*entries)).alias("kv"),
+    ).select("part", "kv.*").where(F.col("value").isNotNull())
+    return (
+        melted.groupBy("part", "key", "value").agg(F.lit(1))
+        .groupBy("part", "key").agg(F.count(F.lit(1)).alias("_exact_ndv"))
+    )
+
+
 def profile_summary(df: DataFrame, cfg: ProfileConfig | None = None) -> DataFrame:
     """One-pass per-partition column stats -> long format.
 
     Output: (part, key, n_rows, n_nulls, ndv, min, max, mean, stddev,
     avg_len) — one row per (partition, column). FIXTURES.md §5 `profile`.
+    With exact_ndv a second melt-based pass supplies NDV (see
+    :func:`_exact_ndv`); the default HLL sketch stays in the single agg.
     """
     cfg = cfg or ProfileConfig()
     cols = [f for f in df.schema.fields if f.name != cfg.part_col and f.name not in cfg.skip_cols]
@@ -107,7 +137,19 @@ def profile_summary(df: DataFrame, cfg: ProfileConfig | None = None) -> DataFram
         )
         for f_ in cols
     ]
-    return wide.select("part", F.explode(F.array(*structs)).alias("s")).select("part", "s.*")
+    out = wide.select("part", F.explode(F.array(*structs)).alias("s")).select("part", "s.*")
+    if not cfg.exact_ndv:
+        return out
+    ndv = _exact_ndv(df, cols, cfg)
+    return (
+        out.drop("ndv")
+        .join(ndv, ["part", "key"], "left")
+        .select(
+            "part", "key", "n_rows", "n_nulls",
+            F.coalesce("_exact_ndv", F.lit(0)).alias("ndv"),
+            "min", "max", "mean", "stddev", "avg_len",
+        )
+    )
 
 
 def profile_histograms(df: DataFrame, cfg: ProfileConfig) -> DataFrame:
