@@ -45,7 +45,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nadeefiler_spark import datagen, drift, profiler, semantic, typedetect
+from nadeefiler_spark import datagen, drift, outliers, profiler, semantic, typedetect
 from nadeefiler_spark.functions import detectors as det
 from nadeefiler_spark.functions import text as tx
 from nadeefiler_spark.operators import ann, dedup
@@ -658,6 +658,45 @@ FROM probs GROUP BY 1, 2, 3
 """
 
 
+def _q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return outliers.zscore_outliers(e, "value", "event_type", k=2.5)
+
+
+_SQL_ZSCORE_OUTLIERS = """
+WITH m AS (
+  SELECT event_type AS p, avg("value") AS mean, stddev_pop("value") AS sd
+  FROM events GROUP BY 1
+)
+SELECT event_id, event_type, "value",
+       round(("value" - mean) / sd, 6) AS z
+FROM events JOIN m ON event_type = m.p
+WHERE sd > 0 AND abs("value" - mean) > 2.5 * sd
+"""
+
+
+def _q_rare_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    cfg = profiler.ProfileConfig(part_col="event_type", bucket_hist_cols={"value": 5.0})
+    hist = profiler.profile_histograms(e, cfg)
+    return outliers.rare_values(hist, eps=0.005, min_total=100)
+
+
+_SQL_RARE_VALUES = """
+WITH hist AS (
+  SELECT event_type AS part, 'value' AS key,
+         CAST(CAST(floor("value" / 5.0) * 5.0 AS BIGINT) AS VARCHAR) AS bin,
+         count(*) AS count
+  FROM events GROUP BY 1, 3
+),
+tot AS (SELECT part, key, CAST(sum(count) AS BIGINT) AS t FROM hist GROUP BY 1, 2)
+SELECT h.part, h.key, h.bin AS value, h.count,
+       round(h.count * 1.0 / t, 6) AS share
+FROM hist h JOIN tot USING (part, key)
+WHERE t >= 100 AND h.count * 1.0 / t < 0.005
+"""
+
+
 def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return dedup.exact_dup_groups(d, "doc_id", "text")
@@ -917,6 +956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kb_group_import": _q_kb_group_import,
         "semantic_scores": _q_semantic_scores,
         "drift_metrics": _q_drift_metrics,
+        "zscore_outliers": _q_zscore_outliers,
+        "rare_values": _q_rare_values,
         "exact_dup_groups": _q_exact_dup_groups,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_pairs": _q_minhash_pairs,
@@ -951,6 +992,8 @@ def oracle_sql() -> dict[str, str]:
         "kb_group_import": _SQL_KB_GROUP_IMPORT,
         "semantic_scores": _SQL_SEMANTIC_SCORES,
         "drift_metrics": _SQL_DRIFT_METRICS,
+        "zscore_outliers": _SQL_ZSCORE_OUTLIERS,
+        "rare_values": _SQL_RARE_VALUES,
         "exact_dup_groups": _SQL_EXACT_DUP_GROUPS,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "embedding_cosine_dups": _SQL_EMBEDDING_COSINE_DUPS,

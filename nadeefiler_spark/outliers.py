@@ -1,0 +1,112 @@
+"""Outlier detection: the Spark analog of nadeefiler's dBoost profiler.
+
+Reference (SURVEY §2.3 A9): the `outliers` profiler shells out to dBoost
+with `--histogram 0.8 0.05 --discretestats 8 2`
+(/root/reference/profilers/outliers/index.js:16-18) — per-column
+histogram rarity + discrete stats driving outlier flags. dBoost itself
+is an unfetched git submodule, so the tuned analogs here are:
+
+- rare_values: categorical rarity — a value whose share of its
+  (partition, column) histogram is below eps (dBoost's histogram
+  statistical_threshold).
+- zscore_outliers: numeric |x - mean| > k * stddev (dBoost's gaussian
+  model).
+- iqr_outliers: robust quartile fences [q1 - f*iqr, q3 + f*iqr].
+
+Scale notes: rare_values consumes the already-aggregated histogram
+table (rows ∝ bins). zscore/iqr compute per-partition moments with ONE
+groupBy (map-side partial agg) and broadcast-join the tiny moments back
+to the row scan — deliberately NOT a window over the raw rows (a window
+would shuffle every row to sort within partitions; the join keeps the
+row scan shuffle-free).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .rules.base import Rule, RuleContext
+
+
+def rare_values(
+    hist: DataFrame, eps: float = 0.005, min_total: int = 100
+) -> DataFrame:
+    """(part, key, value, count, share): histogram bins rarer than eps.
+
+    `hist`: (part, key, kind, bin, count) from profiler.profile_histograms
+    or any (part, key, value-ish, count) table.
+    """
+    tot = hist.groupBy("part", "key").agg(F.sum("count").alias("_tot"))
+    return (
+        hist.join(tot, ["part", "key"])
+        .where(F.col("_tot") >= min_total)
+        .withColumn("share", F.col("count") / F.col("_tot"))
+        .where(F.col("share") < eps)
+        .select("part", "key", F.col("bin").alias("value"), "count",
+                F.round("share", 6).alias("share"))
+    )
+
+
+def _moments(df: DataFrame, col: str, part_col: str) -> DataFrame:
+    return df.groupBy(F.col(part_col).alias("_p")).agg(
+        F.avg(F.col(col)).alias("_mean"),
+        F.stddev_pop(F.col(col)).alias("_sd"),
+    )
+
+
+def zscore_outliers(
+    df: DataFrame, col: str, part_col: str, k: float = 3.0
+) -> DataFrame:
+    """Rows where |col - mean(part)| > k * stddev_pop(part).
+
+    Adds a `z` column (signed z-score). Moments are broadcast back to
+    the scan — no row shuffle.
+    """
+    m = _moments(df, col, part_col)
+    joined = df.join(
+        F.broadcast(m), df[part_col] == m["_p"], "inner"
+    )
+    z = (F.col(col) - F.col("_mean")) / F.col("_sd")
+    return (
+        joined.where(F.col("_sd") > 0)
+        .where(F.abs(F.col(col) - F.col("_mean")) > k * F.col("_sd"))
+        .select(*df.columns, F.round(z, 6).alias("z"))
+    )
+
+
+def iqr_outliers(
+    df: DataFrame, col: str, part_col: str, factor: float = 1.5
+) -> DataFrame:
+    """Rows outside [q1 - f*iqr, q3 + f*iqr] per partition (exact
+    percentiles; swap in approx_percentile at extreme scale)."""
+    q = df.groupBy(F.col(part_col).alias("_p")).agg(
+        F.percentile(F.col(col), F.lit(0.25)).alias("_q1"),
+        F.percentile(F.col(col), F.lit(0.75)).alias("_q3"),
+    )
+    j = df.join(F.broadcast(q), df[part_col] == q["_p"], "inner")
+    iqr = F.col("_q3") - F.col("_q1")
+    lo, hi = F.col("_q1") - factor * iqr, F.col("_q3") + factor * iqr
+    return j.where((F.col(col) < lo) | (F.col(col) > hi)).select(*df.columns)
+
+
+@dataclass
+class OutlierRule(Rule):
+    """Numeric z-score outlier rule over a clips column (dBoost analog)."""
+
+    column: str = "dur_ms"
+    k: float = 4.0
+
+    def __post_init__(self) -> None:
+        self.name = self.name or f"{self.column}_outlier"
+        self.stage = "drift"
+
+    def violations(self, ctx: RuleContext) -> DataFrame:
+        out = zscore_outliers(ctx.clips, self.column, ctx.part_col, self.k)
+        detail = F.concat(
+            F.lit(f"{self.column}="), F.col(self.column).cast("string"),
+            F.lit(" z="), F.col("z").cast("string"),
+        )
+        return self.shape(out, ctx, self.name, detail)

@@ -1,0 +1,61 @@
+"""Outlier-detection tests (dBoost analog, SURVEY §2.3 A9)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+from nadeefiler_spark import outliers, profiler
+from nadeefiler_spark.rules.base import RuleContext
+
+
+def _df(spark, values, part="a"):
+    pdf = pd.DataFrame({
+        "id": range(len(values)), "part": part, "x": values,
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_zscore_outliers_flags_planted(spark):
+    rng = np.random.default_rng(3)
+    vals = list(rng.normal(100.0, 5.0, 500)) + [500.0, -300.0]
+    df = _df(spark, vals)
+    out = outliers.zscore_outliers(df, "x", "part", k=4.0)
+    got = sorted(r["x"] for r in out.collect())
+    assert got == [-300.0, 500.0]
+    zs = {r["x"]: r["z"] for r in out.collect()}
+    assert zs[500.0] > 4 and zs[-300.0] < -4
+
+
+def test_zscore_constant_column_no_rows(spark):
+    df = _df(spark, [5.0] * 100)
+    assert outliers.zscore_outliers(df, "x", "part").count() == 0
+
+
+def test_iqr_outliers(spark):
+    vals = list(np.linspace(0, 100, 201)) + [10_000.0]
+    df = _df(spark, vals)
+    got = [r["x"] for r in outliers.iqr_outliers(df, "x", "part").collect()]
+    assert got == [10_000.0]
+
+
+def test_rare_values_from_histogram(spark):
+    vals = [1.0] * 400 + [2.0] * 100 + [99.0]  # 99 appears once (share ~0.002)
+    df = _df(spark, vals)
+    cfg = profiler.ProfileConfig(part_col="part", bucket_hist_cols={"x": 1.0})
+    hist = profiler.profile_histograms(df, cfg)
+    rare = outliers.rare_values(hist, eps=0.005, min_total=100)
+    rows = rare.collect()
+    assert len(rows) == 1 and rows[0]["value"] == "99" and rows[0]["count"] == 1
+
+
+def test_outlier_rule_shape(spark):
+    vals = list(np.linspace(50, 60, 300)) + [10_000.0]
+    df = _df(spark, vals).withColumnRenamed("id", "clip_id")
+    ctx = RuleContext(spark=spark, clips=df, key_col="clip_id", part_col="part")
+    v = outliers.OutlierRule(column="x", k=5.0).violations(ctx)
+    rows = v.collect()
+    assert len(rows) == 1
+    assert rows[0]["rule"] == "x_outlier"
+    assert rows[0]["detail"].startswith("x=10000.0 z=")
