@@ -42,13 +42,13 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
     args = build_parser().parse_args(argv)
 
     if spark is None:
-        from .session import get_spark
+        from nadeefiler_spark.session import get_spark
 
         spark = get_spark(app_name="nadeefiler_spark_job")
 
-    from .engine import ValidationEngine
-    from .presets import default_clip_rules
-    from .profiler import default_clips_config
+    from nadeefiler_spark.engine import ValidationEngine
+    from nadeefiler_spark.presets import default_clip_rules
+    from nadeefiler_spark.profiler import default_clips_config
 
     clips = spark.read.parquet(args.clips)
     refs = spark.read.parquet(args.refs) if args.refs else None

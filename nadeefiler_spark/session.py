@@ -27,7 +27,16 @@ def package_zip() -> str:
     """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     out = os.path.join(tempfile.gettempdir(), "nadeefiler_spark_pyfiles.zip")
-    with zipfile.ZipFile(out, "w") as zf:
+    if not os.path.isdir(pkg_dir):
+        # imported from a zip (spark-submit --py-files): the package IS
+        # the artifact — walking the zipimport path would silently
+        # produce an empty zip and clobber the real one
+        zip_path = pkg_dir
+        while zip_path and not os.path.isfile(zip_path):
+            zip_path = os.path.dirname(zip_path)
+        return zip_path or out
+    tmp = out + ".tmp"
+    with zipfile.ZipFile(tmp, "w") as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             if "__pycache__" in root:
                 continue
@@ -36,6 +45,7 @@ def package_zip() -> str:
                     full = os.path.join(root, f)
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     zf.write(full, rel)
+    os.replace(tmp, out)  # atomic: concurrent sessions never see a partial zip
     return out
 
 

@@ -1,0 +1,72 @@
+"""Driver-contract regression tests: a fast subset of the DuckDB-oracle
+gate (full sweep: scripts/check_oracle.py), run at sf0.001."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# fast, representative subset — one per operator family
+SUBSET = [
+    "profile_summary",
+    "type_scores",
+    "topk_per_group",
+    "uniqueness_violations",
+    "drift_metrics",
+    "zscore_outliers",
+    "semantic_scores",
+    "exact_dup_groups",
+    "ann_topk",
+    "text_quality",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_queries_and_oracles_align():
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # everything SQL-expressible has an oracle; known exceptions listed
+    assert set(qs) - set(oracles) == {"minhash_pairs", "simhash_pairs", "audio_validate"}
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    sdf = entry.queries()[name](spark, SF_DIR).toPandas()
+    odf = duck.execute(entry.oracle_sql()[name]).df()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    pd.testing.assert_frame_equal(_canon(sdf), _canon(odf), check_dtype=False)
+
+
+def test_entry_flagship(spark):
+    df = entry.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"part", "n_rows", "n_violations", "passed"} <= set(df.columns)
