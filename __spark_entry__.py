@@ -903,6 +903,18 @@ def _sql_text_quality() -> str:
     """
 
 
+def _q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary plumbing: per-blob metadata (size, sniffed kind)
+    via mapInPandas over the deterministic synthetic clips' audio bytes.
+    No oracle: binary payloads don't exist in the DuckDB-visible tables.
+    """
+    from nadeefiler_spark.operators.multimodal import binary_meta
+
+    cfg = datagen.GenConfig(n_rows=160)
+    clips = datagen.clips_df(spark, cfg)
+    return binary_meta(clips, "clip_id", "bytes").orderBy("id")
+
+
 def _q_audio_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end audio-aware validation on the deterministic synthetic
     clips table (BASELINE.json input_hint schema; the testdata tables have
@@ -966,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "lsh_topk": _q_lsh_topk,
         "text_quality": _q_text_quality,
+        "binary_meta": _q_binary_meta,
         "audio_validate": _q_audio_validate,
     }
 

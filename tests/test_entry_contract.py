@@ -53,7 +53,9 @@ def test_queries_and_oracles_align():
     qs, oracles = entry.queries(), entry.oracle_sql()
     assert set(oracles) <= set(qs)
     # everything SQL-expressible has an oracle; known exceptions listed
-    assert set(qs) - set(oracles) == {"minhash_pairs", "simhash_pairs", "audio_validate"}
+    assert set(qs) - set(oracles) == {
+        "minhash_pairs", "simhash_pairs", "audio_validate", "binary_meta"
+    }
 
 
 @pytest.mark.parametrize("name", SUBSET)
