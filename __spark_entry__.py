@@ -67,6 +67,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ensure_pkg_shipped(spark: SparkSession) -> None:
+    """Ship the package zip to executors (idempotent per context).
+
+    The driver harness may hand us a bare SparkSession whose Python
+    workers don't inherit this process's sys.path; the pandas-UDF
+    queries (datagen / audio decode / binary sniffing) import
+    nadeefiler_spark inside executors and need the --py-files artifact.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_ndf_pkg_shipped", False):
+        return
+    from nadeefiler_spark.session import package_zip
+
+    sc.addPyFile(package_zip())
+    sc._ndf_pkg_shipped = True
+
+
 # Deterministic mixed-type string table used by the type-detector queries:
 # categorical / boolean-ish / integer / percent / float / date strings,
 # derived identically in Spark and DuckDB from the events table.
@@ -910,6 +927,7 @@ def _q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from nadeefiler_spark.operators.multimodal import binary_meta
 
+    _ensure_pkg_shipped(spark)
     cfg = datagen.GenConfig(n_rows=160)
     clips = datagen.clips_df(spark, cfg)
     return binary_meta(clips, "clip_id", "bytes").orderBy("id")
@@ -920,6 +938,7 @@ def _q_audio_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips table (BASELINE.json input_hint schema; the testdata tables have
     no audio payloads). No oracle: decode runs in pandas UDFs over binary.
     """
+    _ensure_pkg_shipped(spark)
     cfg = datagen.GenConfig(n_rows=240)
     clips = datagen.clips_df(spark, cfg)
     refs = datagen.refs_df(spark, cfg)
