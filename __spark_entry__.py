@@ -726,10 +726,14 @@ FROM documents GROUP BY 1
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_df="auto" (default): hot-shingle guard ON in the contract query
+    # — the unguarded inverted-index self-join is quadratic in a stopword
+    # shingle's document frequency (see test_dedup_similarity skew test)
     d = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
 
 
+# twin of auto_max_df(count(documents)): greatest(5, floor(0.01 * n))
 _SQL_NGRAM_JACCARD = """
 WITH toks AS (
   SELECT doc_id AS id,
@@ -743,7 +747,12 @@ shing AS (
                   ELSE CAST([] AS VARCHAR[]) END AS shingles
   FROM toks
 ),
-sh AS (SELECT DISTINCT id, unnest(shingles) AS shingle FROM shing),
+sh0 AS (SELECT DISTINCT id, unnest(shingles) AS shingle FROM shing),
+guard AS (SELECT greatest(5, CAST(floor(0.01 * count(*)) AS BIGINT)) AS mx
+          FROM documents),
+rare AS (SELECT shingle FROM sh0 CROSS JOIN guard
+         GROUP BY shingle, mx HAVING count(*) <= mx),
+sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
 sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
 common AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
@@ -773,22 +782,72 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3)
 
 
+_EMB_THRESH = 0.45  # testdata embeddings are near-orthogonal (max pairwise
+# cos ~0.51 at sf0.01); 0.45 yields a small nonzero pair set — a 0-row
+# oracle match is a weak signal (round-1 used 0.8 -> 0 rows)
+
 def _q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
-    return dedup.embedding_cosine_pairs(e, "vec_id", "embedding", threshold=0.8)
+    return dedup.embedding_cosine_pairs(e, "vec_id", "embedding", threshold=_EMB_THRESH)
 
 
-_SQL_EMBEDDING_COSINE_DUPS = """
+_SQL_EMBEDDING_COSINE_DUPS = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])), 6) AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.8
+                             CAST(b.embedding AS DOUBLE[])) >= {_EMB_THRESH}
 """
+
+
+# blocked production path: 4 hash tables x 4 hyperplane sign bits,
+# seeds _LSH_SEED+t — identical literals in Spark and DuckDB
+_EMB_BITS, _EMB_TABLES = 4, 4
+
+
+def _q_embedding_cosine_dups_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embeddings_double(spark, sf_dir)
+    return dedup.embedding_cosine_pairs_blocked(
+        e, "vec_id", "embedding", threshold=_EMB_THRESH,
+        bits=_EMB_BITS, tables=_EMB_TABLES, dim=_LSH_DIM, seed=_LSH_SEED,
+    )
+
+
+def _plane_bucket_sql(vec: str, planes: np.ndarray) -> str:
+    terms = []
+    for i, plane in enumerate(planes):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        terms.append(
+            f"CASE WHEN list_dot_product({vec}, [{lits}]) >= 0 THEN {1 << i} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sql_embedding_cosine_dups_blocked() -> str:
+    selects = []
+    for t in range(_EMB_TABLES):
+        planes = np.random.default_rng(_LSH_SEED + t).standard_normal(
+            (_EMB_BITS, _LSH_DIM)
+        )
+        bucket = _plane_bucket_sql("v", planes)
+        selects.append(f"SELECT vec_id, v, {t} AS tbl, {bucket} AS bucket FROM e")
+    banded = " UNION ALL ".join(selects)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS ({banded}),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+                        AND x.vec_id < y.vec_id
+    )
+    SELECT id_a, id_b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+    FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b
+    WHERE list_cosine_similarity(ea.v, eb.v) >= {_EMB_THRESH}
+    """
 
 
 def _embeddings_double(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -994,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_cosine_dups": _q_embedding_cosine_dups,
+        "embedding_cosine_dups_blocked": _q_embedding_cosine_dups_blocked,
         "ann_topk": _q_ann_topk,
         "lsh_topk": _q_lsh_topk,
         "text_quality": _q_text_quality,
@@ -1029,6 +1089,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_groups": _SQL_EXACT_DUP_GROUPS,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "embedding_cosine_dups": _SQL_EMBEDDING_COSINE_DUPS,
+        "embedding_cosine_dups_blocked": _sql_embedding_cosine_dups_blocked(),
         "ann_topk": _SQL_ANN_TOPK,
         "lsh_topk": _sql_lsh_topk(),
         "text_quality": _sql_text_quality(),

@@ -74,6 +74,9 @@ def bench_queries(spark, sf_dir: str, names) -> dict[str, float]:
         t0 = time.monotonic()
         _force(fn(spark, sf_dir))
         out[name] = round(time.monotonic() - t0, 3)
+        # dedup queries return eagerly-persisted results; isolate queries
+        # from each other's cache residue
+        spark.catalog.clearCache()
     return out
 
 

@@ -327,7 +327,10 @@ class ValidationEngine:
         # Python RDD whose write pays a Python-worker round trip per
         # slice (~4s per commit measured at local[32]); VALUES is free.
         def q(s: str) -> str:
-            return "'" + str(s).replace("'", "''") + "'"
+            # Spark's parser treats backslash as an escape inside string
+            # literals (escapedStringLiterals default) — escape it FIRST,
+            # then quotes; the engine is generic over partition values.
+            return "'" + str(s).replace("\\", "\\\\").replace("'", "''") + "'"
 
         vals = ", ".join(
             "({}, {}, {}, {}, {}, {})".format(

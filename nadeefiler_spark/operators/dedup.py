@@ -27,6 +27,25 @@ from ..functions import similarity as S
 from ..functions import text as X
 
 
+def _finalize(out: DataFrame, *intermediates: DataFrame, eager: bool = True) -> DataFrame:
+    """Release persisted intermediates without losing their benefit.
+
+    eager=True (default): persist + materialize the (small) result, then
+    unpersist the (large) intermediates — long-lived sessions (bench
+    loops, streaming foreachBatch) no longer accumulate shingle-set
+    cache blocks per call. Callers may ``.unpersist()`` the returned
+    frame when done with it. eager=False keeps the old fully-lazy
+    behavior and leaves intermediate lifetimes to the caller.
+    """
+    if not eager:
+        return out
+    out = out.persist()
+    out.count()
+    for df in intermediates:
+        df.unpersist()
+    return out
+
+
 def exact_dup_groups(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     """(content_hash, n_dups, keeper_id): one row per distinct content;
     keeper = min id (deterministic survivor)."""
@@ -55,13 +74,23 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     )
 
 
+def auto_max_df(n_docs: int, frac: float = 0.01, floor: int = 5) -> int:
+    """Default hot-shingle guard: a shingle present in more than
+    max(floor, frac*n_docs) documents is a stopword shingle — it
+    contributes O(df^2) candidate pairs while carrying ~no identity
+    signal. 1% of the corpus is far above any real near-dup cluster and
+    far below the quadratic-blowup regime."""
+    return max(floor, int(frac * n_docs))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | str | None = "auto",
+    eager: bool = True,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs via inverted-index self-join.
 
@@ -69,28 +98,47 @@ def ngram_jaccard_pairs(
     max_df drops shingles appearing in more than max_df docs (hot-key
     guard — a stopword shingle would otherwise produce a quadratic
     candidate blowup; this is the skew handling for this operator).
+    Defaults to "auto" = :func:`auto_max_df` of the corpus size (one
+    cheap count job); pass None to explicitly disable the guard (exact
+    Jaccard over ALL shingles — only safe on skew-free corpora).
     """
-    # persist: the (id, shingle) pairs feed the doc-size agg AND both
-    # sides of the inverted-index self-join — tokenize once, not thrice
-    sh = shingle_sets(df, id_col, text_col, n).persist()
+    if max_df == "auto":
+        max_df = auto_max_df(df.count())
+    # (id, shingle) pairs, deduped PER ROW (array_distinct — narrow, no
+    # global distinct shuffle); persisted because the pairs feed the
+    # hot-shingle census, the doc-size agg, and the bucket grouping
+    sh0 = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(X.word_shingles(text_col, n))).alias("shingle"),
+    ).persist()
+    sh = sh0
     if max_df is not None:
-        rare = (
+        # hot-shingle guard as a BROADCAST ANTI join: the census groupBy
+        # ships only (shingle, count) partial aggregates, and the hot set
+        # (df > max_df) is by construction tiny — a semi join against the
+        # (huge) rare set would shuffle the whole shingle table instead
+        hot = (
             sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-            .where(F.col("df_") <= max_df).select("shingle")
+            .where(F.col("df_") > max_df).select("shingle")
         )
-        sh = sh.join(rare, "shingle", "left_semi")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    # inverted index: ONE shuffle groups each shingle's (bounded, thanks
+    # to max_df) posting list; candidate pairs expand inside the bucket —
+    # half the shuffle volume of a two-sided self-join, no join at all
+    grouped = sh.groupBy("shingle").agg(F.collect_list("id").alias("ids"))
     common = (
-        a.join(b, "shingle")
+        grouped.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # sizes is one row per doc — broadcast at bench scale; at 10^12 docs
+    # flip these to shuffle joins on id (AQE will; hint kept small-side)
     out = (
-        common.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        common.join(F.broadcast(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"})), "id_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"})), "id_b")
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
@@ -98,7 +146,7 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return out
+    return _finalize(out, sh0, eager=eager)
 
 
 def minhash_lsh_pairs(
@@ -109,12 +157,20 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    impl: str = "arrow",
+    eager: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
     Candidate generation is sub-quadratic: docs sharing any band bucket
     become candidates; only candidates pay the exact-Jaccard verify
     (computed on MinHash signatures' underlying shingle sets).
+
+    impl="arrow" (default): one vectorized numpy pass per row for the
+    signature stage (affine-mod-2^64 family; exact pure-Python twin in
+    functions.similarity.affine_minhash_py). impl="expr" keeps the
+    expression-only xxhash64 path (64 interpreted passes — 3-5x slower
+    per row, zero Python; useful where Arrow is unavailable).
     """
     rows_per_band = num_hashes // bands
     # pre-hashed shingles (arithmetic, no string building) + persist:
@@ -126,10 +182,12 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(S.word_shingle_hashes(text_col, n)).alias("shingles"),
     ).where(F.size("shingles") > 0).persist()
-    sig = sh.select(
-        "id", "shingles",
-        S.minhash_signature_hashed(F.col("shingles"), num_hashes).alias("sig"),
+    sig_col = (
+        S.minhash_signature_arrow(F.col("shingles"), num_hashes)
+        if impl == "arrow"
+        else S.minhash_signature_hashed(F.col("shingles"), num_hashes)
     )
+    sig = sh.select("id", "shingles", sig_col.alias("sig"))
     banded = sig.select(
         "id", F.explode(S.minhash_bands(F.col("sig"), bands, rows_per_band)).alias("b")
     ).select("id", "b.band", "b.key")
@@ -152,7 +210,7 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return verified
+    return _finalize(verified, sh, eager=eager)
 
 
 def simhash_pairs(
@@ -160,14 +218,25 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    impl: str = "arrow",
+    eager: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via SimHash chunk blocking + hamming verify.
 
     Guaranteed recall for distance <= 3 with 4 chunks (pigeonhole).
+    impl="arrow" computes the fingerprint in one numpy pass over the
+    xxhash64 token hashes — bit-for-bit identical to the impl="expr"
+    expression path (64 aggregate passes), just cheaper.
     """
+    tok_hashes = F.transform(X.tokens(text_col), lambda t: F.xxhash64(t))
+    fp_col = (
+        S.simhash64_arrow(tok_hashes)
+        if impl == "arrow"
+        else S.simhash64(X.tokens(text_col))
+    )
     fp = df.select(
         F.col(id_col).alias("id"),
-        S.simhash64(X.tokens(text_col)).alias("fp"),
+        fp_col.alias("fp"),
     ).persist()  # feeds both sides of the chunk-blocking self-join
     chunked = fp.select(
         "id", "fp", F.explode(S.simhash_chunks(F.col("fp"))).alias("c")
@@ -182,11 +251,12 @@ def simhash_pairs(
         )
         .distinct()
     )
-    return (
+    out = (
         cand.withColumn("hamming", S.hamming64(F.col("fp_a"), F.col("fp_b")))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    return _finalize(out, fp, eager=eager)
 
 
 def embedding_cosine_pairs(
@@ -194,7 +264,7 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """Exact cosine near-dup pairs (brute-force self-join baseline).
 
-    At scale, block first (see operators.ann.hyperplane_buckets) —
+    At scale, block first (see :func:`embedding_cosine_pairs_blocked`) —
     this variant is the correctness oracle for the blocked one.
     """
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
@@ -206,3 +276,56 @@ def embedding_cosine_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+def embedding_cosine_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bits: int = 4,
+    tables: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    eager: bool = True,
+) -> DataFrame:
+    """Production path for embedding near-dup: hyperplane-LSH blocking,
+    exact-cosine verify inside blocks.
+
+    Each vector lands in `tables` sign-buckets (one per hash table,
+    `bits` hyperplanes each, seeds seed+t — deterministic literals, same
+    construction as operators.ann.hyperplane_expr); only same-bucket
+    pairs pay the cosine. Union of tables + distinct recovers recall
+    lost to any single table: P[candidate] = 1 - (1 - p^bits)^tables
+    with p = 1 - theta/pi. Nothing is all-pairs — candidate count per
+    bucket is |bucket|^2, bounded by choosing bits for the corpus size.
+
+    Recall < 1 by construction; :func:`embedding_cosine_pairs` is the
+    exact oracle (pytest asserts blocked ⊆ exact and recall on planted
+    near-dup fixtures).
+    """
+    from . import ann
+
+    buckets = F.array(*[
+        ann.hyperplane_expr(vec_col, dim, bits, seed + t) for t in range(tables)
+    ])
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.posexplode(buckets).alias("table", "bucket"),
+    ).persist()  # both sides of the per-table self-join
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                    "table", "bucket")
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                    "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "v_a", "v_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    out = (
+        cand.withColumn("cos", S.cosine(F.col("v_a"), F.col("v_b")))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+    return _finalize(out, base, eager=eager)

@@ -101,6 +101,31 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # Builder configs silently no-op when getOrCreate returns an
+    # ALREADY-RUNNING session (and driver JVM options can never apply to
+    # a JVM that spark-submit launched before Python ran). The G1
+    # region-size fix above is load-bearing for binary audio columns —
+    # surface the miss instead of silently running untuned. In cluster
+    # deployments pass the equivalent via
+    #   spark-submit --driver-java-options / spark.executor.defaultJavaOptions
+    # (see scripts/standalone_cluster_bench.sh).
+    want_jvm = "-XX:G1HeapRegionSize=32m"
+    got_jvm = " ".join(
+        spark.conf.get(k, "") or ""
+        for k in ("spark.driver.defaultJavaOptions", "spark.driver.extraJavaOptions")
+    )
+    if want_jvm not in got_jvm:
+        import warnings
+
+        warnings.warn(
+            "get_spark(): existing SparkSession/JVM does not carry the "
+            f"requested driver JVM options ({want_jvm}); large-binary "
+            "workloads may GC-thrash. When launching via spark-submit, "
+            "pass --driver-java-options '-XX:+UseG1GC -XX:G1HeapRegionSize=32m' "
+            "and spark.executor.defaultJavaOptions for executors.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addPyFile(package_zip())
     return spark

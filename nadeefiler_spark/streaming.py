@@ -60,16 +60,28 @@ class StreamingValidator:
         if batch_df.isEmpty():
             return
         parts = [r[0] for r in batch_df.select("part").distinct().collect()]
+        # The micro-batch contains only NEWLY ARRIVED files, but the
+        # engine's delete-before-write replaces each touched partition's
+        # outputs wholesale. Validating the batch rows alone would drop
+        # every prior result for a partition whose files arrive across
+        # batches (and cross-batch duplicates would never meet). So:
+        # re-read the FULL current contents of the touched partitions
+        # (partition-pruned scan — untouched partitions cost nothing) and
+        # revalidate those. Idempotent under replays; converges to the
+        # batch-equivalent result whatever the file->batch grouping.
+        full = (
+            self.spark.read.schema(CLIPS_SCHEMA)
+            .option("basePath", self.clips_dir)
+            .parquet(self.clips_dir)
+            .where(F.col("part").isin(parts))
+        )
         refs = None
         if self.refs_dir is not None:
             refs = self.spark.read.schema(REFS_SCHEMA).parquet(self.refs_dir).where(
                 F.col("part").isin(parts)
             )
-        # resume=False within the batch: the batch's partitions must be
-        # (re)validated with their new data; idempotency comes from the
-        # engine's per-partition overwrite.
         self.engine.run(
-            batch_df, refs=refs, resume=False, run_id=f"stream-{batch_id}"
+            full, refs=refs, resume=False, run_id=f"stream-{batch_id}"
         )
 
     def start(self, available_now: bool = True):

@@ -47,7 +47,11 @@ def test_exact_dedup(spark):
 
 def test_ngram_jaccard_matches_python(spark):
     df, rows = _docs(spark)
-    got = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).toPandas()
+    # max_df=None: exact Jaccard over ALL shingles is what the pure-Python
+    # oracle computes (the guard is exercised by test_ngram_hot_shingle_guard)
+    got = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.5, max_df=None
+    ).toPandas()
     expected = {}
     for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
         j = _jaccard_py(ta, tb)
@@ -135,3 +139,98 @@ def test_multimodal_meta_and_stub(spark, clips_dir):
     assert feats.loc["i1"]["width"] == 4 and feats.loc["i1"]["height"] == 2
     assert feats.loc["i1"]["mean_lum"] == pytest.approx(3.5)
     assert feats.loc["i2"]["width"] == -1  # real decode is stubbed
+
+
+def test_ngram_hot_shingle_guard(spark):
+    """Stopword-skew: a shingle shared by every doc makes the unguarded
+    inverted-index self-join quadratic; the auto max_df guard bounds it."""
+    stop = "the quick brown"  # one hot shingle planted in EVERY doc
+    rng = np.random.default_rng(11)
+    words = "alpha beta gamma delta eps zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(200):
+        uniq = " ".join(words[j] for j in rng.integers(0, len(words), 12))
+        rows.append((i, f"{stop} {uniq}"))
+    rows.append((900, rows[0][1]))  # one planted exact dup pair
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # candidate fan-out = sum over shingles of C(df,2)
+    def fanout(max_df):
+        sh = dedup.shingle_sets(df, "doc_id", "text")
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
+        if max_df is not None:
+            dfreq = dfreq.where(F.col("c") <= max_df)
+        return dfreq.agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs")
+        ).collect()[0]["pairs"]
+
+    guard = dedup.auto_max_df(df.count())
+    unguarded, guarded = fanout(None), fanout(guard)
+    assert unguarded > 20000  # the hot shingle alone contributes C(201,2)
+    assert guarded < unguarded / 10  # guard removes the quadratic term
+
+    got = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).toPandas()
+    pairs = {(a, b) for a, b in zip(got["id_a"], got["id_b"])}
+    assert (0, 900) in pairs  # planted dup survives the guard
+
+
+def test_minhash_arrow_signature_matches_python_twin(spark):
+    """The vectorized numpy signature stage must equal the pure-Python
+    affine twin exactly, row for row."""
+    df, _rows = _docs(spark)
+    sh = df.select(
+        "doc_id",
+        F.array_distinct(S.word_shingle_hashes("text", 3)).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    got = sh.select(
+        "doc_id", "shingles",
+        S.minhash_signature_arrow(F.col("shingles"), 64).alias("sig"),
+    ).collect()
+    assert len(got) > 0
+    for r in got:
+        assert list(r["sig"]) == S.affine_minhash_py(list(r["shingles"]), 64), r["doc_id"]
+
+
+def test_simhash_arrow_equals_expression(spark):
+    """Arrow fingerprint path is bit-for-bit the expression path."""
+    from nadeefiler_spark.functions import text as X
+
+    df, _rows = _docs(spark)
+    both = df.select(
+        "doc_id",
+        S.simhash64(X.tokens("text")).alias("fp_expr"),
+        S.simhash64_arrow(
+            F.transform(X.tokens("text"), lambda t: F.xxhash64(t))
+        ).alias("fp_arrow"),
+    ).collect()
+    assert len(both) > 0
+    for r in both:
+        assert r["fp_expr"] == r["fp_arrow"], r["doc_id"]
+    # and the empty-token edge case
+    edge = spark.createDataFrame([(1, ""), (2, "one")], "doc_id long, text string")
+    for r in edge.select(
+        S.simhash64(X.tokens("text")).alias("e"),
+        S.simhash64_arrow(
+            F.transform(X.tokens("text"), lambda t: F.xxhash64(t))
+        ).alias("a"),
+    ).collect():
+        assert r["e"] == r["a"]
+
+
+def test_embedding_blocked_subset_of_exact_with_planted_dups(spark):
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((80, 16))
+    vecs[70] = vecs[0] + 0.01 * rng.standard_normal(16)  # near-identical pair
+    vecs[71] = vecs[1] + 0.01 * rng.standard_normal(16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = dedup.embedding_cosine_pairs(df, "vec_id", "embedding", threshold=0.9)
+    blocked = dedup.embedding_cosine_pairs_blocked(
+        df, "vec_id", "embedding", threshold=0.9, bits=4, tables=4, dim=16
+    )
+    e = {(a, b) for a, b in zip(*[exact.toPandas()[c] for c in ("id_a", "id_b")])}
+    g = {(a, b) for a, b in zip(*[blocked.toPandas()[c] for c in ("id_a", "id_b")])}
+    assert g <= e  # blocking never invents pairs
+    assert (0, 70) in g and (1, 71) in g  # near-identical pairs share buckets

@@ -116,3 +116,21 @@ def test_resume_after_midrun_failure(spark, tiny_cfg, clips_dir, tmp_path_factor
     )
     got = set(viol[viol["rule"] == "audio_snr"]["clip_id"])
     assert got == golden["audio_snr"]
+
+
+def test_manifest_commit_escapes_part_values(spark, tmp_path):
+    """The engine is generic over partition values: backslashes and
+    quotes must survive the SQL VALUES manifest commit round-trip."""
+    from nadeefiler_spark.profiler import ProfileConfig
+
+    df = spark.createDataFrame(
+        [("a", 1, "p\\x"), ("b", 2, "it's"), ("c", 3, "q\\'mix")],
+        "clip_id string, v int, part string",
+    )
+    eng = ValidationEngine(
+        spark, str(tmp_path / "esc"), rules=[],
+        profile_cfg=ProfileConfig(part_col="part"),
+    )
+    eng.run(df, resume=False, run_id="esc1")
+    parts = {r["part"] for r in eng.manifest().select("part").collect()}
+    assert parts == {"p\\x", "it's", "q\\'mix"}

@@ -127,3 +127,68 @@ def test_streaming_incremental_validation(spark, tmp_path):
     a = sorted(map(tuple, viols.select("part", "rule", "clip_id").collect()))
     b = sorted(map(tuple, eng2.violations().select("part", "rule", "clip_id").collect()))
     assert a == b
+
+
+def test_streaming_partition_spans_batches(spark, tmp_path):
+    """Regression: files for ONE partition arriving across MULTIPLE
+    micro-batches must not clobber earlier results — each batch
+    revalidates the full current partition contents, so cross-batch
+    duplicates ARE detected and the final state equals a batch run."""
+    import pandas as pd
+
+    base = tmp_path / "mb"
+    cfg = datagen.GenConfig(n_rows=300)
+
+    def pdf(lo: int, hi: int) -> pd.DataFrame:
+        specs = [datagen.row_spec(i, cfg) for i in range(lo, hi)]
+        return pd.DataFrame(
+            {
+                "clip_id": [s["clip_id"] for s in specs],
+                "bytes": [datagen.render_row_bytes(s) for s in specs],
+                "sr_hz": pd.array([s["sr_hz"] for s in specs], dtype="int32"),
+                "dur_ms": pd.array([s["dur_ms"] for s in specs], dtype="int32"),
+                "codec": [s["codec"] for s in specs],
+                "transcript": [s["transcript"] for s in specs],
+                "part": [s["part"] for s in specs],
+            }
+        )
+
+    # row 212 is datagen's planted duplicate of row 211 — split the pair
+    # across the two files so the duplicate can only meet cross-batch
+    clips_dir = str(base / "clips")
+    for lo, hi in ((0, 212), (212, 300)):
+        spark.createDataFrame(pdf(lo, hi), datagen.CLIPS_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(clips_dir)
+
+    eng = ValidationEngine(
+        spark, str(base / "out"),
+        rules=default_clip_rules(with_refs=False, with_audio=False, with_drift=False),
+        profile_cfg=default_clips_config(),
+    )
+    sv = StreamingValidator(
+        spark=spark,
+        clips_dir=clips_dir,
+        checkpoint_dir=str(base / "ckpt"),
+        engine=eng,
+        max_files_per_trigger=1,  # forces the pair into separate batches
+    )
+    q = sv.start(available_now=True)
+    q.awaitTermination(180)
+
+    viol = eng.violations().toPandas()
+    dup_ids = set(viol[viol["rule"] == "unique_clip_id"]["clip_id"])
+    assert "clip-000000000211" in dup_ids  # the cross-batch duplicate
+
+    # final state == one-shot batch validation of the same input
+    eng2 = ValidationEngine(
+        spark, str(base / "out_batch"),
+        rules=default_clip_rules(with_refs=False, with_audio=False, with_drift=False),
+        profile_cfg=default_clips_config(),
+    )
+    eng2.run(spark.read.parquet(clips_dir), resume=False)
+    a = sorted(map(tuple, viol[["part", "rule", "clip_id"]].values.tolist()))
+    b = sorted(
+        map(tuple, eng2.violations().select("part", "rule", "clip_id").collect())
+    )
+    assert a == b
