@@ -28,13 +28,18 @@ Operator → query map (SURVEY §2 ids in brackets):
 - drift_metrics          [north_star] KS + PSI vs pooled baseline
 - exact_dup_groups       [pipeline: dedup-exact]
 - ngram_jaccard          [pipeline: dedup-jaccard]
-- minhash_pairs          [pipeline: dedup-minhash-LSH]      (no oracle: xxhash64)
-- simhash_pairs          [pipeline: dedup-simhash]          (no oracle: xxhash64)
-- embedding_cosine_dups  [pipeline: dedup-embedding]
+- minhash_pairs          [pipeline: dedup-minhash-LSH]  (no DuckDB oracle:
+                          xxhash64 — exact pure-Python twin, tests/test_hash_twins.py)
+- simhash_pairs          [pipeline: dedup-simhash]      (ditto)
+- embedding_cosine_dups  [pipeline: dedup-embedding, brute-force oracle]
+- embedding_cosine_dups_blocked [pipeline: dedup-embedding production path,
+                          multi-table hyperplane-LSH blocking]
 - ann_topk               [pipeline: ANN brute-force top-k]
 - lsh_topk               [pipeline: ANN hyperplane-LSH top-k]
 - text_quality           [pipeline: text analysis suite]
-- audio_validate         [north_star audio rules]           (no oracle: binary audio)
+- binary_meta_docs       [pipeline: multimodal metadata, DuckDB-oracled]
+- audio_validate         [north_star audio rules]       (no DuckDB oracle:
+                          binary audio — exact datagen golden, tests/test_hash_twins.py)
 """
 
 from __future__ import annotations
@@ -992,6 +997,43 @@ def _q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_meta(clips, "clip_id", "bytes").orderBy("id")
 
 
+def _q_binary_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated twin of the multimodal metadata pass: the documents'
+    UTF-8 bytes stand in for opaque blobs, so every column (octet count,
+    4-byte magic hex, sha256 digest, sniffed kind) is checkable in DuckDB
+    (whose digest functions hash VARCHAR as UTF-8)."""
+    from nadeefiler_spark.operators.multimodal import binary_meta
+
+    _ensure_pkg_shipped(spark)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("b"),
+    )
+    return binary_meta(d, "doc_id", "b", digest="sha256")
+
+
+# kind mirror of multimodal._MAGIC_KINDS via 4-byte magic hex prefixes
+_SQL_BINARY_META_DOCS = """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+         lower(substr(hex(encode(coalesce(text, ''))), 1, 8)) AS magic_hex,
+         sha256(coalesce(text, '')) AS digest
+  FROM documents
+)
+SELECT id, n_bytes, magic_hex, digest,
+       CASE WHEN magic_hex LIKE '52494646%' THEN 'audio/wav'
+            WHEN magic_hex LIKE '4e444631%' THEN 'audio/ndf-fake'
+            WHEN magic_hex LIKE '89504e47%' THEN 'image/png'
+            WHEN magic_hex LIKE 'ffd8ff%'   THEN 'image/jpeg'
+            WHEN magic_hex LIKE '47494638%' THEN 'image/gif'
+            WHEN magic_hex LIKE '00000018%' THEN 'video/mp4'
+            WHEN magic_hex LIKE '00000020%' THEN 'video/mp4'
+            ELSE 'application/octet-stream' END AS kind
+FROM m
+"""
+
+
 def _q_audio_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end audio-aware validation on the deterministic synthetic
     clips table (BASELINE.json input_hint schema; the testdata tables have
@@ -1058,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _q_lsh_topk,
         "text_quality": _q_text_quality,
         "binary_meta": _q_binary_meta,
+        "binary_meta_docs": _q_binary_meta_docs,
         "audio_validate": _q_audio_validate,
     }
 
@@ -1093,6 +1136,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _SQL_ANN_TOPK,
         "lsh_topk": _sql_lsh_topk(),
         "text_quality": _sql_text_quality(),
-        # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB
-        # audio_validate: binary audio payloads, pandas-UDF decode
+        "binary_meta_docs": _SQL_BINARY_META_DOCS,
+        # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
+        #   exact pure-Python pipeline twins in tests/test_hash_twins.py
+        # binary_meta / audio_validate: binary audio payloads (pandas-UDF
+        #   decode) — exact datagen-derived goldens in tests/test_hash_twins.py
     }

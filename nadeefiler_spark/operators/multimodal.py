@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 BINARY_META_SCHEMA = (
-    "id string, n_bytes bigint, magic_hex string, sha1 string, kind string"
+    "id string, n_bytes bigint, magic_hex string, digest string, kind string"
 )
 
 _MAGIC_KINDS = {
@@ -43,9 +43,12 @@ def _sniff_kind(blob: bytes) -> str:
     return "application/octet-stream"
 
 
-def binary_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+def binary_meta(df: DataFrame, id_col: str, bin_col: str,
+                digest: str = "sha1") -> DataFrame:
     """Per-blob metadata (size, magic, digest, sniffed kind) — one
-    narrow Arrow pass, no shuffle."""
+    narrow Arrow pass, no shuffle. ``digest`` is any hashlib algorithm
+    (sha256 keeps the result comparable with engines whose digest
+    functions hash UTF-8 text, e.g. DuckDB's sha256(VARCHAR))."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -55,11 +58,11 @@ def binary_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                 ids.append(str(i))
                 sizes.append(len(b))
                 magics.append(b[:4].hex())
-                digests.append(hashlib.sha1(b).hexdigest())
+                digests.append(hashlib.new(digest, b).hexdigest())
                 kinds.append(_sniff_kind(b))
             yield pd.DataFrame(
                 {"id": ids, "n_bytes": sizes, "magic_hex": magics,
-                 "sha1": digests, "kind": kinds}
+                 "digest": digests, "kind": kinds}
             )
 
     return df.select(id_col, bin_col).mapInPandas(run, BINARY_META_SCHEMA)
