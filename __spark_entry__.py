@@ -594,9 +594,14 @@ def _q_semantic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("count")
     )
     out = semantic.semantic_scores(string_hist, _kb_df(spark), top_k=10)
-    return out.select("key", "object", "score", F.col("rank").cast("bigint").alias("rank"))
+    return out.select(
+        "key", "object", F.round("score", 6).alias("score"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
 
 
+# idf weighting mirrors semantic.semantic_scores(tf_idf=True):
+# w(tok) = ln((N_subjects + 1) / df(tok)), df over distinct subjects
 _SQL_SEMANTIC_SCORES = f"""
 WITH string_hist AS (
   SELECT 'event_type' AS key, event_type AS value, count(*) AS count
@@ -613,19 +618,24 @@ subs AS (
                                               t -> t <> '')) AS tok
   FROM kb
 ),
+nsub AS (SELECT count(DISTINCT subject) AS n_subj FROM kb),
+idf AS (
+  SELECT tok, ln((n_subj + 1.0) / count(DISTINCT subject)) AS w
+  FROM subs CROSS JOIN nsub GROUP BY tok, n_subj
+),
 matches AS (
-  SELECT v.key, v.value, v.count, s.subject, s.objects, count(*) AS match_score
-  FROM vals v JOIN subs s USING (tok)
+  SELECT v.key, v.value, v.count, s.subject, s.objects, sum(i.w) AS match_score
+  FROM vals v JOIN subs s USING (tok) JOIN idf i USING (tok)
   GROUP BY 1, 2, 3, 4, 5
 ),
 scored AS (
   SELECT key, unnest(objects) AS object, match_score * count AS w FROM matches
 ),
 agg AS (
-  SELECT key, object, CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS score
+  SELECT key, object, CAST(sum(w) AS DOUBLE) AS score
   FROM scored GROUP BY 1, 2
 )
-SELECT key, object, score, rank FROM (
+SELECT key, object, round(score, 6) AS score, rank FROM (
   SELECT key, object, score,
          row_number() OVER (PARTITION BY key ORDER BY score DESC, object ASC) AS rank
   FROM agg
@@ -997,6 +1007,46 @@ def _q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_meta(clips, "clip_id", "bytes").orderBy("id")
 
 
+_FD_COLS = ("c_nationkey", "nk_bucket", "c_mktsegment")
+
+
+def _q_fd_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FD discovery (the reference's fdminer cascade slot,
+    profilers/config.js:10-20, stub fdminer/index.js:17-21): one
+    holds-by-construction FD (c_nationkey -> nk_bucket) among failing
+    pairs."""
+    from nadeefiler_spark import fd
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        (F.col("c_nationkey") % 5).cast("bigint").alias("nk_bucket"),
+        "c_mktsegment",
+    )
+    return fd.mine_fds(c, list(_FD_COLS), max_ndv_frac=1.0)
+
+
+def _sql_fd_mine() -> str:
+    parts = []
+    for x in _FD_COLS:
+        for y in _FD_COLS:
+            if y == x:
+                continue
+            parts.append(f"""
+            SELECT '{x}' AS lhs, '{y}' AS rhs,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                     AS violating_groups,
+                   coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) <= 0
+                     AS holds
+            FROM (SELECT {x}, count(DISTINCT {y}) AS nd FROM t GROUP BY 1)""")
+    u = " UNION ALL ".join(parts)
+    return f"""
+    WITH t AS (SELECT c_nationkey, CAST(c_nationkey % 5 AS BIGINT) AS nk_bucket,
+                      c_mktsegment FROM customer)
+    {u}
+    """
+
+
 def _q_binary_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-gated twin of the multimodal metadata pass: the documents'
     UTF-8 bytes stand in for opaque blobs, so every column (octet count,
@@ -1099,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "lsh_topk": _q_lsh_topk,
         "text_quality": _q_text_quality,
+        "fd_mine": _q_fd_mine,
         "binary_meta": _q_binary_meta,
         "binary_meta_docs": _q_binary_meta_docs,
         "audio_validate": _q_audio_validate,
@@ -1136,6 +1187,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _SQL_ANN_TOPK,
         "lsh_topk": _sql_lsh_topk(),
         "text_quality": _sql_text_quality(),
+        "fd_mine": _sql_fd_mine(),
         "binary_meta_docs": _SQL_BINARY_META_DOCS,
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py

@@ -49,15 +49,16 @@ def render_pcm(clip_id: str, sr_hz: int, dur_ms: int) -> np.ndarray:
     return render_pcm_samples(clip_id, sr_hz, max(int(sr_hz * dur_ms / 1000), 1))
 
 
-def render_pcm_samples(clip_id: str, sr_hz: int, n: int) -> np.ndarray:
-    """Render exactly n samples — lets a validator re-create the reference
-    waveform for a decoded clip independently on any executor.
+def render_wave_f32(clip_id: str, sr_hz: int, n: int) -> np.ndarray:
+    """The reference waveform as float32 (pre-int16-quantization).
 
     float32 end-to-end: at 32 parallel decode workers the pipeline is
     memory-bandwidth-bound, not FLOP-bound (measured: 2.5x core-second
     inflation at local[32] vs local[8] with float64 temporaries); float32
-    halves the streamed bytes with no effect on the int16 output's role
-    (generation and validation share this exact function)."""
+    halves the streamed bytes. The SNR validator compares decoded int16
+    PCM against THIS array directly (:func:`snr_db_f32`) — skipping the
+    int16 cast + re-promotion saves two full-array materializations per
+    clip on the hottest path."""
     seed = clip_seed(clip_id)
     rng = np.random.default_rng(seed)
     f0 = np.float32(80.0 + (seed % 800))
@@ -69,7 +70,14 @@ def render_pcm_samples(clip_id: str, sr_hz: int, n: int) -> np.ndarray:
     wave += np.float32(0.02) * rng.standard_normal(n, dtype=np.float32)
     wave *= np.float32(16384.0)
     np.clip(wave, -32768, 32767, out=wave)
-    return wave.astype(np.int16)
+    return wave
+
+
+def render_pcm_samples(clip_id: str, sr_hz: int, n: int) -> np.ndarray:
+    """Render exactly n int16 samples — lets a validator re-create the
+    reference waveform for a decoded clip independently on any executor
+    (generation and validation share the same :func:`render_wave_f32`)."""
+    return render_wave_f32(clip_id, sr_hz, n).astype(np.int16)
 
 
 # --- containers -------------------------------------------------------------
@@ -173,6 +181,28 @@ def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
     noise_power = float(np.dot(noise_f, noise_f)) + float(
         np.dot(ref_f[n:], ref_f[n:])
     )
+    sig_power = float(np.dot(ref_f, ref_f))
+    if noise_power == 0.0:
+        return np.inf
+    if sig_power == 0.0:
+        return -np.inf
+    return 10.0 * np.log10(sig_power / noise_power)
+
+
+def snr_db_f32(ref_f: np.ndarray, test: np.ndarray) -> float:
+    """SNR of int16 ``test`` against the float32 pre-quantization
+    reference (:func:`render_wave_f32`), minimizing materializations:
+    one float32 noise temp + three BLAS dot products — no int16 ref, no
+    int32 diff, no promotion copies. The ~0.3-LSB quantization noise this
+    admits bounds a perfect clip's SNR near 90 dB instead of +inf —
+    irrelevant against the 30 dB pass threshold, and the memory-traffic
+    saving is the point: the decode pass is bandwidth-bound at high
+    worker counts (BENCH/BASELINE.md)."""
+    n = min(len(ref_f), len(test))
+    if n == 0:
+        return -np.inf if len(ref_f) else np.inf
+    noise = ref_f[:n] - test[:n]
+    noise_power = float(np.dot(noise, noise)) + float(np.dot(ref_f[n:], ref_f[n:]))
     sig_power = float(np.dot(ref_f, ref_f))
     if noise_power == 0.0:
         return np.inf

@@ -6,8 +6,9 @@ Job model mapped from the reference (SURVEY §2.8):
   createdAt} on results, ``/root/reference/profilers/worker.js:72``).
 - idempotent re-run = delete-before-write per (stage, partition)
   (reference ``worker.js:97-100`` deleteMany before recompute) —
-  implemented as explicit partition-directory replace, the parquet
-  stand-in for Iceberg ``overwritePartitions``.
+  delegated to a pluggable table-IO backend (``tableio`` module):
+  parquet partition-directory replace in the sandbox, transactional
+  Iceberg ``DELETE`` + append when an Iceberg catalog is configured.
 - cascade DAG (``profilers/config.js:10-20``) -> fixed stage order +
   rule ``depends_on``; a later stage reads earlier stages' output tables
   (the semantic profiler reads messystreams results the same way,
@@ -37,6 +38,7 @@ from pyspark.sql import functions as F
 from . import profiler as prof
 from .rules.base import Rule, RuleContext, topo_sort
 from .rules.audio_rules import decode_facts
+from .tableio import default_io
 
 STAGE_ORDER = ("profile", "constraints", "audio", "drift", "semantic")
 
@@ -50,19 +52,8 @@ VERDICT_SCHEMA = (
 )
 
 
-def _delete_path(spark: SparkSession, path: str) -> None:
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(hpath):
-        fs.delete(hpath, True)
-
-
-def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    try:
-        return spark.read.schema(schema).parquet(path)
-    except Exception:
-        return spark.createDataFrame([], schema)
+VIOLATIONS_SCHEMA = "part string, rule string, clip_id string, detail string, stage string"
+PROFILE_HIST_SCHEMA = "part string, key string, kind string, bin string, count bigint"
 
 
 @dataclass
@@ -73,14 +64,21 @@ class ValidationEngine:
     profile_cfg: prof.ProfileConfig | None = None
     key_col: str = "clip_id"
     part_col: str = "part"
+    # manifest compaction threshold: every (stage, run) commit appends one
+    # small file; without compaction the manifest listing is O(#runs)
+    manifest_compact_files: int = 64
+    # table backend: ParquetDirIO under out_dir by default; an Iceberg
+    # catalog (if configured on the session) is picked up automatically,
+    # giving transactional per-partition replace (tableio module doc)
+    io: object | None = None
+
+    def __post_init__(self) -> None:
+        if self.io is None:
+            self.io = default_io(self.spark, self.out_dir)
 
     # --- output tables -------------------------------------------------
-    @property
-    def violations_path(self) -> str:
-        return f"{self.out_dir}/violations"
-
     def manifest(self) -> DataFrame:
-        return _read_or_empty(self.spark, f"{self.out_dir}/manifest", MANIFEST_SCHEMA)
+        return self.io.read("manifest", MANIFEST_SCHEMA)
 
     def verdicts(self) -> DataFrame:
         """Per-(partition, stage) pass/fail — a projection of the manifest
@@ -92,16 +90,13 @@ class ValidationEngine:
         )
 
     def violations(self) -> DataFrame:
-        return _read_or_empty(
-            self.spark, self.violations_path,
-            "part string, rule string, clip_id string, detail string, stage string",
-        )
+        return self.io.read("violations", VIOLATIONS_SCHEMA)
 
     def profile_summary(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.out_dir}/profile_summary")
+        return self.io.read("profile_summary", prof.SUMMARY_SCHEMA)
 
     def profile_hist(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.out_dir}/profile_hist")
+        return self.io.read("profile_hist", PROFILE_HIST_SCHEMA)
 
     # --- run -------------------------------------------------------------
     def run(
@@ -161,13 +156,8 @@ class ValidationEngine:
                     clips=scoped,
                     refs=refs_scoped,
                     decoded=decoded,
-                    profile_summary=_read_or_empty(
-                        self.spark, f"{self.out_dir}/profile_summary", prof.SUMMARY_SCHEMA
-                    ),
-                    profile_hist=_read_or_empty(
-                        self.spark, f"{self.out_dir}/profile_hist",
-                        "part string, key string, kind string, bin string, count bigint",
-                    ),
+                    profile_summary=self.profile_summary(),
+                    profile_hist=self.profile_hist(),
                     baseline_hist=baseline_hist,
                     key_col=self.key_col,
                     part_col=self.part_col,
@@ -222,11 +212,13 @@ class ValidationEngine:
 
     # --- stage bodies -----------------------------------------------------
     def _run_profile(self, scoped, cfg, pending):
+        # idempotent per-partition replace (reference delete-before-write,
+        # worker.js:97-100) via the table-IO backend
         summary = prof.profile_summary(scoped, cfg)
-        self._overwrite_parts(summary, f"{self.out_dir}/profile_summary", pending)
+        self.io.replace_partitions(summary, "profile_summary", "part", pending)
         if cfg.value_hist_cols or cfg.bucket_hist_cols:
             hist = prof.profile_histograms(scoped, cfg)
-            self._overwrite_parts(hist, f"{self.out_dir}/profile_hist", pending)
+            self.io.replace_partitions(hist, "profile_hist", "part", pending)
         n_rows = self._rows_by_part(pending)
         return n_rows, {p: 0 for p in pending}
 
@@ -265,8 +257,6 @@ class ValidationEngine:
         out = branches[0]
         for b in branches[1:]:
             out = out.unionByName(b)
-        for p in pending:
-            _delete_path(self.spark, f"{self.violations_path}/stage={stage}/part={p}")
 
         # Per-part violation counts ride along on the write job via the
         # Observation API (conditional sums) — no second job. Falls back
@@ -287,38 +277,30 @@ class ValidationEngine:
                     for i, p in enumerate(pending)
                 ],
             )
-        # each stage writes under its own `stage=` root so concurrent
-        # stage writers never share a _temporary staging directory; the
-        # resulting layout is identical to partitionBy("stage", "part")
-        (
-            to_write.write.mode("append")
-            .partitionBy("part")
-            .parquet(f"{self.violations_path}/stage={stage}")
+        # stage pinned as a fixed partition level: the parquet backend
+        # gives each stage its own directory root (concurrent stage
+        # writers never share a _temporary staging dir); Iceberg commits
+        # the same shape transactionally
+        self.io.replace_partitions(
+            to_write, "violations", "part", pending, fixed={"stage": stage}
         )
         if obs is not None:
             got = obs.get
             return {p: int(got[f"n_{i}"]) for i, p in enumerate(pending)}
-        written = _read_or_empty(
-            self.spark, f"{self.violations_path}/stage={stage}",
-            "part string, rule string, clip_id string, detail string",
-        ).where(F.col("part").isin([str(p) for p in pending]))
+        written = self.violations().where(
+            (F.col("stage") == stage)
+            & F.col("part").isin([str(p) for p in pending])
+        )
         counts = {r["part"]: r["n"] for r in
                   written.groupBy("part").agg(F.count(F.lit(1)).alias("n")).collect()}
         return {p: int(counts.get(str(p), 0)) for p in pending}
 
     def _rows_by_part(self, pending):
-        summary = _read_or_empty(
-            self.spark, f"{self.out_dir}/profile_summary", prof.SUMMARY_SCHEMA
-        ).where(F.col("part").isin([str(p) for p in pending]))
+        summary = self.profile_summary().where(
+            F.col("part").isin([str(p) for p in pending])
+        )
         rows = summary.groupBy("part").agg(F.max("n_rows").alias("n")).collect()
         return {r["part"]: int(r["n"]) for r in rows}
-
-    def _overwrite_parts(self, df: DataFrame, path: str, pending) -> None:
-        """Idempotent per-partition replace (Iceberg overwritePartitions
-        analog; reference delete-before-write, worker.js:97-100)."""
-        for p in pending:
-            _delete_path(self.spark, f"{path}/part={p}")
-        df.write.mode("append").partitionBy("part").parquet(path)
 
     # --- commit ------------------------------------------------------------
     def _commit(self, run_id, stage, pending, n_rows_by_part, n_viol_by_part, wall_ms):
@@ -347,4 +329,8 @@ class ValidationEngine:
             f"CAST(col4 AS BIGINT) AS n_rows, CAST(col5 AS BIGINT) AS n_violations, "
             f"CAST(col6 AS BIGINT) AS wall_ms FROM VALUES {vals}"
         )
-        mdf.coalesce(1).write.mode("append").parquet(f"{self.out_dir}/manifest")
+        # one small file per (stage, run); compaction bounds the listing
+        # (verdicts()/resume re-read the whole manifest — O(#runs) files
+        # without it)
+        self.io.append(mdf, "manifest", coalesce=1)
+        self.io.compact("manifest", self.manifest_compact_files, MANIFEST_SCHEMA)

@@ -1,0 +1,105 @@
+"""Functional-dependency discovery over bounded-cardinality columns.
+
+Reference parity: nadeefiler registers an ``fdminer`` profiler in the
+cascade (``/root/reference/profilers/config.js:10-20``) whose shipped
+implementation is a 3-tuple stub (``profilers/fdminer/index.js:17-21``)
+— the *slot* exists, the mining doesn't. This module fills the slot with
+a real single-pass-per-LHS miner: for each candidate LHS column X, ONE
+``groupBy(X)`` aggregation computes ``count_distinct(Y)`` for every RHS
+Y simultaneously, and X→Y holds iff no X-group sees more than one
+distinct Y.
+
+Scale story (10^12 rows): each LHS costs one shuffle whose map-side
+partial aggregates are (x, partial-distinct-set) records — bounded
+because LHS candidates are pre-filtered to bounded cardinality with a
+single ``approx_count_distinct`` pass (the same HLL sketches the
+profiler uses). High-NDV columns (ids, timestamps) are never grouped
+on. All LHS branches union into one Spark job. Nothing is row-collected
+on the driver; the result is one row per (lhs, rhs) candidate.
+
+``max_violation_rate`` > 0 reports *approximate* FDs (holds except on a
+small fraction of groups) — the useful notion on dirty data, matching
+the validation engine's violation-tolerant rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def candidate_lhs(
+    df: DataFrame, cols: list[str], max_ndv_frac: float = 0.5,
+    n_rows: int | None = None,
+) -> list[str]:
+    """LHS candidates: columns whose approximate NDV is at most
+    max_ndv_frac of the row count (one scan, HLL sketches)."""
+    n = n_rows if n_rows is not None else df.count()
+    if n == 0:
+        return []
+    row = df.agg(
+        *[F.approx_count_distinct(c).alias(c) for c in cols]
+    ).first()
+    return [c for c in cols if row[c] <= max_ndv_frac * n]
+
+
+def mine_fds(
+    df: DataFrame,
+    cols: list[str],
+    lhs_cols: list[str] | None = None,
+    max_ndv_frac: float = 0.5,
+    max_violation_rate: float = 0.0,
+) -> DataFrame:
+    """Discover single-column FDs X→Y among ``cols``.
+
+    Returns one row per ordered candidate pair:
+      (lhs, rhs, n_groups, violating_groups, holds)
+    where violating_groups counts X-groups with >1 distinct Y and
+    ``holds`` = violating_groups <= max_violation_rate * n_groups.
+
+    lhs_cols defaults to :func:`candidate_lhs` (bounded-NDV guard). All
+    per-LHS aggregations union into one plan -> one Spark job.
+    """
+    if lhs_cols is None:
+        lhs_cols = candidate_lhs(df, cols, max_ndv_frac)
+    branches: list[DataFrame] = []
+    for x in lhs_cols:
+        rhs = [y for y in cols if y != x]
+        if not rhs:
+            continue
+        per_group = df.groupBy(x).agg(
+            *[F.count_distinct(y).alias(f"ndv_{y}") for y in rhs]
+        )
+        branch = per_group.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            *[
+                F.sum((F.col(f"ndv_{y}") > 1).cast("bigint")).alias(f"viol_{y}")
+                for y in rhs
+            ],
+        ).select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(x).alias("lhs"),
+                        F.lit(y).alias("rhs"),
+                        F.col("n_groups").alias("n_groups"),
+                        F.col(f"viol_{y}").alias("violating_groups"),
+                    )
+                    for y in rhs
+                ])
+            ).alias("fd")
+        ).select("fd.lhs", "fd.rhs", "fd.n_groups", "fd.violating_groups")
+        branches.append(branch)
+    if not branches:
+        return df.sparkSession.createDataFrame(
+            [], "lhs string, rhs string, n_groups bigint, "
+                "violating_groups bigint, holds boolean",
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.withColumn(
+        "holds",
+        F.col("violating_groups")
+        <= F.lit(max_violation_rate) * F.col("n_groups"),
+    )

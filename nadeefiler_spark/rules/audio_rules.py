@@ -71,8 +71,11 @@ def decode_facts(clips: DataFrame, with_snr: bool = True) -> DataFrame:
                     dec_codec, dec_sr, pcm = audio.decode(bytes(blob))
                     dec_ms = int(round(1000.0 * len(pcm) / dec_sr)) if dec_sr else 0
                     if with_snr:
-                        ref = audio.render_pcm_samples(cid, int(dec_sr), len(pcm))
-                        snr = audio.snr_db(ref, pcm)
+                        # float32 reference, fused SNR: two fewer
+                        # full-array materializations per clip (the
+                        # decode pass is memory-bandwidth-bound)
+                        ref = audio.render_wave_f32(cid, int(dec_sr), len(pcm))
+                        snr = audio.snr_db_f32(ref, pcm)
                         snr = float(np.clip(snr, -1e6, 1e6))  # inf -> finite sentinel
                     else:
                         snr = None

@@ -40,11 +40,19 @@ def semantic_scores(
     string_hist: DataFrame,
     kb: DataFrame,
     top_k: int = 10,  # topScores = 10, semantic.js:6
+    tf_idf: bool = True,
 ) -> DataFrame:
     """(key, object, score, rank): top-k weighted semantic types per column.
 
     string_hist: (key, value, count) distinct string values per column.
     kb: (subject, objects array<string>) pre-normalized subjects.
+
+    tf_idf=True (default): a matched token contributes
+    ln(N_subjects / df(token)) — rare tokens dominate, the public analog
+    of Mongo's $text TF-IDF-ish textScore the reference ranks with
+    (``/root/reference/profilers/semantic.js:60-66``); the idf table is
+    computed on the (broadcast-sized) KB side, so it adds no shuffle.
+    tf_idf=False keeps the round-1 shared-token-count scoring.
     """
     vals = (
         string_hist.select("key", "value", "count")
@@ -56,12 +64,26 @@ def semantic_scores(
         .withColumn("tok", F.explode(F.split(F.col("subject"), "\\s+")))
         .where(F.col("tok") != "")
     )
+    if tf_idf:
+        n_subjects = kb.select(F.count_distinct("subject").alias("n_subj"))
+        idf = (
+            subs.groupBy("tok")
+            .agg(F.count_distinct("subject").alias("df_t"))
+            .crossJoin(F.broadcast(n_subjects))
+            # +1 smoothing keeps a token present in EVERY subject at a
+            # small positive weight instead of exactly zero
+            .select("tok", F.log((F.col("n_subj") + 1.0) / F.col("df_t")).alias("w"))
+        )
+        subs = subs.join(F.broadcast(idf), "tok")
+        weight = F.sum("w")
+    else:
+        weight = F.count(F.lit(1)).cast("double")
     # token equi-join (broadcast KB), then per (key,value,subject):
-    # match score = number of shared tokens (textScore stand-in)
+    # match score = sum of matched-token idf weights (textScore analog)
     matches = (
         vals.join(F.broadcast(subs), "tok")
         .groupBy("key", "value", "count", "subject", "objects")
-        .agg(F.count(F.lit(1)).alias("match_score"))
+        .agg(weight.alias("match_score"))
     )
     # accumulate score*count into each object (semantic.js:8-15)
     scored = (

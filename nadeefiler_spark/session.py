@@ -63,8 +63,15 @@ def get_spark(
     """
     cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     shuffle = shuffle_partitions or max(cpus * 2, 8)
+    # SPARK_GRAFT_MASTER=external -> leave the master to spark-submit
+    # (standalone/yarn/k8s clusters); any other value is used verbatim
+    # (e.g. spark://host:7077); unset -> local[cpus] sandbox default
+    master_env = os.environ.get("SPARK_GRAFT_MASTER", "")
+    builder = SparkSession.builder
+    if master_env != "external":
+        builder = builder.master(master_env or f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
@@ -92,6 +99,11 @@ def get_spark(
         .config("spark.driver.defaultJavaOptions",
                 ("-XX:+UseG1GC -XX:G1HeapRegionSize=32m "
                  + os.environ.get("SPARK_GRAFT_JVM_EXTRA", "")).strip())
+        # executors need the same G1 tuning (a cluster executor JVM is
+        # launched by the worker AFTER these configs are read, so unlike
+        # the driver options this applies from spark-submit too)
+        .config("spark.executor.defaultJavaOptions",
+                "-XX:+UseG1GC -XX:G1HeapRegionSize=32m")
         # idempotent per-partition overwrite (Iceberg overwritePartitions
         # analog for the sandbox parquet catalog)
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -1,0 +1,204 @@
+"""Table IO backends: where the engine's output tables live.
+
+The engine needs four operations: read a table, transactionally replace
+a set of partitions (delete-before-write, the reference's per-task
+``deleteMany`` + recompute, ``/root/reference/profilers/worker.js:97-100``),
+append small commit batches, and compact a much-appended table.
+
+Two backends:
+
+- :class:`ParquetDirIO` — parquet directories under a base dir, with
+  explicit partition-directory deletes + appends. No snapshot isolation:
+  a reader racing a replace can see a partition mid-swap. This is the
+  sandbox default (no Iceberg runtime jar ships in the container).
+- :class:`IcebergTableIO` — Iceberg catalog tables via ``DELETE FROM``
+  + ``writeTo().append()`` in the documented order; every operation is a
+  table commit, so readers always see a consistent snapshot and
+  replaces are atomic per commit. Selected automatically by
+  :func:`default_io` when a Spark catalog configured with an Iceberg
+  implementation is present (spark.sql.catalog.<name> = ...iceberg...).
+
+Enabling Iceberg on a real cluster (public setup):
+  spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.12:<ver>
+    --conf spark.sql.catalog.ndf=org.apache.iceberg.spark.SparkCatalog
+    --conf spark.sql.catalog.ndf.type=hadoop
+    --conf spark.sql.catalog.ndf.warehouse=hdfs://.../warehouse
+then ``ValidationEngine(..., io=IcebergTableIO(spark, "ndf.db"))``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _hadoop_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath, hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+@dataclass
+class ParquetDirIO:
+    """Parquet-directory tables under ``base_dir`` (sandbox stand-in for
+    Iceberg; identical layout to round-1's inline engine writes)."""
+
+    spark: SparkSession
+    base_dir: str
+
+    def _path(self, table: str) -> str:
+        return f"{self.base_dir}/{table}"
+
+    def read(self, table: str, schema: str | None = None) -> DataFrame:
+        try:
+            r = self.spark.read
+            if schema:
+                r = r.schema(schema)
+            return r.parquet(self._path(table))
+        except Exception:
+            return self.spark.createDataFrame([], schema)
+
+    def replace_partitions(
+        self,
+        df: DataFrame,
+        table: str,
+        part_col: str,
+        parts,
+        fixed: dict[str, str] | None = None,
+    ) -> None:
+        """Delete-before-write for partitions ``parts`` of ``table``.
+
+        ``fixed`` pins extra partition levels (e.g. stage=audio) — each
+        fixed level gets its own directory root so concurrent writers of
+        different stages never share a ``_temporary`` staging dir.
+        ``df`` must carry ``part_col`` (NOT the fixed levels).
+        """
+        root = self._path(table)
+        for k, v in (fixed or {}).items():
+            root = f"{root}/{k}={v}"
+        for p in parts:
+            hpath, fs = _hadoop_path(self.spark, f"{root}/{part_col}={p}")
+            if fs.exists(hpath):
+                fs.delete(hpath, True)
+        df.write.mode("append").partitionBy(part_col).parquet(root)
+
+    def append(self, df: DataFrame, table: str, coalesce: int | None = None) -> None:
+        if coalesce:
+            df = df.coalesce(coalesce)
+        df.write.mode("append").parquet(self._path(table))
+
+    def compact(self, table: str, max_files: int, schema: str | None = None) -> None:
+        """Rewrite the table as one file once its listing exceeds
+        max_files (write-sibling + rename swap; see engine docstring for
+        the race caveat the Iceberg backend removes)."""
+        path = self._path(table)
+        hpath, fs = _hadoop_path(self.spark, path)
+        if not fs.exists(hpath):
+            return
+        n_files = sum(
+            1 for st in fs.listStatus(hpath)
+            if st.isFile() and not st.getPath().getName().startswith("_")
+        )
+        if n_files <= max_files:
+            return
+        tmp, _ = _hadoop_path(self.spark, path + ".compacting")
+        r = self.spark.read
+        if schema:
+            r = r.schema(schema)
+        r.parquet(path).coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        fs.delete(hpath, True)
+        fs.rename(tmp, hpath)
+
+
+@dataclass
+class IcebergTableIO:
+    """Iceberg catalog tables: transactional replace + append.
+
+    ``namespace`` is ``<catalog>.<database>``. Tables are created on
+    first write (partitioned by the engine's partition column plus any
+    fixed levels as ordinary partition columns — Iceberg handles
+    concurrent stage writers transactionally, no per-stage roots
+    needed).
+    """
+
+    spark: SparkSession
+    namespace: str
+
+    def _full(self, table: str) -> str:
+        return f"{self.namespace}.{table}"
+
+    def _ensure(self, df: DataFrame, table: str, partition_cols: list[str]) -> None:
+        writer = df.limit(0).writeTo(self._full(table)).using("iceberg")
+        if partition_cols:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_cols])
+        try:
+            writer.create()
+        except Exception:  # already exists
+            pass
+
+    def read(self, table: str, schema: str | None = None) -> DataFrame:
+        try:
+            return self.spark.table(self._full(table))
+        except Exception:
+            return self.spark.createDataFrame([], schema)
+
+    def replace_partitions(
+        self,
+        df: DataFrame,
+        table: str,
+        part_col: str,
+        parts,
+        fixed: dict[str, str] | None = None,
+    ) -> None:
+        from pyspark.sql import functions as F
+
+        for k, v in (fixed or {}).items():
+            df = df.withColumn(k, F.lit(v))
+        fixed_cols = list((fixed or {}).keys())
+        self._ensure(df, table, fixed_cols + [part_col])
+        full = self._full(table)
+        quoted = ", ".join("'" + str(p).replace("'", "''") + "'" for p in parts)
+        fixed_pred = " AND ".join(
+            f"{k} = '{str(v).replace(chr(39), chr(39) * 2)}'"
+            for k, v in (fixed or {}).items()
+        )
+        where = f"{part_col} IN ({quoted})" + (f" AND {fixed_pred}" if fixed_pred else "")
+        try:
+            self.spark.sql(f"DELETE FROM {full} WHERE {where}")
+        except Exception:
+            pass  # freshly created table
+        df.writeTo(full).append()
+
+    def append(self, df: DataFrame, table: str, coalesce: int | None = None) -> None:
+        if coalesce:
+            df = df.coalesce(coalesce)
+        self._ensure(df, table, [])
+        df.writeTo(self._full(table)).append()
+
+    def compact(self, table: str, max_files: int, schema: str | None = None) -> None:
+        # Iceberg snapshots bound metadata growth; data-file compaction is
+        # a maintenance procedure, not a correctness need:
+        #   CALL <catalog>.system.rewrite_data_files(table => ...)
+        pass
+
+
+def iceberg_catalogs(spark: SparkSession) -> list[str]:
+    """Names of configured Spark catalogs backed by Iceberg."""
+    out = []
+    for k, v in spark.sparkContext.getConf().getAll():
+        if k.startswith("spark.sql.catalog.") and k.count(".") == 3 and "iceberg" in v:
+            out.append(k.rsplit(".", 1)[1])
+    return out
+
+
+def default_io(spark: SparkSession, base_dir: str, namespace: str | None = None):
+    """IcebergTableIO when an Iceberg catalog is configured, else
+    ParquetDirIO under base_dir."""
+    cats = iceberg_catalogs(spark)
+    if cats:
+        ns = namespace or f"{cats[0]}.nadeefiler"
+        return IcebergTableIO(spark, ns)
+    return ParquetDirIO(spark, base_dir)

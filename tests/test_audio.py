@@ -44,3 +44,25 @@ def test_snr():
 def test_real_codec_stub():
     with pytest.raises(NotImplementedError):
         audio.decode_real_codec(b"xxxx", "flac")
+
+
+def test_snr_f32_reference():
+    ref16 = audio.render_pcm_samples("clip-9", 16000, 1600)
+    ref32 = audio.render_wave_f32("clip-9", 16000, 1600)
+    assert np.array_equal(ref32.astype(np.int16), ref16)  # same waveform
+    # pristine decode: quantization-noise-bounded, far above threshold
+    assert audio.snr_db_f32(ref32, ref16) > 60
+    noisy = np.clip(
+        ref16.astype(np.int32)
+        + np.random.default_rng(0).integers(-8000, 8000, len(ref16)),
+        -32768, 32767,
+    ).astype(np.int16)
+    assert audio.snr_db_f32(ref32, noisy) < 30
+    # truncated tail penalized, empty edge cases
+    assert audio.snr_db_f32(ref32, ref16[:800]) < 10
+    assert audio.snr_db_f32(ref32[:0], ref16[:0]) == np.inf
+    assert audio.snr_db_f32(ref32, ref16[:0]) == -np.inf
+    # agrees with the int16-reference kernel within quantization effects
+    a = audio.snr_db(ref16, noisy)
+    b = audio.snr_db_f32(ref32, noisy)
+    assert abs(a - b) < 0.1

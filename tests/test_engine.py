@@ -134,3 +134,26 @@ def test_manifest_commit_escapes_part_values(spark, tmp_path):
     eng.run(df, resume=False, run_id="esc1")
     parts = {r["part"] for r in eng.manifest().select("part").collect()}
     assert parts == {"p\\x", "it's", "q\\'mix"}
+
+
+def test_manifest_compaction_bounds_files(spark, tmp_path):
+    """Many (stage, run) commits must not grow the manifest listing
+    unboundedly; compaction preserves every row."""
+    import os
+
+    from nadeefiler_spark.profiler import ProfileConfig
+
+    eng = ValidationEngine(
+        spark, str(tmp_path / "cmp"), rules=[],
+        profile_cfg=ProfileConfig(part_col="part"),
+        manifest_compact_files=8,
+    )
+    for i in range(20):
+        eng._commit(f"r{i}", "profile", ["p"], {"p": 10}, {"p": 0}, 5)
+    mdir = str(tmp_path / "cmp" / "manifest")
+    n_files = len([f for f in os.listdir(mdir)
+                   if f.endswith(".parquet") and not f.startswith("_")])
+    assert n_files <= 12  # bounded (threshold 8 + growth since last compact)
+    m = eng.manifest().toPandas()
+    assert len(m) == 20  # nothing lost
+    assert set(m["run_id"]) == {f"r{i}" for i in range(20)}

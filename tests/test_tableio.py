@@ -1,0 +1,70 @@
+"""Table-IO backend contract: ParquetDirIO must implement the replace /
+append / compact semantics the engine relies on (IcebergTableIO follows
+the same contract; exercised only when an Iceberg catalog is configured
+— no runtime jar ships in this sandbox)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from nadeefiler_spark.tableio import ParquetDirIO, default_io, iceberg_catalogs
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "part string, v int")
+
+
+def test_replace_partitions_is_per_partition(spark, tmp_path):
+    io = ParquetDirIO(spark, str(tmp_path))
+    io.replace_partitions(_df(spark, [("a", 1), ("b", 2)]), "t", "part", ["a", "b"])
+    io.replace_partitions(_df(spark, [("a", 10)]), "t", "part", ["a"])
+    got = {(r["part"], r["v"]) for r in io.read("t", "part string, v int").collect()}
+    assert got == {("a", 10), ("b", 2)}  # b untouched, a replaced
+
+
+def test_replace_partitions_clears_emptied_partition(spark, tmp_path):
+    """A pending partition with zero output rows must still be cleared
+    (re-run that fixed all violations)."""
+    io = ParquetDirIO(spark, str(tmp_path))
+    io.replace_partitions(_df(spark, [("a", 1)]), "t", "part", ["a"])
+    empty = _df(spark, []).where(F.lit(False))
+    io.replace_partitions(empty, "t", "part", ["a"])
+    assert io.read("t", "part string, v int").count() == 0
+
+
+def test_fixed_levels_give_separate_roots(spark, tmp_path):
+    io = ParquetDirIO(spark, str(tmp_path))
+    io.replace_partitions(_df(spark, [("a", 1)]), "t", "part", ["a"],
+                          fixed={"stage": "s1"})
+    io.replace_partitions(_df(spark, [("a", 2)]), "t", "part", ["a"],
+                          fixed={"stage": "s2"})
+    assert os.path.isdir(str(tmp_path / "t" / "stage=s1" / "part=a"))
+    got = io.read("t", "part string, v int, stage string")
+    assert {(r["stage"], r["v"]) for r in got.collect()} == {("s1", 1), ("s2", 2)}
+    # replacing one stage's partition leaves the other stage intact
+    io.replace_partitions(_df(spark, [("a", 3)]), "t", "part", ["a"],
+                          fixed={"stage": "s1"})
+    got2 = io.read("t", "part string, v int, stage string")
+    assert {(r["stage"], r["v"]) for r in got2.collect()} == {("s1", 3), ("s2", 2)}
+
+
+def test_append_and_compact(spark, tmp_path):
+    io = ParquetDirIO(spark, str(tmp_path))
+    for i in range(10):
+        io.append(_df(spark, [("a", i)]), "m", coalesce=1)
+    io.compact("m", max_files=4, schema="part string, v int")
+    files = [f for f in os.listdir(str(tmp_path / "m"))
+             if f.endswith(".parquet") and not f.startswith("_")]
+    assert len(files) == 1
+    assert io.read("m", "part string, v int").count() == 10
+
+
+def test_default_io_is_parquet_without_iceberg_catalog(spark, tmp_path):
+    assert iceberg_catalogs(spark) == []
+    assert isinstance(default_io(spark, str(tmp_path)), ParquetDirIO)
+
+
+def test_read_missing_table_is_empty(spark, tmp_path):
+    io = ParquetDirIO(spark, str(tmp_path))
+    df = io.read("nope", "part string, v int")
+    assert df.count() == 0 and df.columns == ["part", "v"]

@@ -87,3 +87,27 @@ def test_type_histograms_match_reference_semantics(spark):
     pct = got[got["histogram"] == "percent"]
     for r in pct.itertuples():
         assert abs(r.value_num - float(r.value.rstrip("%"))) < 1e-12
+
+
+def test_fd_mining_planted(spark):
+    """Planted FDs: a -> a_fn holds (pure function), noisy pair is an
+    approximate FD at 5% tolerance but not exact."""
+    from nadeefiler_spark import fd
+    import pyspark.sql.functions as F
+
+    rows = [(i % 40, (i % 40) * 7, "g" if i % 97 else "h", i) for i in range(500)]
+    df = spark.createDataFrame(rows, "a long, a_fn long, noisy string, uid long")
+    got = fd.mine_fds(
+        df, ["a", "a_fn", "noisy", "uid"], max_ndv_frac=0.5
+    ).toPandas().set_index(["lhs", "rhs"])
+    # uid has NDV == n -> never an LHS (bounded-cardinality guard)
+    assert "uid" not in set(got.index.get_level_values("lhs"))
+    assert bool(got.loc[("a", "a_fn")]["holds"])
+    assert bool(got.loc[("a_fn", "a")]["holds"])  # *7 is injective here
+    assert not bool(got.loc[("a", "uid")]["holds"])
+    assert not bool(got.loc[("a", "noisy")]["holds"])  # i%97 noise rows
+    # approximate tolerance: noisy violations are rare
+    approx = fd.mine_fds(
+        df, ["a", "noisy"], lhs_cols=["a"], max_violation_rate=0.2
+    ).toPandas().set_index(["lhs", "rhs"])
+    assert bool(approx.loc[("a", "noisy")]["holds"])
