@@ -51,9 +51,12 @@ HEADLINE_QUERIES = (
     "ngram_jaccard",
     "minhash_pairs",
     "simhash_pairs",
+    "embedding_cosine_dups_blocked",
     "ann_topk",
     "lsh_topk",
     "text_quality",
+    "fd_mine",
+    "binary_meta_docs",
 )
 
 
