@@ -192,3 +192,22 @@ def test_streaming_partition_spans_batches(spark, tmp_path):
         map(tuple, eng2.violations().select("part", "rule", "clip_id").collect())
     )
     assert a == b
+
+
+def test_get_spark_honors_master_env():
+    """SPARK_GRAFT_MASTER overrides the local[] default (the
+    spark-submit cluster path sets it to 'external'); verified in a
+    fresh process because a JVM's master is fixed at startup."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os, sys; sys.path.insert(0, '/root/repo'); "
+        "os.environ['SPARK_GRAFT_MASTER'] = 'local[2]'; "
+        "from nadeefiler_spark.session import get_spark; "
+        "s = get_spark(parallelism=8); "
+        "print('MASTER=' + s.sparkContext.master)"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=180)
+    assert "MASTER=local[2]" in out.stdout, out.stderr[-500:]
