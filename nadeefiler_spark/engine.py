@@ -129,11 +129,34 @@ class ValidationEngine:
 
         rule_stages: list[str] = [s for s in STAGE_ORDER[1:] if rules_by_stage.get(s)]
 
+        pending_of = {
+            s: [p for p in all_parts if (str(p), s) not in done]
+            for s in ("profile", *rule_stages)
+        }
+
+        # Decode ONCE for the union of the profile and audio pending sets:
+        # the binary column is by far the widest thing scanned, and its
+        # profile stats are entirely length-derived, so one mapInPandas
+        # pass feeds BOTH the audio rules and the profile stage's `bytes`
+        # summary row — halving full-table binary scans per run. SNR is
+        # rendered only when the audio stage actually needs it.
+        decoded: DataFrame | None = None
+        if rules_by_stage.get("audio") and "bytes" in clips.columns:
+            decode_parts = sorted(
+                {str(p) for p in pending_of.get("audio", [])}
+                | {str(p) for p in pending_of["profile"]}
+            )
+            if decode_parts:
+                decoded = decode_facts(
+                    clips.where(F.col(self.part_col).cast("string").isin(decode_parts)),
+                    with_snr=bool(pending_of.get("audio")),
+                ).persist()
+
         rows_cache: dict[str, int] = {}  # filled by the profile stage
         commit_lock = threading.Lock()
 
         def run_stage(stage: str) -> None:
-            pending = [p for p in all_parts if (str(p), stage) not in done]
+            pending = pending_of[stage]
             if not pending:
                 return
             if fail_stage == stage:
@@ -143,19 +166,23 @@ class ValidationEngine:
             refs_scoped = refs
             if refs is not None and self.part_col in refs.columns:
                 refs_scoped = refs.where(F.col(self.part_col).isin(pending))
+            stage_decoded = None
+            if decoded is not None and stage in ("profile", "audio"):
+                stage_decoded = decoded.where(
+                    F.col("part").isin([str(p) for p in pending])
+                )
 
             if stage == "profile":
-                n_rows_by_part, n_viol_by_part = self._run_profile(scoped, cfg, pending)
+                n_rows_by_part, n_viol_by_part = self._run_profile(
+                    scoped, cfg, pending, decoded=stage_decoded
+                )
                 rows_cache.update(n_rows_by_part)
             else:
-                # decode once, check many: persist the (small, scalar-only)
-                # decoded-facts so the unioned audio rules share one pass
-                decoded = decode_facts(scoped).persist() if stage == "audio" else None
                 ctx = RuleContext(
                     spark=self.spark,
                     clips=scoped,
                     refs=refs_scoped,
-                    decoded=decoded,
+                    decoded=stage_decoded,
                     profile_summary=self.profile_summary(),
                     profile_hist=self.profile_hist(),
                     baseline_hist=baseline_hist,
@@ -168,14 +195,21 @@ class ValidationEngine:
                 else:  # resumed run that skipped the profile stage
                     n_rows_by_part = self._rows_by_part(pending)
                     rows_cache.update(n_rows_by_part)
-                if decoded is not None:
-                    decoded.unpersist()
 
             wall_ms = int((time.monotonic() - t0) * 1000)
             with commit_lock:
                 self._commit(run_id, stage, pending, n_rows_by_part, n_viol_by_part, wall_ms)
 
         # profile runs first: every later stage may read its outputs
+        try:
+            self._run_stages(run_stage, rule_stages, fail_stage)
+        finally:
+            if decoded is not None:
+                decoded.unpersist()
+
+        return self.verdicts().where(F.col("run_id") == run_id)
+
+    def _run_stages(self, run_stage, rule_stages, fail_stage) -> None:
         run_stage("profile")
 
         # Later stages CAN run concurrently when their rules have no
@@ -208,19 +242,54 @@ class ValidationEngine:
                 if errs:
                     raise errs[0][1]
 
-        return self.verdicts().where(F.col("run_id") == run_id)
-
     # --- stage bodies -----------------------------------------------------
-    def _run_profile(self, scoped, cfg, pending):
+    def _run_profile(self, scoped, cfg, pending, decoded=None):
         # idempotent per-partition replace (reference delete-before-write,
         # worker.js:97-100) via the table-IO backend
-        summary = prof.profile_summary(scoped, cfg)
+        fuse = (
+            decoded is not None
+            and "bytes" in scoped.columns
+            and "bytes" not in cfg.skip_cols
+        )
+        if fuse:
+            # binary stats are all length-derived — take them from the
+            # shared decode pass instead of re-scanning the binary column
+            from dataclasses import replace as _replace
+
+            cfg_narrow = _replace(cfg, skip_cols=tuple(cfg.skip_cols) + ("bytes",))
+            summary = prof.profile_summary(scoped, cfg_narrow).unionByName(
+                self._bytes_summary_from_decoded(decoded, cfg)
+            )
+        else:
+            summary = prof.profile_summary(scoped, cfg)
         self.io.replace_partitions(summary, "profile_summary", "part", pending)
         if cfg.value_hist_cols or cfg.bucket_hist_cols:
             hist = prof.profile_histograms(scoped, cfg)
             self.io.replace_partitions(hist, "profile_hist", "part", pending)
         n_rows = self._rows_by_part(pending)
         return n_rows, {p: 0 for p in pending}
+
+    @staticmethod
+    def _bytes_summary_from_decoded(decoded: DataFrame, cfg) -> DataFrame:
+        """The `bytes` column's profile row, computed from the decode
+        pass's n_bytes (int, same type as F.length(binary) so the HLL
+        sketch matches the direct-scan path bit-for-bit)."""
+        nb = F.col("n_bytes")
+        ndv = (F.count_distinct(nb) if cfg.exact_ndv
+               else F.approx_count_distinct(nb))
+        return decoded.groupBy("part").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(nb.isNull().cast("long")).alias("n_nulls"),
+            ndv.alias("ndv"),
+            F.min(nb).cast("string").alias("min"),
+            F.max(nb).cast("string").alias("max"),
+            F.avg(nb.cast("double")).alias("mean"),
+            F.stddev_pop(nb.cast("double")).alias("stddev"),
+            F.avg(nb.cast("double")).alias("avg_len"),
+        ).select(
+            "part", F.lit("bytes").alias("key"), "n_rows", "n_nulls", "ndv",
+            "min", "max", "mean", "stddev", "avg_len",
+        )
 
     def _run_rule_stage(self, stage, rules, ctx, pending):
         # Fold all predicate-style rules (pure row filters) into ONE

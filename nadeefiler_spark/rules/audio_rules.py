@@ -35,7 +35,7 @@ from .base import Rule, RuleContext
 
 DECODED_SCHEMA = (
     "part string, clip_id string, sr_hz int, dur_ms int, codec string, "
-    "dec_codec string, dec_sr int, dec_n bigint, dec_ms int, "
+    "n_bytes int, dec_codec string, dec_sr int, dec_n bigint, dec_ms int, "
     "snr_db double, decode_error string"
 )
 
@@ -55,7 +55,7 @@ def decode_facts(clips: DataFrame, with_snr: bool = True) -> DataFrame:
 
         for pdf in batches:
             out = {k: [] for k in (
-                "part", "clip_id", "sr_hz", "dur_ms", "codec",
+                "part", "clip_id", "sr_hz", "dur_ms", "codec", "n_bytes",
                 "dec_codec", "dec_sr", "dec_n", "dec_ms", "snr_db", "decode_error",
             )}
             for part, cid, sr, dur, codec, blob in zip(
@@ -67,6 +67,10 @@ def decode_facts(clips: DataFrame, with_snr: bool = True) -> DataFrame:
                 out["sr_hz"].append(sr)
                 out["dur_ms"].append(dur)
                 out["codec"].append(codec)
+                # byte length feeds the profile stage's `bytes` column
+                # stats (all length-derived), so profiling never has to
+                # re-scan the binary column (engine._run_profile)
+                out["n_bytes"].append(len(blob) if blob is not None else None)
                 try:
                     dec_codec, dec_sr, pcm = audio.decode(bytes(blob))
                     dec_ms = int(round(1000.0 * len(pcm) / dec_sr)) if dec_sr else 0

@@ -157,3 +157,27 @@ def test_manifest_compaction_bounds_files(spark, tmp_path):
     m = eng.manifest().toPandas()
     assert len(m) == 20  # nothing lost
     assert set(m["run_id"]) == {f"r{i}" for i in range(20)}
+
+
+def test_profile_bytes_row_fused_equals_direct(spark, clips_dir):
+    """The bytes summary row derived from the shared decode pass must
+    equal the direct binary-scan profile row (both NDV modes)."""
+    from nadeefiler_spark import profiler
+    from nadeefiler_spark.rules.audio_rules import decode_facts
+
+    clips = spark.read.parquet(f"{clips_dir}/clips")
+    dec = decode_facts(clips, with_snr=False)
+    for exact in (False, True):
+        cfg = profiler.ProfileConfig(exact_ndv=exact, part_col="part")
+        direct = {r["part"]: r for r in
+                  profiler.profile_summary(clips, cfg)
+                  .where("key = 'bytes'").collect()}
+        fused = {r["part"]: r for r in
+                 ValidationEngine._bytes_summary_from_decoded(dec, cfg).collect()}
+        assert set(direct) == set(fused)
+        for part in direct:
+            d, f = direct[part], fused[part]
+            for col in ("n_rows", "n_nulls", "ndv", "min", "max"):
+                assert d[col] == f[col], (exact, part, col)
+            for col in ("mean", "stddev", "avg_len"):
+                assert abs(d[col] - f[col]) < 1e-6, (exact, part, col)
