@@ -242,6 +242,66 @@ class ValidationEngine:
                 if errs:
                     raise errs[0][1]
 
+    # --- cascade stage: semantic typing ------------------------------------
+    def run_semantic(
+        self,
+        kb: DataFrame,
+        top_k: int = 10,
+        resume: bool = True,
+        run_id: str | None = None,
+    ) -> DataFrame:
+        """Cascade profiler stage: semantic-type scores per (partition,
+        column) from the PROFILE stage's value histograms — the engine
+        analog of the reference's `semantic` profiler, which reads the
+        messystreams profiler's histogram RESULTS rather than raw rows
+        (``/root/reference/profilers/semantic.js:50-55``,
+        cascade ``profilers/config.js:10-20``).
+
+        Reads only the (tiny) profile_hist table, scores against the
+        broadcast KB, writes the ``semantic_scores`` output table with
+        per-partition replace, and commits manifest rows under
+        stage='semantic' (so resume and verdicts work like any stage).
+        Requires the profile stage to have run (it is the cascade
+        parent).
+        """
+        from . import semantic as sem
+
+        run_id = run_id or uuid.uuid4().hex[:12]
+        hist = self.profile_hist().where(F.col("kind") == "value")
+        all_parts = [r[0] for r in hist.select("part").distinct().collect()]
+        done: set[str] = set()
+        if resume:
+            done = {
+                r["part"]
+                for r in self.manifest().where(F.col("stage") == "semantic")
+                .select("part").distinct().collect()
+            }
+        pending = [p for p in all_parts if p not in done]
+        if not pending:
+            return self.verdicts().where(
+                (F.col("stage") == "semantic") & (F.col("run_id") == run_id)
+            )
+        t0 = time.monotonic()
+        string_hist = hist.where(F.col("part").isin(pending)).select(
+            "part", "key", F.col("bin").alias("value"), "count"
+        )
+        scores = sem.semantic_scores(
+            string_hist, kb, top_k=top_k, group_cols=("part", "key")
+        )
+        self.io.replace_partitions(scores, "semantic_scores", "part", pending)
+        rows = self._rows_by_part(pending)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        self._commit(run_id, "semantic", pending, rows, {p: 0 for p in pending}, wall_ms)
+        return self.verdicts().where(
+            (F.col("stage") == "semantic") & (F.col("run_id") == run_id)
+        )
+
+    def semantic_scores_table(self) -> DataFrame:
+        return self.io.read(
+            "semantic_scores",
+            "key string, object string, score double, rank int, part string",
+        )
+
     # --- stage bodies -----------------------------------------------------
     def _run_profile(self, scoped, cfg, pending, decoded=None):
         # idempotent per-partition replace (reference delete-before-write,

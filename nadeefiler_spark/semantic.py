@@ -41,10 +41,13 @@ def semantic_scores(
     kb: DataFrame,
     top_k: int = 10,  # topScores = 10, semantic.js:6
     tf_idf: bool = True,
+    group_cols: tuple[str, ...] = ("key",),
 ) -> DataFrame:
-    """(key, object, score, rank): top-k weighted semantic types per column.
+    """(*group_cols, object, score, rank): top-k weighted semantic types
+    per group (per column by default; pass ("part", "key") to score per
+    partition-column, the engine's cascade-stage shape).
 
-    string_hist: (key, value, count) distinct string values per column.
+    string_hist: (*group_cols, value, count) distinct string values.
     kb: (subject, objects array<string>) pre-normalized subjects.
 
     tf_idf=True (default): a matched token contributes
@@ -54,8 +57,9 @@ def semantic_scores(
     computed on the (broadcast-sized) KB side, so it adds no shuffle.
     tf_idf=False keeps the round-1 shared-token-count scoring.
     """
+    gcols = list(group_cols)
     vals = (
-        string_hist.select("key", "value", "count")
+        string_hist.select(*gcols, "value", "count")
         .withColumn("tok", F.explode(F.split(F.lower("value"), "\\s+")))
         .where(F.col("tok") != "")
     )
@@ -82,20 +86,20 @@ def semantic_scores(
     # match score = sum of matched-token idf weights (textScore analog)
     matches = (
         vals.join(F.broadcast(subs), "tok")
-        .groupBy("key", "value", "count", "subject", "objects")
+        .groupBy(*gcols, "value", "count", "subject", "objects")
         .agg(weight.alias("match_score"))
     )
     # accumulate score*count into each object (semantic.js:8-15)
     scored = (
         matches.select(
-            "key",
+            *gcols,
             F.explode("objects").alias("object"),
             (F.col("match_score") * F.col("count")).alias("w"),
         )
-        .groupBy("key", "object")
+        .groupBy(*gcols, "object")
         .agg(F.sum("w").cast("double").alias("score"))
     )
-    w = Window.partitionBy("key").orderBy(F.desc("score"), F.asc("object"))
+    w = Window.partitionBy(*gcols).orderBy(F.desc("score"), F.asc("object"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)

@@ -181,3 +181,28 @@ def test_profile_bytes_row_fused_equals_direct(spark, clips_dir):
                 assert d[col] == f[col], (exact, part, col)
             for col in ("mean", "stddev", "avg_len"):
                 assert abs(d[col] - f[col]) < 1e-6, (exact, part, col)
+
+
+def test_semantic_cascade_stage(spark, run_dir):
+    """run_semantic reads the profile stage's value histograms (cascade
+    parent), scores against a broadcast KB, and commits like a stage."""
+    eng = _engine(spark, run_dir)
+    kb = spark.createDataFrame(
+        [("pcm_s16le wav", ["wikicat_PCM_Audio"]),
+         ("opus", ["wikicat_Compressed_Audio"]),
+         ("flac", ["wikicat_Lossless_Audio"])],
+        "subject string, objects array<string>",
+    )
+    v = eng.run_semantic(kb, run_id="sem1")
+    rows = v.collect()
+    assert rows and all(r["stage"] == "semantic" and r["passed"] for r in rows)
+    scores = eng.semantic_scores_table().toPandas()
+    assert len(scores) > 0
+    got = scores[(scores["key"] == "codec")]
+    # codec histograms contain 'opus'/'flac'/'pcm_s16le' values -> matches
+    assert {"wikicat_Compressed_Audio", "wikicat_Lossless_Audio"} <= set(got["object"])
+    # resume: second call is a no-op (no new manifest rows)
+    v2 = eng.run_semantic(kb, run_id="sem2")
+    assert v2.count() == 0
+    m = eng.manifest().toPandas()
+    assert (m[m["stage"] == "semantic"]["run_id"] == "sem1").all()
