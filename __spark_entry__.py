@@ -177,14 +177,9 @@ def _lsh_planes() -> np.ndarray:
 
 
 def _lsh_bucket_sql(vec: str) -> str:
-    planes = _lsh_planes()
-    terms = []
-    for i, plane in enumerate(planes):
-        lits = ", ".join(repr(float(x)) for x in plane)
-        terms.append(
-            f"CASE WHEN list_dot_product({vec}, [{lits}]) >= 0 THEN {1 << i} ELSE 0 END"
-        )
-    return "(" + " + ".join(terms) + ")"
+    # single source of truth for the sign/bit-order convention that must
+    # mirror ann.hyperplane_expr: _plane_bucket_sql (defined below)
+    return _plane_bucket_sql(vec, _lsh_planes())
 
 
 # ---------------------------------------------------------------------------
@@ -595,8 +590,7 @@ def _q_semantic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = semantic.semantic_scores(string_hist, _kb_df(spark), top_k=10)
     return out.select(
-        "key", "object", F.round("score", 6).alias("score"),
-        F.col("rank").cast("bigint").alias("rank"),
+        "key", "object", "score", F.col("rank").cast("bigint").alias("rank")
     )
 
 
@@ -632,10 +626,13 @@ scored AS (
   SELECT key, unnest(objects) AS object, match_score * count AS w FROM matches
 ),
 agg AS (
-  SELECT key, object, CAST(sum(w) AS DOUBLE) AS score
+  -- rank over the ROUNDED score (twin of semantic.semantic_scores):
+  -- equal-by-construction float sums must tie exactly for the
+  -- object-ASC tie-break to agree across engines
+  SELECT key, object, round(CAST(sum(w) AS DOUBLE), 6) AS score
   FROM scored GROUP BY 1, 2
 )
-SELECT key, object, round(score, 6) AS score, rank FROM (
+SELECT key, object, score, rank FROM (
   SELECT key, object, score,
          row_number() OVER (PARTITION BY key ORDER BY score DESC, object ASC) AS rank
   FROM agg

@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ignore the checkpoint manifest and recompute")
     p.add_argument("--no-audio", action="store_true", help="skip audio rules")
     p.add_argument("--no-drift", action="store_true", help="skip drift rules")
+    p.add_argument("--semantic-kb", default=None,
+                   help="KB table path (subject string, objects array<string>); "
+                        "runs the semantic cascade stage over the profile "
+                        "histograms after validation")
     p.add_argument("--run-id", default=None)
     return p
 
@@ -68,6 +72,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
         profile_cfg=default_clips_config(),
     )
     verdicts = eng.run(clips, refs=refs, resume=not args.no_resume, run_id=args.run_id)
+    if args.semantic_kb:
+        kb = spark.read.parquet(args.semantic_kb)
+        sem_v = eng.run_semantic(kb, resume=not args.no_resume, run_id=args.run_id)
+        verdicts = verdicts.unionByName(sem_v)
     rows = verdicts.orderBy("part", "stage").collect()
     summary = {
         "partitions": sorted({r["part"] for r in rows}),

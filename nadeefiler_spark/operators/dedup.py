@@ -95,6 +95,10 @@ def ngram_jaccard_pairs(
     """Exact Jaccard near-dup pairs via inverted-index self-join.
 
     (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    ``id_col`` must uniquely identify rows (standard for dedup — a pair
+    operator cannot represent same-id duplicates; run
+    :func:`exact_dup_groups` first if ids can repeat. Shingle dedup is
+    per ROW, so a repeated id would inflate df/size counts).
     max_df drops shingles appearing in more than max_df docs (hot-key
     guard — a stopword shingle would otherwise produce a quadratic
     candidate blowup; this is the skew handling for this operator).

@@ -99,6 +99,11 @@ def semantic_scores(
         .groupBy(*gcols, "object")
         .agg(F.sum("w").cast("double").alias("score"))
     )
+    # rank over the ROUNDED score: objects sharing a subject get
+    # mathematically identical sums, and with idf weights those are
+    # floats — ranking on raw doubles would let last-ulp summation-order
+    # jitter flip the object-ASC tie-break across engines/runs
+    scored = scored.withColumn("score", F.round("score", 6))
     w = Window.partitionBy(*gcols).orderBy(F.desc("score"), F.asc("object"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

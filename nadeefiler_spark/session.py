@@ -99,17 +99,23 @@ def get_spark(
         .config("spark.driver.defaultJavaOptions",
                 ("-XX:+UseG1GC -XX:G1HeapRegionSize=32m "
                  + os.environ.get("SPARK_GRAFT_JVM_EXTRA", "")).strip())
-        # executors need the same G1 tuning (a cluster executor JVM is
-        # launched by the worker AFTER these configs are read, so unlike
-        # the driver options this applies from spark-submit too)
-        .config("spark.executor.defaultJavaOptions",
-                "-XX:+UseG1GC -XX:G1HeapRegionSize=32m")
         # idempotent per-partition overwrite (Iceberg overwritePartitions
         # analog for the sandbox parquet catalog)
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
+    if master_env != "external":
+        # executors need the same G1 tuning (an executor JVM launches
+        # AFTER these configs are read, so unlike the driver options this
+        # applies even to a later-created context). Under spark-submit
+        # (external master) the submitter owns this conf — setting it
+        # here would CLOBBER e.g. -XX:ActiveProcessorCount passed via
+        # --conf (builder configs win over submit-time properties).
+        builder = builder.config(
+            "spark.executor.defaultJavaOptions",
+            "-XX:+UseG1GC -XX:G1HeapRegionSize=32m",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

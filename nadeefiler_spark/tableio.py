@@ -39,6 +39,16 @@ def _hadoop_path(spark: SparkSession, path: str):
     return hpath, hpath.getFileSystem(spark._jsc.hadoopConfiguration())
 
 
+def _escape_part(spark: SparkSession, value) -> str:
+    """Partition value -> directory-name form, using Spark's OWN escaping
+    (ExternalCatalogUtils.escapePathName): a value like "it's" is written
+    as ``part=it%27s``, so deleting the raw ``part=it's`` path would miss
+    and a re-run would append duplicates."""
+    return spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(
+        str(value)
+    )
+
+
 @dataclass
 class ParquetDirIO:
     """Parquet-directory tables under ``base_dir`` (sandbox stand-in for
@@ -76,9 +86,11 @@ class ParquetDirIO:
         """
         root = self._path(table)
         for k, v in (fixed or {}).items():
-            root = f"{root}/{k}={v}"
+            root = f"{root}/{k}={_escape_part(self.spark, v)}"
         for p in parts:
-            hpath, fs = _hadoop_path(self.spark, f"{root}/{part_col}={p}")
+            hpath, fs = _hadoop_path(
+                self.spark, f"{root}/{part_col}={_escape_part(self.spark, p)}"
+            )
             if fs.exists(hpath):
                 fs.delete(hpath, True)
         df.write.mode("append").partitionBy(part_col).parquet(root)
@@ -103,12 +115,19 @@ class ParquetDirIO:
         if n_files <= max_files:
             return
         tmp, _ = _hadoop_path(self.spark, path + ".compacting")
+        bak, _ = _hadoop_path(self.spark, path + ".bak")
         r = self.spark.read
         if schema:
             r = r.schema(schema)
         r.parquet(path).coalesce(1).write.mode("overwrite").parquet(str(tmp))
-        fs.delete(hpath, True)
+        # two renames instead of delete+rename: a crash mid-swap leaves
+        # the data recoverable in .bak/.compacting rather than destroying
+        # the (resume-journal) table; the Iceberg backend makes this a
+        # snapshot commit with no window at all
+        fs.delete(bak, True)
+        fs.rename(hpath, bak)
         fs.rename(tmp, hpath)
+        fs.delete(bak, True)
 
 
 @dataclass
@@ -128,16 +147,23 @@ class IcebergTableIO:
     def _full(self, table: str) -> str:
         return f"{self.namespace}.{table}"
 
-    def _ensure(self, df: DataFrame, table: str, partition_cols: list[str]) -> None:
+    def _exists(self, table: str) -> bool:
+        try:
+            return self.spark.catalog.tableExists(self._full(table))
+        except Exception:
+            return False
+
+    def _ensure(self, df: DataFrame, table: str, partition_cols: list[str]) -> bool:
+        """Create the table if missing; True when it already existed."""
+        if self._exists(table):
+            return True
         writer = df.limit(0).writeTo(self._full(table)).using("iceberg")
         if partition_cols:
             from pyspark.sql import functions as F
 
             writer = writer.partitionedBy(*[F.col(c) for c in partition_cols])
-        try:
-            writer.create()
-        except Exception:  # already exists
-            pass
+        writer.create()
+        return False
 
     def read(self, table: str, schema: str | None = None) -> DataFrame:
         try:
@@ -158,18 +184,21 @@ class IcebergTableIO:
         for k, v in (fixed or {}).items():
             df = df.withColumn(k, F.lit(v))
         fixed_cols = list((fixed or {}).keys())
-        self._ensure(df, table, fixed_cols + [part_col])
+        existed = self._ensure(df, table, fixed_cols + [part_col])
         full = self._full(table)
-        quoted = ", ".join("'" + str(p).replace("'", "''") + "'" for p in parts)
-        fixed_pred = " AND ".join(
-            f"{k} = '{str(v).replace(chr(39), chr(39) * 2)}'"
-            for k, v in (fixed or {}).items()
-        )
-        where = f"{part_col} IN ({quoted})" + (f" AND {fixed_pred}" if fixed_pred else "")
-        try:
+        if existed:
+            # a DELETE failure (commit conflict, catalog error) must
+            # PROPAGATE — appending anyway would duplicate the partitions
+            # this method exists to replace
+            quoted = ", ".join("'" + str(p).replace("'", "''") + "'" for p in parts)
+            fixed_pred = " AND ".join(
+                f"{k} = '{str(v).replace(chr(39), chr(39) * 2)}'"
+                for k, v in (fixed or {}).items()
+            )
+            where = f"{part_col} IN ({quoted})" + (
+                f" AND {fixed_pred}" if fixed_pred else ""
+            )
             self.spark.sql(f"DELETE FROM {full} WHERE {where}")
-        except Exception:
-            pass  # freshly created table
         df.writeTo(full).append()
 
     def append(self, df: DataFrame, table: str, coalesce: int | None = None) -> None:

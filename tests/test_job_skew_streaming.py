@@ -211,3 +211,18 @@ def test_get_spark_honors_master_env():
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=180)
     assert "MASTER=local[2]" in out.stdout, out.stderr[-500:]
+
+
+def test_job_semantic_kb_stage(spark, clips_dirs, tmp_path):
+    kb_path = str(tmp_path / "kb")
+    spark.createDataFrame(
+        [("pcm_s16le", ["wikicat_PCM_Audio"]), ("opus", ["wikicat_Compressed"])],
+        "subject string, objects array<string>",
+    ).write.parquet(kb_path)
+    out = str(tmp_path / "out_sem")
+    summary = job.main(
+        ["--clips", f"{clips_dirs}/clips", "--out", out,
+         "--no-audio", "--no-drift", "--semantic-kb", kb_path],
+        spark=spark,
+    )
+    assert "semantic" in summary["stages"]

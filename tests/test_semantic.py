@@ -87,9 +87,11 @@ def test_semantic_scores_tf_idf_matches_python(spark):
                     scores[(key, obj)] += w * count
     assert len(got) > 0
     for r in got.itertuples():
-        assert abs(scores[(r.key, r.object)] - r.score) < 1e-9, (r.key, r.object)
+        # operator rounds scores to 6 decimals before ranking
+        assert abs(scores[(r.key, r.object)] - r.score) < 1e-6, (r.key, r.object)
     assert {(r.key, r.object) for r in got.itertuples()} == set(scores)
     # rare-token dominance: 'york' (2 subjects) outweighed by 'whale'-only
     # matches relative to plain counting — spot-check ordering for col_string
     top = got[got["key"] == "col_string"].sort_values("rank").iloc[0]
-    assert top["score"] == max(v for (k, _), v in scores.items() if k == "col_string")
+    expect_top = max(v for (k, _), v in scores.items() if k == "col_string")
+    assert abs(top["score"] - expect_top) < 1e-6

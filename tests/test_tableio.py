@@ -68,3 +68,40 @@ def test_read_missing_table_is_empty(spark, tmp_path):
     io = ParquetDirIO(spark, str(tmp_path))
     df = io.read("nope", "part string, v int")
     assert df.count() == 0 and df.columns == ["part", "v"]
+
+
+def test_default_io_selects_iceberg_when_catalog_configured():
+    """Catalog sniffing is pure conf inspection — exercised with a fake
+    session (no Iceberg jar ships in the sandbox)."""
+    from nadeefiler_spark.tableio import IcebergTableIO, default_io
+
+    class FakeConf:
+        def getAll(self):
+            return [
+                ("spark.sql.catalog.ndf", "org.apache.iceberg.spark.SparkCatalog"),
+                ("spark.master", "local[2]"),
+            ]
+
+    class FakeSC:
+        def getConf(self):
+            return FakeConf()
+
+    class FakeSpark:
+        sparkContext = type("SC", (), {"getConf": lambda self: FakeConf()})()
+
+    io = default_io(FakeSpark(), "/tmp/x")
+    assert isinstance(io, IcebergTableIO)
+    assert io.namespace == "ndf.nadeefiler"
+
+
+def test_replace_partitions_with_special_characters(spark, tmp_path):
+    """Spark escapes special chars in partition dir names (part=it%27s);
+    the delete must target the ESCAPED path or re-runs duplicate."""
+    io = ParquetDirIO(spark, str(tmp_path))
+    parts = ["it's", "p#x", "a b", "q%z"]
+    rows = [(p, 1) for p in parts]
+    io.replace_partitions(_df(spark, rows), "t", "part", parts)
+    io.replace_partitions(_df(spark, rows), "t", "part", parts)  # re-run
+    got = io.read("t", "part string, v int").toPandas()
+    assert len(got) == len(parts)  # no duplicates
+    assert set(got["part"]) == set(parts)
