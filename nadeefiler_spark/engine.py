@@ -213,13 +213,15 @@ class ValidationEngine:
         run_stage("profile")
 
         # Later stages CAN run concurrently when their rules have no
-        # dependencies on rules in other pending stages (opt-in via
-        # NADEEFILER_CONCURRENT_STAGES=1). Default is serial: measured at
-        # local[32], concurrent stage submission contends on the local
-        # driver's scheduler/GC and makes wall-clock unstable (14-16s
-        # serial vs 23-46s concurrent on the same input); on a real
-        # multi-executor cluster with scheduler pools, concurrency hides
-        # stage latency instead. Cascades (cross-stage depends_on,
+        # dependencies on rules in other pending stages. Default: ON for
+        # cluster masters, OFF for local[*] — measured both ways:
+        # at local[32] concurrent submission contends on the single
+        # local-mode driver (14-16s serial vs 23-46s concurrent), but on
+        # a real standalone cluster overlapping constraints/audio/drift
+        # hides stage latency (96k clips: 2,248-2,479 -> 2,630 clips/s
+        # at one 8-core executor, 3,837-4,063 -> 4,464 at four;
+        # BENCH/BASELINE.md run 5). NADEEFILER_CONCURRENT_STAGES=1/0
+        # overrides either way. Cascades (cross-stage depends_on,
         # reference profilers/config.js:10-20) always run serially in
         # topological order.
         stage_of = {r.name: r.stage for r in self.rules}
@@ -228,7 +230,9 @@ class ValidationEngine:
             for r in self.rules
             for dep in r.depends_on
         )
-        concurrent_env = os.environ.get("NADEEFILER_CONCURRENT_STAGES", "") == "1"
+        env_val = os.environ.get("NADEEFILER_CONCURRENT_STAGES", "")
+        is_local = self.spark.sparkContext.master.startswith("local")
+        concurrent_env = env_val == "1" or (env_val == "" and not is_local)
         if cross_dep or not concurrent_env or fail_stage is not None or len(rule_stages) <= 1:
             for stage in rule_stages:
                 run_stage(stage)
