@@ -206,3 +206,26 @@ def test_semantic_cascade_stage(spark, run_dir):
     assert v2.count() == 0
     m = eng.manifest().toPandas()
     assert (m[m["stage"] == "semantic"]["run_id"] == "sem1").all()
+
+
+def test_concurrent_stages_match_serial(spark, tiny_cfg, clips_dir, run_dir, monkeypatch):
+    """NADEEFILER_CONCURRENT_STAGES=1 (the cluster default) must produce
+    exactly the serial run's violations — stages share the decode cache
+    and commit under a lock."""
+    import tempfile
+
+    monkeypatch.setenv("NADEEFILER_CONCURRENT_STAGES", "1")
+    out = tempfile.mkdtemp(prefix="conc_out_")
+    eng = ValidationEngine(
+        spark, out, rules=default_clip_rules(), profile_cfg=default_clips_config()
+    )
+    clips = spark.read.parquet(f"{clips_dir}/clips")
+    refs = spark.read.parquet(f"{clips_dir}/transcript_refs")
+    v = eng.run(clips, refs, run_id="conc1", resume=False)
+    assert set(r["stage"] for r in v.collect()) == {
+        "profile", "constraints", "audio", "drift"
+    }
+    key = ["stage", "part", "rule", "clip_id", "detail"]
+    a = sorted(map(tuple, eng.violations().select(*key).collect()))
+    b = sorted(map(tuple, _engine(spark, run_dir).violations().select(*key).collect()))
+    assert a == b
