@@ -73,7 +73,12 @@ def mine_fds(
         branch = per_group.agg(
             F.count(F.lit(1)).alias("n_groups"),
             *[
-                F.sum((F.col(f"ndv_{y}") > 1).cast("bigint")).alias(f"viol_{y}")
+                # coalesce: F.sum over ZERO groups (empty input) is NULL,
+                # but the declared contract is bigint 0 / holds=true —
+                # matching the SQL twin's COALESCE
+                F.coalesce(
+                    F.sum((F.col(f"ndv_{y}") > 1).cast("bigint")), F.lit(0)
+                ).alias(f"viol_{y}")
                 for y in rhs
             ],
         ).select(

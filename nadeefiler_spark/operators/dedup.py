@@ -138,11 +138,13 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    # sizes is one row per doc — broadcast at bench scale; at 10^12 docs
-    # flip these to shuffle joins on id (AQE will; hint kept small-side)
+    # sizes is one row per doc — no broadcast HINT (an explicit hint is
+    # NOT overridden by AQE, so it would pin a 10^12-row table
+    # driver-side); AQE/auto-broadcast picks broadcast when sizes fits
+    # under the threshold and a shuffle join otherwise
     out = (
-        common.join(F.broadcast(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"})), "id_a")
-        .join(F.broadcast(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"})), "id_b")
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
@@ -202,10 +204,19 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    sets_a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sets_b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    sets_a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"),
+                       F.size("shingles").alias("n_a"))
+    sets_b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"),
+                       F.size("shingles").alias("n_b"))
     verified = (
         cand.join(sets_a, "id_a").join(sets_b, "id_b")
+        # size pre-filter BEFORE the O(|A|+|B|) set ops: J(A,B) <= min/max,
+        # so J >= t requires min(|A|,|B|) >= t*max(|A|,|B|) — prunes most
+        # candidates for free (sizes are scalars already in hand)
+        .where(
+            F.least("n_a", "n_b").cast("double")
+            >= F.lit(threshold) * F.greatest("n_a", "n_b")
+        )
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
@@ -313,22 +324,29 @@ def embedding_cosine_pairs_blocked(
     buckets = F.array(*[
         ann.hyperplane_expr(vec_col, dim, bits, seed + t) for t in range(tables)
     ])
+    # norm hoisted to a scalar COLUMN computed once per row at persist
+    # time (NOT the measured-slower array pre-normalization, which
+    # Catalyst re-inlines into the pair transform): each candidate pair
+    # then pays ONE dot product instead of three
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        S.norm(F.col(vec_col)).alias("nrm"),
         F.posexplode(buckets).alias("table", "bucket"),
     ).persist()  # both sides of the per-table self-join
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
-                    "table", "bucket")
+                    F.col("nrm").alias("nrm_a"), "table", "bucket")
     b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
-                    "table", "bucket")
+                    F.col("nrm").alias("nrm_b"), "table", "bucket")
     cand = (
         a.join(b, ["table", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "v_a", "v_b")
+        .select("id_a", "id_b", "v_a", "v_b", "nrm_a", "nrm_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     out = (
-        cand.withColumn("cos", S.cosine(F.col("v_a"), F.col("v_b")))
+        cand.withColumn(
+            "cos", S.dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+        )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

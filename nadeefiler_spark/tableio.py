@@ -11,12 +11,13 @@ Two backends:
   explicit partition-directory deletes + appends. No snapshot isolation:
   a reader racing a replace can see a partition mid-swap. This is the
   sandbox default (no Iceberg runtime jar ships in the container).
-- :class:`IcebergTableIO` — Iceberg catalog tables via ``DELETE FROM``
-  + ``writeTo().append()`` in the documented order; every operation is a
-  table commit, so readers always see a consistent snapshot and
-  replaces are atomic per commit. Selected automatically by
+- :class:`IcebergTableIO` — Iceberg catalog tables; partition replace is
+  a SINGLE ``writeTo().overwrite(condition)`` commit (atomic: delete +
+  write in one snapshot), appends are table commits, so readers always
+  see a consistent snapshot. Selected automatically by
   :func:`default_io` when a Spark catalog configured with an Iceberg
-  implementation is present (spark.sql.catalog.<name> = ...iceberg...).
+  implementation is present (spark.sql.catalog.<name> = ...iceberg...),
+  with a per-out_dir namespace (:func:`namespace_for`).
 
 Enabling Iceberg on a real cluster (public setup):
   spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.12:<ver>
@@ -37,6 +38,20 @@ def _hadoop_path(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     return hpath, hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _is_missing_path(e: Exception) -> bool:
+    """True when the read failed because the table path doesn't exist yet
+    (the normal first-run case), as opposed to corruption."""
+    try:
+        from pyspark.errors import AnalysisException
+    except ImportError:  # pragma: no cover - very old pyspark
+        AnalysisException = ()
+    if isinstance(e, AnalysisException):
+        cond = getattr(e, "getCondition", getattr(e, "getErrorClass", lambda: None))()
+        if "PATH_NOT_FOUND" in (cond or ""):
+            return True
+    return "Path does not exist" in str(e)
 
 
 def _escape_part(spark: SparkSession, value) -> str:
@@ -61,13 +76,21 @@ class ParquetDirIO:
         return f"{self.base_dir}/{table}"
 
     def read(self, table: str, schema: str | None = None) -> DataFrame:
+        """Read the table; empty DataFrame ONLY for table-doesn't-exist-yet.
+
+        Corruption (garbage footer, half-written replace window) must
+        PROPAGATE: an empty manifest silently re-runs everything and a
+        verdicts query lies about history.
+        """
         try:
             r = self.spark.read
             if schema:
                 r = r.schema(schema)
             return r.parquet(self._path(table))
-        except Exception:
-            return self.spark.createDataFrame([], schema)
+        except Exception as e:  # pragma: no branch
+            if _is_missing_path(e):
+                return self.spark.createDataFrame([], schema)
+            raise
 
     def replace_partitions(
         self,
@@ -154,7 +177,13 @@ class IcebergTableIO:
             return False
 
     def _ensure(self, df: DataFrame, table: str, partition_cols: list[str]) -> bool:
-        """Create the table if missing; True when it already existed."""
+        """Create the table if missing; True when it already existed.
+
+        Creation is IDEMPOTENT under concurrent stage threads (engine
+        stage concurrency is default-ON on cluster masters): two writers
+        can both observe tableExists()==False; the loser of the create
+        race catches already-exists and falls through to append.
+        """
         if self._exists(table):
             return True
         writer = df.limit(0).writeTo(self._full(table)).using("iceberg")
@@ -162,14 +191,25 @@ class IcebergTableIO:
             from pyspark.sql import functions as F
 
             writer = writer.partitionedBy(*[F.col(c) for c in partition_cols])
-        writer.create()
+        try:
+            writer.create()
+        except Exception as e:
+            msg = str(e)
+            if "ALREADY_EXISTS" in msg or "already exists" in msg.lower():
+                return True
+            raise
         return False
 
     def read(self, table: str, schema: str | None = None) -> DataFrame:
         try:
             return self.spark.table(self._full(table))
-        except Exception:
-            return self.spark.createDataFrame([], schema)
+        except Exception as e:
+            cond = getattr(
+                e, "getCondition", getattr(e, "getErrorClass", lambda: None)
+            )() or ""
+            if "TABLE_OR_VIEW_NOT_FOUND" in cond or "cannot be found" in str(e):
+                return self.spark.createDataFrame([], schema)
+            raise
 
     def replace_partitions(
         self,
@@ -187,19 +227,23 @@ class IcebergTableIO:
         existed = self._ensure(df, table, fixed_cols + [part_col])
         full = self._full(table)
         if existed:
-            # a DELETE failure (commit conflict, catalog error) must
-            # PROPAGATE — appending anyway would duplicate the partitions
-            # this method exists to replace
-            quoted = ", ".join("'" + str(p).replace("'", "''") + "'" for p in parts)
-            fixed_pred = " AND ".join(
-                f"{k} = '{str(v).replace(chr(39), chr(39) * 2)}'"
-                for k, v in (fixed or {}).items()
+            # SINGLE-COMMIT replace: writeTo().overwrite(condition)
+            # atomically deletes every row matching the condition and
+            # writes df in one Iceberg snapshot — no window where a
+            # reader sees the partitions empty, no half-replaced state
+            # after a crash. (overwritePartitions() would NOT clear a
+            # partition whose new df has zero rows — e.g. a partition
+            # whose violations all disappeared — so the explicit
+            # condition form is required.)
+            is_str = str(df.schema[part_col].dataType) in ("StringType", "StringType()")
+            cond = F.col(part_col).isin(
+                [str(p) for p in parts] if is_str else list(parts)
             )
-            where = f"{part_col} IN ({quoted})" + (
-                f" AND {fixed_pred}" if fixed_pred else ""
-            )
-            self.spark.sql(f"DELETE FROM {full} WHERE {where}")
-        df.writeTo(full).append()
+            for k, v in (fixed or {}).items():
+                cond = cond & (F.col(k) == F.lit(str(v)))
+            df.writeTo(full).overwrite(cond)
+        else:
+            df.writeTo(full).append()
 
     def append(self, df: DataFrame, table: str, coalesce: int | None = None) -> None:
         if coalesce:
@@ -223,11 +267,30 @@ def iceberg_catalogs(spark: SparkSession) -> list[str]:
     return out
 
 
+def namespace_for(base_dir: str, catalog: str) -> str:
+    """Deterministic per-out_dir Iceberg namespace.
+
+    Two ValidationEngine instances with different out_dirs MUST NOT share
+    manifest/violations tables (a shared manifest makes resume skip the
+    other engine's partitions), so the database name is derived from
+    base_dir: a readable sanitized tail plus a short digest of the full
+    path for uniqueness.
+    """
+    import hashlib
+    import re
+
+    tail = re.sub(r"[^A-Za-z0-9_]", "_", base_dir.rstrip("/").rsplit("/", 1)[-1])[:40]
+    digest = hashlib.md5(base_dir.rstrip("/").encode()).hexdigest()[:8]
+    return f"{catalog}.ndf_{tail}_{digest}"
+
+
 def default_io(spark: SparkSession, base_dir: str, namespace: str | None = None):
     """IcebergTableIO when an Iceberg catalog is configured, else
-    ParquetDirIO under base_dir."""
+    ParquetDirIO under base_dir. The Iceberg namespace is derived from
+    base_dir (see :func:`namespace_for`) so distinct out_dirs map to
+    distinct table sets; pass ``namespace`` to pin it explicitly."""
     cats = iceberg_catalogs(spark)
     if cats:
-        ns = namespace or f"{cats[0]}.nadeefiler"
+        ns = namespace or namespace_for(base_dir, cats[0])
         return IcebergTableIO(spark, ns)
     return ParquetDirIO(spark, base_dir)

@@ -91,7 +91,79 @@ def test_default_io_selects_iceberg_when_catalog_configured():
 
     io = default_io(FakeSpark(), "/tmp/x")
     assert isinstance(io, IcebergTableIO)
-    assert io.namespace == "ndf.nadeefiler"
+    # namespace derived from out_dir: distinct out_dirs -> distinct
+    # table sets (two engines on one session must not share a manifest)
+    assert io.namespace.startswith("ndf.ndf_x_")
+    io2 = default_io(FakeSpark(), "/tmp/y")
+    assert io2.namespace != io.namespace
+    assert default_io(FakeSpark(), "/tmp/x").namespace == io.namespace  # deterministic
+    io3 = default_io(FakeSpark(), "/tmp/x", namespace="ndf.pinned")
+    assert io3.namespace == "ndf.pinned"
+
+
+def test_namespace_for_sanitizes():
+    from nadeefiler_spark.tableio import namespace_for
+
+    ns = namespace_for("/data/out-dir with spaces!", "cat")
+    db = ns.split(".", 1)[1]
+    assert ns.startswith("cat.ndf_")
+    assert all(c.isalnum() or c == "_" for c in db)
+
+
+def test_read_corrupt_table_raises(spark, tmp_path):
+    """A garbage file inside an existing table dir must RAISE, not read
+    as empty — an empty manifest silently re-runs everything."""
+    import pytest
+
+    io = ParquetDirIO(spark, str(tmp_path))
+    io.append(_df(spark, [("a", 1)]), "m", coalesce=1)
+    (tmp_path / "m" / "part-garbage.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        # schema inference reads footers eagerly; with an explicit schema
+        # the failure surfaces at action time — exercise both
+        io.read("m").count()
+    with pytest.raises(Exception):
+        io.read("m", "part string, v int").count()
+
+
+def test_iceberg_ensure_create_race_falls_through():
+    """Two concurrent stage threads can both see tableExists()==False;
+    the create-race loser must treat already-exists as existed=True."""
+    from nadeefiler_spark.tableio import IcebergTableIO
+
+    class FakeWriter:
+        def using(self, fmt):
+            return self
+
+        def partitionedBy(self, *cols):
+            return self
+
+        def create(self):
+            raise Exception("[TABLE_OR_VIEW_ALREADY_EXISTS] Cannot create table")
+
+    class FakeDF:
+        def limit(self, n):
+            return self
+
+        def writeTo(self, name):
+            return FakeWriter()
+
+    io = IcebergTableIO(spark=None, namespace="c.db")
+    io._exists = lambda table: False  # simulate the race window
+    assert io._ensure(FakeDF(), "violations", []) is True  # fell through
+
+    class FakeWriterOther(FakeWriter):
+        def create(self):
+            raise Exception("[INSUFFICIENT_PERMISSIONS] nope")
+
+    class FakeDFOther(FakeDF):
+        def writeTo(self, name):
+            return FakeWriterOther()
+
+    import pytest
+
+    with pytest.raises(Exception, match="INSUFFICIENT"):
+        io._ensure(FakeDFOther(), "violations", [])
 
 
 def test_replace_partitions_with_special_characters(spark, tmp_path):

@@ -111,3 +111,17 @@ def test_fd_mining_planted(spark):
         df, ["a", "noisy"], lhs_cols=["a"], max_violation_rate=0.2
     ).toPandas().set_index(["lhs", "rhs"])
     assert bool(approx.loc[("a", "noisy")]["holds"])
+
+
+def test_fd_mining_empty_input(spark):
+    """Empty input with explicit lhs_cols: violating_groups must be 0
+    (not NULL — F.sum over zero groups) and holds true, matching the SQL
+    twin's COALESCE semantics."""
+    from nadeefiler_spark import fd
+
+    df = spark.createDataFrame([], "a long, b long")
+    got = fd.mine_fds(df, ["a", "b"], lhs_cols=["a"]).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r["n_groups"] == 0 and r["violating_groups"] == 0
+    assert bool(r["holds"])
