@@ -1044,6 +1044,47 @@ def _sql_fd_mine() -> str:
     """
 
 
+def _q_fd_mine_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition FD discovery (engine cascade stage grain,
+    ValidationEngine.run_fd): ONE pass groups on (part, lhs) — no driver
+    loop over partitions. c_nationkey -> nk_bucket holds inside every
+    segment; the reverse fails wherever a bucket maps to >1 nation."""
+    from nadeefiler_spark import fd
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("part"),
+        "c_nationkey",
+        (F.col("c_nationkey") % 5).cast("bigint").alias("nk_bucket"),
+    )
+    return fd.mine_fds(
+        c, ["c_nationkey", "nk_bucket"], max_ndv_frac=1.0, part_col="part"
+    )
+
+
+def _sql_fd_mine_parts() -> str:
+    cols = ("c_nationkey", "nk_bucket")
+    parts = []
+    for x in cols:
+        for y in cols:
+            if y == x:
+                continue
+            parts.append(f"""
+            SELECT part, '{x}' AS lhs, '{y}' AS rhs,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                     AS violating_groups,
+                   coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) <= 0
+                     AS holds
+            FROM (SELECT part, {x}, count(DISTINCT {y}) AS nd FROM t GROUP BY 1, 2)
+            GROUP BY part""")
+    u = " UNION ALL ".join(parts)
+    return f"""
+    WITH t AS (SELECT c_mktsegment AS part, c_nationkey,
+                      CAST(c_nationkey % 5 AS BIGINT) AS nk_bucket FROM customer)
+    {u}
+    """
+
+
 def _q_binary_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-gated twin of the multimodal metadata pass: the documents'
     UTF-8 bytes stand in for opaque blobs, so every column (octet count,
@@ -1147,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _q_lsh_topk,
         "text_quality": _q_text_quality,
         "fd_mine": _q_fd_mine,
+        "fd_mine_parts": _q_fd_mine_parts,
         "binary_meta": _q_binary_meta,
         "binary_meta_docs": _q_binary_meta_docs,
         "audio_validate": _q_audio_validate,
@@ -1185,6 +1227,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk": _sql_lsh_topk(),
         "text_quality": _sql_text_quality(),
         "fd_mine": _sql_fd_mine(),
+        "fd_mine_parts": _sql_fd_mine_parts(),
         "binary_meta_docs": _SQL_BINARY_META_DOCS,
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py

@@ -38,6 +38,15 @@ FAKE_CODECS = ("flac", "opus", "mp3")
 ALL_CODECS = REAL_CODECS + FAKE_CODECS
 VALID_SR = (8000, 16000, 22050, 44100, 48000)
 
+# Magic prefixes of REAL compressed bitstreams (public container specs):
+# blobs with these headers route to :func:`decode_real_codec` — the
+# production plug-point — instead of the sandbox fake container.
+REAL_BITSTREAM_MAGIC = (
+    (b"fLaC", "flac"),   # FLAC stream marker
+    (b"OggS", "opus"),   # Ogg capture pattern (opus-in-ogg)
+    (b"ID3", "mp3"),     # MP3 with ID3v2 tag
+)
+
 
 def clip_seed(clip_id: str) -> int:
     """Stable 32-bit seed for a clip — crc32, identical on every executor."""
@@ -130,16 +139,29 @@ def sniff_codec(blob: bytes) -> str:
         return "pcm_s16le"
     if blob[:4] == FAKE_MAGIC:
         return blob[4:14].rstrip(b"\0").decode(errors="replace")
+    for magic, codec in REAL_BITSTREAM_MAGIC:
+        if blob[: len(magic)] == magic:
+            return codec
     return ""
 
 
 def decode(blob: bytes) -> tuple[str, int, np.ndarray]:
-    """-> (codec_tag, sample_rate, int16 pcm). Raises on garbage."""
+    """-> (codec_tag, sample_rate, int16 pcm). Raises on garbage.
+
+    Real compressed bitstreams (fLaC/OggS/ID3 magic) route to
+    :func:`decode_real_codec` — NotImplementedError in the sandbox,
+    soundfile/ffmpeg in a production deployment; everything downstream
+    (SNR math, rules, profiling) is codec-agnostic.
+    """
     if blob[:4] == b"RIFF":
         sr, pcm = _wav_decode(blob)
         return "pcm_s16le", sr, pcm
     if blob[:4] == FAKE_MAGIC:
         return _fake_decode(blob)
+    for magic, codec in REAL_BITSTREAM_MAGIC:
+        if blob[: len(magic)] == magic:
+            sr, pcm = decode_real_codec(blob, codec)
+            return codec, sr, pcm
     raise ValueError("unrecognized audio container")
 
 

@@ -306,6 +306,73 @@ class ValidationEngine:
             "key string, object string, score double, rank int, part string",
         )
 
+    # --- cascade stage: FD mining ------------------------------------------
+    def run_fd(
+        self,
+        clips: DataFrame,
+        cols: list[str] | None = None,
+        max_ndv_frac: float = 0.5,
+        max_violation_rate: float = 0.0,
+        resume: bool = True,
+        run_id: str | None = None,
+    ) -> DataFrame:
+        """Cascade profiler stage: per-partition single-column FD mining
+        over ``cols`` (defaults to every non-binary column). Fills the
+        reference's registered-but-stubbed ``fdminer`` cascade slot
+        (``/root/reference/profilers/config.js:10-20``,
+        ``profilers/fdminer/index.js:17-21``) as an engine stage: output
+        table ``fd_results`` with per-partition replace, manifest rows
+        under stage='fd' (resume/verdicts like any stage). One Spark job
+        regardless of partition count — mining groups on
+        (part, lhs) instead of looping partitions on the driver.
+        """
+        from . import fd as fdm
+
+        run_id = run_id or uuid.uuid4().hex[:12]
+        if cols is None:
+            cols = [
+                f.name for f in clips.schema.fields
+                if f.name != self.part_col and "Binary" not in str(f.dataType)
+            ]
+        all_parts = [r[0] for r in clips.select(self.part_col).distinct().collect()]
+        done: set[str] = set()
+        if resume:
+            done = {
+                r["part"]
+                for r in self.manifest().where(F.col("stage") == "fd")
+                .select("part").distinct().collect()
+            }
+        pending = [p for p in all_parts if str(p) not in done]
+        if not pending:
+            return self.verdicts().where(
+                (F.col("stage") == "fd") & (F.col("run_id") == run_id)
+            )
+        t0 = time.monotonic()
+        scoped = clips.where(F.col(self.part_col).isin(pending))
+        mined = fdm.mine_fds(
+            scoped, cols, max_ndv_frac=max_ndv_frac,
+            max_violation_rate=max_violation_rate, part_col=self.part_col,
+        ).withColumn(self.part_col, F.col(self.part_col).cast("string"))
+        if self.part_col != "part":
+            mined = mined.withColumnRenamed(self.part_col, "part")
+        self.io.replace_partitions(mined, "fd_results", "part", [str(p) for p in pending])
+        rows = self._rows_by_part(pending)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        self._commit(
+            run_id, "fd", [str(p) for p in pending],
+            rows, {str(p): 0 for p in pending}, wall_ms,
+        )
+        return self.verdicts().where(
+            (F.col("stage") == "fd") & (F.col("run_id") == run_id)
+        )
+
+    def fd_results(self) -> DataFrame:
+        return self.io.read(
+            "fd_results",
+            "lhs string, rhs string, n_groups bigint, violating_groups bigint, "
+            "holds boolean, part string",
+        )
+
     # --- stage bodies -----------------------------------------------------
     def _run_profile(self, scoped, cfg, pending, decoded=None):
         # idempotent per-partition replace (reference delete-before-write,

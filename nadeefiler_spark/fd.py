@@ -49,6 +49,7 @@ def mine_fds(
     lhs_cols: list[str] | None = None,
     max_ndv_frac: float = 0.5,
     max_violation_rate: float = 0.0,
+    part_col: str | None = None,
 ) -> DataFrame:
     """Discover single-column FDs X→Y among ``cols``.
 
@@ -57,20 +58,26 @@ def mine_fds(
     where violating_groups counts X-groups with >1 distinct Y and
     ``holds`` = violating_groups <= max_violation_rate * n_groups.
 
+    ``part_col`` scopes mining per partition — the grouping key becomes
+    (part, X) and the result carries a leading ``part`` column, so one
+    pass yields every partition's FDs (the engine's stage grain) without
+    a per-partition driver loop.
+
     lhs_cols defaults to :func:`candidate_lhs` (bounded-NDV guard). All
     per-LHS aggregations union into one plan -> one Spark job.
     """
     if lhs_cols is None:
-        lhs_cols = candidate_lhs(df, cols, max_ndv_frac)
+        lhs_cols = candidate_lhs(df, [c for c in cols if c != part_col], max_ndv_frac)
+    part_keys = [part_col] if part_col else []
     branches: list[DataFrame] = []
     for x in lhs_cols:
-        rhs = [y for y in cols if y != x]
+        rhs = [y for y in cols if y != x and y != part_col]
         if not rhs:
             continue
-        per_group = df.groupBy(x).agg(
+        per_group = df.groupBy(*part_keys, x).agg(
             *[F.count_distinct(y).alias(f"ndv_{y}") for y in rhs]
         )
-        branch = per_group.agg(
+        branch = per_group.groupBy(*part_keys).agg(
             F.count(F.lit(1)).alias("n_groups"),
             *[
                 # coalesce: F.sum over ZERO groups (empty input) is NULL,
@@ -82,6 +89,7 @@ def mine_fds(
                 for y in rhs
             ],
         ).select(
+            *part_keys,
             F.explode(
                 F.array(*[
                     F.struct(
@@ -92,12 +100,13 @@ def mine_fds(
                     )
                     for y in rhs
                 ])
-            ).alias("fd")
-        ).select("fd.lhs", "fd.rhs", "fd.n_groups", "fd.violating_groups")
+            ).alias("fd"),
+        ).select(*part_keys, "fd.lhs", "fd.rhs", "fd.n_groups", "fd.violating_groups")
         branches.append(branch)
     if not branches:
+        part_schema = f"{part_col} string, " if part_col else ""
         return df.sparkSession.createDataFrame(
-            [], "lhs string, rhs string, n_groups bigint, "
+            [], part_schema + "lhs string, rhs string, n_groups bigint, "
                 "violating_groups bigint, holds boolean",
         )
     out = branches[0]

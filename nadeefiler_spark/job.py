@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="KB table path (subject string, objects array<string>); "
                         "runs the semantic cascade stage over the profile "
                         "histograms after validation")
+    p.add_argument("--fd-cols", nargs="*", default=None,
+                   help="run the FD-mining cascade stage over these columns "
+                        "(no values = every non-binary column); writes the "
+                        "fd_results table and stage='fd' manifest rows")
     p.add_argument("--run-id", default=None)
     return p
 
@@ -76,6 +80,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
         kb = spark.read.parquet(args.semantic_kb)
         sem_v = eng.run_semantic(kb, resume=not args.no_resume, run_id=args.run_id)
         verdicts = verdicts.unionByName(sem_v)
+    if args.fd_cols is not None:
+        fd_v = eng.run_fd(
+            clips, cols=args.fd_cols or None,
+            resume=not args.no_resume, run_id=args.run_id,
+        )
+        verdicts = verdicts.unionByName(fd_v)
     rows = verdicts.orderBy("part", "stage").collect()
     summary = {
         "partitions": sorted({r["part"] for r in rows}),

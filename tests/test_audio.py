@@ -46,6 +46,45 @@ def test_real_codec_stub():
         audio.decode_real_codec(b"xxxx", "flac")
 
 
+def test_real_bitstream_routing_contract():
+    """Plug-point contract (can't rot silently): a REAL compressed
+    bitstream — recognized by its public magic — must route through
+    decode_real_codec, whose sandbox NotImplementedError names the
+    production dependency; garbage still raises ValueError."""
+    for magic, codec in audio.REAL_BITSTREAM_MAGIC:
+        blob = magic + b"\x00" * 64
+        assert audio.sniff_codec(blob) == codec
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            audio.decode(blob)
+    with pytest.raises(ValueError, match="unrecognized"):
+        audio.decode(b"\x01\x02garbage-not-any-container")
+    assert audio.sniff_codec(b"\x01\x02garbage") == ""
+
+
+def test_real_bitstream_becomes_decode_error_row(spark):
+    """End-to-end routing: a clip whose bytes are a real FLAC bitstream
+    produces a decode_error fact naming the plug-point (the engine
+    flags it instead of crashing), matching the documented sandbox
+    behavior."""
+    import pandas as pd
+
+    from nadeefiler_spark.rules.audio_rules import decode_facts
+
+    pdf = pd.DataFrame({
+        "part": ["flac"], "clip_id": ["clip-real"],
+        "sr_hz": pd.array([16000], dtype="int32"),
+        "dur_ms": pd.array([100], dtype="int32"),
+        "codec": ["flac"], "bytes": [b"fLaC" + b"\x00" * 64],
+    })
+    df = spark.createDataFrame(
+        pdf,
+        "part string, clip_id string, sr_hz int, dur_ms int, codec string, bytes binary",
+    )
+    row = decode_facts(df).collect()[0]
+    assert row["decode_error"] is not None
+    assert "soundfile" in row["decode_error"]
+
+
 def test_snr_f32_reference():
     ref16 = audio.render_pcm_samples("clip-9", 16000, 1600)
     ref32 = audio.render_wave_f32("clip-9", 16000, 1600)

@@ -226,3 +226,36 @@ def test_job_semantic_kb_stage(spark, clips_dirs, tmp_path):
         spark=spark,
     )
     assert "semantic" in summary["stages"]
+    # the cascade stage commits real manifest rows (resume grain)
+    eng = ValidationEngine(spark, out)
+    sem_manifest = eng.manifest().where(F.col("stage") == "semantic").toPandas()
+    assert len(sem_manifest) > 0
+    assert (sem_manifest["n_rows"] > 0).all()
+
+
+def test_job_fd_stage(spark, clips_dirs, tmp_path):
+    """--fd-cols runs the FD cascade stage end-to-end through the CLI:
+    fd_results table rows + stage='fd' manifest rows + resume skip."""
+    out = str(tmp_path / "out_fd")
+    summary = job.main(
+        ["--clips", f"{clips_dirs}/clips", "--out", out,
+         "--no-audio", "--no-drift", "--fd-cols"],
+        spark=spark,
+    )
+    assert "fd" in summary["stages"]
+    eng = ValidationEngine(spark, out)
+    fd_pd = eng.fd_results().toPandas()
+    assert len(fd_pd) > 0
+    # datagen plants codec-named partitions: within a partition the codec
+    # column is constant, so every lhs -> codec FD holds trivially
+    codec_rhs = fd_pd[fd_pd["rhs"] == "codec"]
+    assert len(codec_rhs) > 0 and codec_rhs["holds"].all()
+    manifest = eng.manifest().where(F.col("stage") == "fd").toPandas()
+    assert set(manifest["part"]) == set(fd_pd["part"])
+    # resumed run skips all fd partitions
+    summary2 = job.main(
+        ["--clips", f"{clips_dirs}/clips", "--out", out,
+         "--no-audio", "--no-drift", "--fd-cols"],
+        spark=spark,
+    )
+    assert summary2["partitions"] == []
