@@ -91,6 +91,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | str | None = "auto",
     eager: bool = True,
+    shingle_impl: str = "hash",
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs via inverted-index self-join.
 
@@ -105,15 +106,29 @@ def ngram_jaccard_pairs(
     Defaults to "auto" = :func:`auto_max_df` of the corpus size (one
     cheap count job); pass None to explicitly disable the guard (exact
     Jaccard over ALL shingles — only safe on skew-free corpora).
+
+    shingle_impl="hash" (default) shingles as 64-bit rotate-xor hashes
+    (similarity.word_shingle_hashes): O(tokens) arithmetic instead of
+    O(tokens x n) string builds, and 8-byte shuffle keys instead of
+    multi-word strings — measured 7.1s -> 3.9s at sf0.1. Jaccard is
+    identical up to a ~2^-64-per-pair hash collision (astronomically
+    below any meaningful threshold). shingle_impl="string" keeps the
+    collision-free string-shingle pipeline.
     """
     if max_df == "auto":
         max_df = auto_max_df(df.count())
+    shingles = (
+        S.word_shingle_hashes(text_col, n)
+        if shingle_impl == "hash"
+        else X.word_shingles(text_col, n)
+    )
     # (id, shingle) pairs, deduped PER ROW (array_distinct — narrow, no
     # global distinct shuffle); persisted because the pairs feed the
     # hot-shingle census, the doc-size agg, and the bucket grouping
+    # (measured: persist 7.0s vs recompute-3x 8.5s at sf0.1)
     sh0 = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(X.word_shingles(text_col, n))).alias("shingle"),
+        F.explode(F.array_distinct(shingles)).alias("shingle"),
     ).persist()
     sh = sh0
     if max_df is not None:

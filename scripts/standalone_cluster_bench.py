@@ -18,6 +18,23 @@ memory-streaming decode saturates the bus at ~10-12 cores).
 Usage:
   python scripts/standalone_cluster_bench.py [n_clips] [trials] [dur_min_ms] [dur_max_ms]
 Prints one JSON line; detailed logs under /tmp/ndf_cluster_*.
+
+Env knobs (round-3 allocation-bottleneck A/B — the membw probe
+fingerprinted concurrent large transient allocation, i.e. kernel
+page-zeroing/mmap churn, as the only layer that collapses on this
+shared-kernel host; these are the public JVM levers aimed at exactly
+that):
+  NDF_EXEC_JVM_EXTRA  extra executor JVM options appended to the
+                      default set, e.g. "-Xms18g -XX:+AlwaysPreTouch
+                      -XX:+UseTransparentHugePages"
+  NDF_EXTRA_CONF      extra spark confs, ';'-separated k=v, e.g.
+                      "spark.memory.offHeap.enabled=true;spark.memory.offHeap.size=6g"
+  NDF_KS              comma-separated worker counts (default "1,4");
+                      a single value (e.g. "4") runs one topology for
+                      cheap variant sweeps
+  NDF_DATA_DIR        reuse a pre-generated clips dir (skips datagen and
+                      the per-variant regeneration noise)
+  NDF_KEEP_DATA       "1": don't delete the generated data dir on exit
 """
 
 from __future__ import annotations
@@ -138,6 +155,13 @@ def submit(k: int, data_dir: str, n_clips: int, trials: int, env, log: str) -> d
         f.write(CHILD)
     senv = dict(env)
     senv["SPARK_GRAFT_MASTER"] = "external"
+    exec_jvm = ("-XX:+UseG1GC -XX:G1HeapRegionSize=32m "
+                f"-XX:ActiveProcessorCount={WORKER_CORES} "
+                + os.environ.get("NDF_EXEC_JVM_EXTRA", "")).strip()
+    extra_conf: list[str] = []
+    for kv in os.environ.get("NDF_EXTRA_CONF", "").split(";"):
+        if kv.strip():
+            extra_conf += ["--conf", kv.strip()]
     cmd = [
         f"{SPARK_HOME}/bin/spark-submit",
         "--master", MASTER_URL,
@@ -148,12 +172,11 @@ def submit(k: int, data_dir: str, n_clips: int, trials: int, env, log: str) -> d
         "--conf", f"spark.executor.cores={WORKER_CORES}",
         "--conf", f"spark.executor.memory={EXECUTOR_MEM}",
         "--conf", f"spark.cores.max={k * WORKER_CORES}",
-        "--conf", ("spark.executor.defaultJavaOptions="
-                   "-XX:+UseG1GC -XX:G1HeapRegionSize=32m "
-                   f"-XX:ActiveProcessorCount={WORKER_CORES}"),
+        "--conf", f"spark.executor.defaultJavaOptions={exec_jvm}",
         "--conf", f"spark.pyspark.python={sys.executable}",
         "--conf", f"spark.sql.shuffle.partitions={k * WORKER_CORES * 2}",
         "--conf", f"spark.default.parallelism={k * WORKER_CORES * 2}",
+        *extra_conf,
         child, data_dir, str(n_clips), str(trials),
     ]
     with open(log, "w") as lf:
@@ -177,8 +200,12 @@ def main() -> None:
     sys.path.insert(0, os.path.join(REPO, "scripts"))
     from scaling_bench import gen_data
 
-    print(f"generating {n_clips} clips ...", file=sys.stderr)
-    data_dir = gen_data(n_clips, dur_min, dur_max)
+    ks = [int(x) for x in os.environ.get("NDF_KS", "1,4").split(",") if x.strip()]
+    data_dir = os.environ.get("NDF_DATA_DIR", "")
+    own_data = not data_dir
+    if own_data:
+        print(f"generating {n_clips} clips ...", file=sys.stderr)
+        data_dir = gen_data(n_clips, dur_min, dur_max)
 
     work_root = tempfile.mkdtemp(prefix="ndf_cluster_")
     env = dict(os.environ)
@@ -195,7 +222,7 @@ def main() -> None:
     try:
         start_master(env)
         time.sleep(4)
-        for k in (1, 4):
+        for k in ks:
             start_workers(k, env, work_root)
             time.sleep(5)
             print(f"running with {k} worker(s) x {WORKER_CORES} cores ...",
@@ -205,21 +232,26 @@ def main() -> None:
             stop_workers(k, env)
             time.sleep(2)
     finally:
-        stop_workers(4, env)
+        stop_workers(max(ks), env)
         stop_master(env)
-        shutil.rmtree(data_dir, ignore_errors=True)
+        if own_data and os.environ.get("NDF_KEEP_DATA", "") != "1":
+            shutil.rmtree(data_dir, ignore_errors=True)
 
-    eff = (results[4]["clips_per_sec"] / results[1]["clips_per_sec"]) / 4.0
-    dec_eff = (results[4]["decode_clips_per_sec"]
-               / results[1]["decode_clips_per_sec"]) / 4.0
-    print(json.dumps({
+    out = {
         "n_clips": n_clips, "dur_ms": [dur_min, dur_max],
         "worker_cores": WORKER_CORES,
-        "exec1": results[1], "exec4": results[4],
-        "scaling_efficiency_N_to_4N": round(eff, 3),
-        "decode_scaling_efficiency_N_to_4N": round(dec_eff, 3),
+        "exec_jvm_extra": os.environ.get("NDF_EXEC_JVM_EXTRA", ""),
+        "extra_conf": os.environ.get("NDF_EXTRA_CONF", ""),
+        **{f"exec{k}": results[k] for k in ks},
         "work_root": work_root,
-    }, indent=2))
+    }
+    if 1 in results and 4 in results:
+        out["scaling_efficiency_N_to_4N"] = round(
+            (results[4]["clips_per_sec"] / results[1]["clips_per_sec"]) / 4.0, 3)
+        out["decode_scaling_efficiency_N_to_4N"] = round(
+            (results[4]["decode_clips_per_sec"]
+             / results[1]["decode_clips_per_sec"]) / 4.0, 3)
+    print(json.dumps(out, indent=2))
 
 
 if __name__ == "__main__":
