@@ -52,7 +52,9 @@ SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
 MASTER_URL = "spark://127.0.0.1:7077"
 WORKER_CORES = 8
 WORKER_MEM = "26g"
-EXECUTOR_MEM = "18g"
+# NDF_EXEC_MEM right-sizes the heap (e.g. "12g") so -XX:+AlwaysPreTouch
+# variants don't pin 4x18g of always-resident heap on the shared host
+EXECUTOR_MEM = os.environ.get("NDF_EXEC_MEM", "18g")
 
 
 def _daemon(action: str, klass: str, instance: int, *args: str, env=None) -> None:
@@ -122,6 +124,7 @@ for _ in range(trials):
     dec.append(time.monotonic() - t0)
 
 walls = []
+stage_ms = {}
 for _ in range(trials):
     out = tempfile.mkdtemp(prefix="cl_out_")
     eng = ValidationEngine(spark, out, rules=default_clip_rules(with_drift=True),
@@ -129,6 +132,11 @@ for _ in range(trials):
     t0 = time.monotonic()
     eng.run(clips, refs=refs, resume=False)
     walls.append(time.monotonic() - t0)
+    # per-stage wall from the manifest (one value per stage per run —
+    # identifies WHICH stage eats the scaling loss; concurrent stages
+    # overlap, so these sum to more than the trial wall)
+    for r in eng.manifest().select("stage", "wall_ms").distinct().collect():
+        stage_ms.setdefault(r["stage"], []).append(int(r["wall_ms"]))
 
 wall = sorted(walls)[len(walls) // 2]
 dwall = sorted(dec)[len(dec) // 2]
@@ -139,6 +147,7 @@ print("RESULT " + json.dumps({
     "decode_wall_s": round(dwall, 3),
     "decode_clips_per_sec": round(n_clips / dwall, 1),
     "decode_trials_s": [round(w, 3) for w in dec],
+    "stage_wall_ms": {k: sorted(v) for k, v in sorted(stage_ms.items())},
     "master": sc.master}))
 """
 
