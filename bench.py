@@ -56,6 +56,7 @@ HEADLINE_QUERIES = (
     "lsh_topk",
     "text_quality",
     "fd_mine",
+    "fd_mine_parts",
     "binary_meta_docs",
 )
 

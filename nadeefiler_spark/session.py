@@ -49,6 +49,26 @@ def package_zip() -> str:
     return out
 
 
+def _pretouch_opts() -> str:
+    """Opt-in allocation-stability JVM options (SPARK_GRAFT_PRETOUCH=1).
+
+    Round-3 cluster A/B (BENCH/BASELINE.md): `-Xms=<heap>
+    -XX:+AlwaysPreTouch -XX:+UseTransparentHugePages` eliminated the
+    catastrophic 3-20x slow trials on the shared-kernel host by moving
+    heap page-zeroing out of steady state — the exact mechanism the
+    round-2 membw probe isolated. Off by default locally because
+    pre-touching a 24 g driver heap costs seconds of startup per
+    SparkSession (wrong trade for short-lived test sessions); turn it on
+    for long-running local jobs. Cluster executors get the equivalent
+    via spark.executor.defaultJavaOptions at submit time (see
+    scripts/standalone_cluster_bench.py's V4 configuration).
+    """
+    if os.environ.get("SPARK_GRAFT_PRETOUCH", "") != "1":
+        return ""
+    heap = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    return f"-Xms{heap} -XX:+AlwaysPreTouch -XX:+UseTransparentHugePages "
+
+
 def get_spark(
     app_name: str = "nadeefiler_spark",
     parallelism: int | None = None,
@@ -98,6 +118,7 @@ def get_spark(
         # bare JVM sizes its GC/JIT thread pools off ALL host cores)
         .config("spark.driver.defaultJavaOptions",
                 ("-XX:+UseG1GC -XX:G1HeapRegionSize=32m "
+                 + _pretouch_opts()
                  + os.environ.get("SPARK_GRAFT_JVM_EXTRA", "")).strip())
         # idempotent per-partition overwrite (Iceberg overwritePartitions
         # analog for the sandbox parquet catalog)

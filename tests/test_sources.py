@@ -56,3 +56,17 @@ def test_import_kb_tsv(spark, tmp_path):
         "alpha centauri": ["wikicat_Stars", "wordnet_star"],
         "beta test": ["wikicat_Software_testing"],
     }
+
+
+def test_pretouch_opts_env_gated(monkeypatch):
+    """SPARK_GRAFT_PRETOUCH=1 adds the measured allocation-stability JVM
+    options (round-3 cluster A/B) sized to the driver heap; default off."""
+    from nadeefiler_spark.session import _pretouch_opts
+
+    monkeypatch.delenv("SPARK_GRAFT_PRETOUCH", raising=False)
+    assert _pretouch_opts() == ""
+    monkeypatch.setenv("SPARK_GRAFT_PRETOUCH", "1")
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "8g")
+    got = _pretouch_opts()
+    assert "-Xms8g" in got and "-XX:+AlwaysPreTouch" in got
+    assert "-XX:+UseTransparentHugePages" in got
