@@ -36,6 +36,7 @@ Operator → query map (SURVEY §2 ids in brackets):
                           multi-table hyperplane-LSH blocking]
 - ann_topk               [pipeline: ANN brute-force top-k]
 - lsh_topk               [pipeline: ANN hyperplane-LSH top-k]
+- ivf_topk               [pipeline: ANN IVF (inverted-file) top-k]
 - text_quality           [pipeline: text analysis suite]
 - binary_meta_docs       [pipeline: multimodal metadata, DuckDB-oracled]
 - audio_validate         [north_star audio rules]       (no DuckDB oracle:
@@ -930,6 +931,74 @@ def _sql_lsh_topk() -> str:
     """
 
 
+# IVF top-k: the coarse quantizer's centroids are FIXED corpus rows
+# (vec_id < _IVF_CELLS) so the DuckDB twin reads the identical values
+# from the same table — no float literals to drift. nprobe=2 cells.
+_IVF_CELLS, _IVF_NPROBE = 16, 2
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list:
+    rows = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < _IVF_CELLS)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    return [r["v"] for r in rows]
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embeddings_double(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 5)
+    out = ann.ivf_topk(
+        e, q, _ivf_centroids(spark, sf_dir),
+        id_col="vec_id", vec_col="embedding", k=5, nprobe=_IVF_NPROBE,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+_SQL_IVF_TOPK = f"""
+WITH cent AS (
+  SELECT CAST(vec_id AS INT) AS cell, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < {_IVF_CELLS}
+),
+c AS (
+  SELECT neighbor_id, v, cell FROM (
+    SELECT e.vec_id AS neighbor_id, CAST(e.embedding AS DOUBLE[]) AS v, cent.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), cent.cv), cent.cell
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+qp AS (
+  SELECT query_id, v AS qv, cell FROM (
+    SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS v, cent.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), cent.cv), cent.cell
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent WHERE e.vec_id < 5
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT qp.query_id, c.neighbor_id,
+         round(list_cosine_similarity(c.v, qp.qv), 6) AS cos
+  FROM c JOIN qp USING (cell) WHERE qp.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -1186,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups_blocked": _q_embedding_cosine_dups_blocked,
         "ann_topk": _q_ann_topk,
         "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
         "text_quality": _q_text_quality,
         "fd_mine": _q_fd_mine,
         "fd_mine_parts": _q_fd_mine_parts,
@@ -1225,6 +1295,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_dups_blocked": _sql_embedding_cosine_dups_blocked(),
         "ann_topk": _SQL_ANN_TOPK,
         "lsh_topk": _sql_lsh_topk(),
+        "ivf_topk": _SQL_IVF_TOPK,
         "text_quality": _sql_text_quality(),
         "fd_mine": _sql_fd_mine(),
         "fd_mine_parts": _sql_fd_mine_parts(),

@@ -54,6 +54,7 @@ HEADLINE_QUERIES = (
     "embedding_cosine_dups_blocked",
     "ann_topk",
     "lsh_topk",
+    "ivf_topk",
     "text_quality",
     "fd_mine",
     "fd_mine_parts",

@@ -234,3 +234,51 @@ def test_embedding_blocked_subset_of_exact_with_planted_dups(spark):
     g = {(a, b) for a, b in zip(*[blocked.toPandas()[c] for c in ("id_a", "id_b")])}
     assert g <= e  # blocking never invents pairs
     assert (0, 70) in g and (1, 71) in g  # near-identical pairs share buckets
+
+
+def test_ivf_topk_and_kmeans(spark):
+    rng = np.random.default_rng(11)
+    # 4 well-separated gaussian clusters so IVF cells mean something
+    centers = rng.standard_normal((4, 16)) * 4.0
+    vecs = np.vstack([c + 0.3 * rng.standard_normal((20, 16)) for c in centers])
+    vecs[70] = vecs[0] + 0.01 * rng.standard_normal(16)  # planted neighbor
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.where("vec_id < 3")
+
+    # quantizer with the true cluster centers: IVF must equal brute force
+    # restricted to probed cells — and with clusters this separated the
+    # planted neighbor is always in the query's own (nearest) cell
+    got = ann.ivf_topk(df, queries, centers, k=3, nprobe=1).toPandas()
+    top_of_0 = got[(got["query_id"] == 0) & (got["rank"] == 1)].iloc[0]
+    assert int(top_of_0["neighbor_id"]) == 70
+
+    # IVF results are a subset of brute-force candidates: every returned
+    # neighbor's cosine matches numpy exactly
+    for _, r in got.iterrows():
+        va = vecs[int(r["query_id"])].astype(np.float64)
+        vb = vecs[int(r["neighbor_id"])].astype(np.float64)
+        expect = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert r["cos"] == pytest.approx(expect, abs=1e-6)
+
+    # nprobe = #cells degenerates to exact brute force
+    full = ann.ivf_topk(df, queries, centers, k=3, nprobe=len(centers)).toPandas()
+    bf = ann.brute_force_topk(df, queries, k=3).toPandas()
+    key = ["query_id", "rank"]
+    assert (
+        full.sort_values(key)["neighbor_id"].tolist()
+        == bf.sort_values(key)["neighbor_id"].tolist()
+    )
+
+    # kmeans trainer: deterministic across repartitioning, inertia improves
+    c1 = ann.kmeans_centroids(df, k=4, iters=3)
+    c2 = ann.kmeans_centroids(df.repartition(7), k=4, iters=3)
+    np.testing.assert_allclose(c1, c2, rtol=0, atol=1e-12)
+    seed = ann.kmeans_centroids(df, k=4, iters=0)
+    assert ann.kmeans_inertia(df, c1) < ann.kmeans_inertia(df, seed)
+    # trained centroids recover the planted structure: every true center
+    # has a trained centroid nearby (within the cluster's own spread)
+    d = np.linalg.norm(centers[:, None, :] - c1[None, :, :], axis=2)
+    assert (d.min(axis=1) < 1.5).all()
