@@ -37,6 +37,7 @@ Operator → query map (SURVEY §2 ids in brackets):
 - ann_topk               [pipeline: ANN brute-force top-k]
 - lsh_topk               [pipeline: ANN hyperplane-LSH top-k]
 - ivf_topk               [pipeline: ANN IVF (inverted-file) top-k]
+- ivf_topk_indexed       [pipeline: IVF over a persisted cell-partitioned index]
 - text_quality           [pipeline: text analysis suite]
 - binary_meta_docs       [pipeline: multimodal metadata, DuckDB-oracled]
 - audio_validate         [north_star audio rules]       (no DuckDB oracle:
@@ -999,6 +1000,30 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 """
 
 
+def _q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index variant: write the cell-partitioned IVF index to
+    a temp dir, then search it with directory-level partition pruning.
+    Must produce byte-identical results to ivf_topk (same oracle SQL)."""
+    import os
+    import tempfile
+
+    e = _embeddings_double(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 5)
+    cents = _ivf_centroids(spark, sf_dir)
+    # deterministic per-sf path + overwrite: repeated bench/oracle runs
+    # reuse the location instead of accumulating temp dirs
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"ndf_ivf_index_{tag}")
+    ann.write_ivf_index(e, path, cents)
+    out = ann.ivf_topk_indexed(
+        spark, path, q, cents,
+        id_col="vec_id", vec_col="embedding", k=5, nprobe=_IVF_NPROBE,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cos", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -1256,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
+        "ivf_topk_indexed": _q_ivf_topk_indexed,
         "text_quality": _q_text_quality,
         "fd_mine": _q_fd_mine,
         "fd_mine_parts": _q_fd_mine_parts,
@@ -1296,6 +1322,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _SQL_ANN_TOPK,
         "lsh_topk": _sql_lsh_topk(),
         "ivf_topk": _SQL_IVF_TOPK,
+        "ivf_topk_indexed": _SQL_IVF_TOPK,
         "text_quality": _sql_text_quality(),
         "fd_mine": _sql_fd_mine(),
         "fd_mine_parts": _sql_fd_mine_parts(),

@@ -55,6 +55,7 @@ HEADLINE_QUERIES = (
     "ann_topk",
     "lsh_topk",
     "ivf_topk",
+    "ivf_topk_indexed",
     "text_quality",
     "fd_mine",
     "fd_mine_parts",

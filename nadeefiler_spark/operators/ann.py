@@ -16,7 +16,9 @@
   kmeans_centroids, a distributed Lloyd's trainer whose per-iteration
   update is a map-side partial aggregation (posexplode →
   groupBy(cell, pos) combines to k × dim rows per partition before the
-  shuffle).
+  shuffle). write_ivf_index / ivf_topk_indexed persist the corpus
+  cell-partitioned so repeated query batches scan only probed cells
+  (partition pruning at the file level).
 
 Hyperplanes are generated from a fixed seed with numpy on the driver
 and shipped as literal arrays — deterministic across cluster sizes.
@@ -194,9 +196,9 @@ def ivf_topk(
     cell assignment and query probe selection are both map-side. The
     candidate join broadcasts the (small) exploded query-probe table;
     the only shuffle is the per-query top-k window. Returned schema
-    matches brute_force_topk. At 10^12-row scale the corpus side would
-    additionally be written bucketed by `cell` so repeated query
-    batches skip even the scan of unprobed cells.
+    matches brute_force_topk. For repeated query batches at scale,
+    persist the corpus side with write_ivf_index and search with
+    ivf_topk_indexed — the scan then skips unprobed cells entirely.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -271,3 +273,81 @@ def kmeans_inertia(
         F.avg(_min_dist_expr(vec_col, centroids)).alias("inertia")
     ).collect()[0]
     return float(row["inertia"])
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus as a cell-partitioned IVF index.
+
+    partitionBy("cell") lays out one directory per quantizer cell, so a
+    search filtering on its probed cells reads only ~nprobe/k_cells of
+    the data — the scan-level payoff of IVF at 10^12 rows, where even
+    a perfect in-memory candidate filter would still pay the full scan.
+    repartition("cell") co-locates each cell into one shuffle partition
+    before the write (one file run per cell instead of one file per
+    cell per input partition); at larger scale repartition(n, "cell")
+    bounds file size while keeping the layout.
+    """
+    (
+        corpus.select(
+            F.col(id_col), F.col(vec_col), ivf_cell_expr(vec_col, centroids).alias("cell")
+        )
+        .repartition("cell")
+        .write.mode(mode)
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-k search over a write_ivf_index table, scanning only probed
+    cells.
+
+    The distinct probed cells (at most |Q| × nprobe ints) are collected
+    and applied as a literal partition filter, so the parquet scan
+    plans PartitionFilters and lists/reads only those cell directories
+    (verified by inputFiles in tests). Everything after the pruned scan
+    matches ivf_topk: broadcast the exploded query-probe table, score,
+    per-query top-k window.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(ivf_probe_expr(vec_col, centroids, nprobe)).alias("cell"),
+    )
+    cells = sorted(r["cell"] for r in q.select("cell").distinct().collect())
+    idx = (
+        spark.read.parquet(index_path)
+        .where(F.col("cell").isin(cells))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col("cell").cast("int").alias("cell"),
+        )
+    )
+    scored = (
+        idx.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(S.cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -282,3 +282,48 @@ def test_ivf_topk_and_kmeans(spark):
     # has a trained centroid nearby (within the cluster's own spread)
     d = np.linalg.norm(centers[:, None, :] - c1[None, :, :], axis=2)
     assert (d.min(axis=1) < 1.5).all()
+
+
+def test_ivf_index_pruned_search(spark, tmp_path):
+    rng = np.random.default_rng(12)
+    centers = rng.standard_normal((8, 16)) * 4.0
+    vecs = np.vstack([c + 0.3 * rng.standard_normal((25, 16)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.where("vec_id < 3")
+    path = str(tmp_path / "ivf_index")
+    ann.write_ivf_index(df, path, centers)
+
+    got = ann.ivf_topk_indexed(spark, path, queries, centers, k=3, nprobe=2)
+    direct = ann.ivf_topk(df, queries, centers, k=3, nprobe=2)
+    key = ["query_id", "rank"]
+    assert (
+        got.toPandas().sort_values(key)["neighbor_id"].tolist()
+        == direct.toPandas().sort_values(key)["neighbor_id"].tolist()
+    )
+
+    # the pruning claim: the probed-cell filter must be a PARTITION
+    # filter on the scan (directory-level pruning), not a row filter
+    # evaluated after reading everything.
+    probe_cells = sorted(
+        {
+            c
+            for r in queries.select(
+                ann.ivf_probe_expr("embedding", centers, 2).alias("p")
+            ).collect()
+            for c in r["p"]
+        }
+    )
+    assert len(probe_cells) < len(centers)  # something left to prune
+    pruned = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters: [cell" in scan_line and " IN " in scan_line
+    assert "DataFilters: []" in scan_line  # nothing row-filtered post-scan
+    # and the pruned read returns exactly the probed cells' rows
+    per_cell = dict(
+        spark.read.parquet(path).groupBy("cell").count().collect()
+    )
+    assert pruned.count() == sum(per_cell[c] for c in probe_cells)
