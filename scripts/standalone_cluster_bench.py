@@ -50,7 +50,11 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
 MASTER_URL = "spark://127.0.0.1:7077"
-WORKER_CORES = 8
+# NDF_WORKER_CORES sizes each worker/executor. 8 (default) saturates the
+# host's memory bus at 4 workers (32 cores); 4 keeps 1->4 executors at
+# 4->16 cores, under the measured ~10-12-core membw saturation point —
+# isolating executor-scaling behavior from the single-host bus ceiling.
+WORKER_CORES = int(os.environ.get("NDF_WORKER_CORES", "8"))
 WORKER_MEM = "26g"
 # NDF_EXEC_MEM right-sizes the heap (e.g. "12g") so -XX:+AlwaysPreTouch
 # variants don't pin 4x18g of always-resident heap on the shared host
