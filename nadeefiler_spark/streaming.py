@@ -95,3 +95,67 @@ class StreamingValidator:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming dedup (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+DEDUP_OUT_SCHEMA = "digest string, doc_id bigint, keeper_id bigint, is_dup boolean"
+DEDUP_STATE_SCHEMA = "keeper_id bigint, n_seen bigint"
+
+
+def streaming_exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", content_col: str = "text"
+) -> DataFrame:
+    """Cross-batch exact dedup over a stream: flag every document whose
+    content digest was already seen — in THIS batch or ANY earlier one.
+
+    The batch operator (operators.dedup.exact_dup_groups) answers "what
+    is duplicated in this corpus"; a training-data INGEST pipeline needs
+    the streaming form — "is this arriving document new" — without
+    re-scanning the corpus per batch. State is the Spark state store
+    keyed by digest: one (keeper_id, n_seen) row per distinct content,
+    partitioned across executors by the groupBy(digest) shuffle and
+    checkpointed with the stream (restart-safe — covered by tests).
+    At 10^12 scale the state store (RocksDB-backed in prod configs)
+    holds only distinct digests, not documents.
+
+    Determinism: all same-digest rows co-group regardless of
+    parallelism; within a first-seen batch the keeper is the LOWEST id
+    (sorted before emit), not arrival order.
+
+    Returns a streaming DataFrame (digest, doc_id, keeper_id, is_dup);
+    one row per input row, appended each micro-batch.
+    """
+    keyed = docs.select(
+        F.md5(F.col(content_col).cast("binary")).alias("digest"),
+        F.col(id_col).cast("long").alias("doc_id"),
+    ).groupBy("digest")
+
+    def dedupe(key, pdfs, state):
+        import pandas as pd
+
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["doc_id"])
+        ids.sort()
+        if state.exists:
+            keeper, n_seen = state.get
+            is_dup = [True] * len(ids)  # content already kept earlier
+        else:
+            keeper, n_seen = ids[0], 0
+            is_dup = [i != keeper for i in ids]
+        state.update((keeper, n_seen + len(ids)))
+        yield pd.DataFrame(
+            {
+                "digest": key[0],
+                "doc_id": ids,
+                "keeper_id": keeper,
+                "is_dup": is_dup,
+            }
+        )
+
+    return keyed.applyInPandasWithState(
+        dedupe, DEDUP_OUT_SCHEMA, DEDUP_STATE_SCHEMA, "append", "NoTimeout"
+    )

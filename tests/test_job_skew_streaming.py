@@ -3,6 +3,7 @@ streaming incremental validation."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 import pytest
 
@@ -259,3 +260,55 @@ def test_job_fd_stage(spark, clips_dirs, tmp_path):
         spark=spark,
     )
     assert summary2["partitions"] == []
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """Cross-batch dedup state: a duplicate arriving in a LATER batch —
+    after a full query restart from the checkpoint — is flagged against
+    the original keeper."""
+    from nadeefiler_spark.streaming import streaming_exact_dedup
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    sink = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: in-batch duplicate (doc 3 repeats doc 1's content; keeper
+    # must be the LOWEST id, not arrival order — listed 3 before 1)
+    pd.DataFrame(
+        {"doc_id": [3, 1, 2], "text": ["hello", "hello", "world"]}
+    ).to_json(src / "b1.json", orient="records", lines=True)
+    drain()
+
+    # batch 2, separate query restarted from the checkpoint: doc 4
+    # repeats batch-1 content, doc 5 is fresh
+    pd.DataFrame(
+        {"doc_id": [4, 5], "text": ["hello", "fresh"]}
+    ).to_json(src / "b2.json", orient="records", lines=True)
+    drain()
+
+    got = (
+        pd.read_parquet(sink)
+        .sort_values("doc_id")
+        .set_index("doc_id")[["keeper_id", "is_dup"]]
+    )
+    assert len(got) == 5
+    assert not got.loc[1, "is_dup"] and got.loc[1, "keeper_id"] == 1
+    assert not got.loc[2, "is_dup"]
+    assert got.loc[3, "is_dup"] and got.loc[3, "keeper_id"] == 1
+    # the cross-batch case: state survived the restart
+    assert got.loc[4, "is_dup"] and got.loc[4, "keeper_id"] == 1
+    assert not got.loc[5, "is_dup"] and got.loc[5, "keeper_id"] == 5
