@@ -21,10 +21,45 @@ api/models/Tuple.js:8-30). The Spark re-expressions:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .semantic import normalize_subject
+
+# Characters parquet rejects in field names (" ,;{}()\n\t=") — the
+# Spark-side analog of the reference's Mongo key restrictions.
+_BAD_NAME_CHARS = re.compile(r"[ ,;{}()\n\t=]+")
+
+
+def clean_column_names(df: DataFrame) -> DataFrame:
+    """Key-name cleaning (SURVEY §2 F7): make header-derived column
+    names safe to persist.
+
+    The reference sanitizes tuple keys for its store's key restrictions
+    — ``cleanKeyName`` replaces ``(`` / ``)``
+    (/root/reference/frontend/app/scripts/controllers/main.js:371-373,
+    Mongo additionally forbids ``.``/``$``). The Spark engine can QUERY
+    any name via backtick quoting, but parquet rejects
+    `` ,;{}()\\n\\t=`` in field names, so an uploaded CSV with headers
+    like ``price (usd)`` would profile fine yet fail on first persist.
+    This maps each forbidden run to ``_``, names an empty header
+    ``_c{i}``, and dedupes case-insensitive collisions with ``_2``,
+    ``_3``… suffixes (CSV headers are user input; duplicates happen).
+    Idempotent and deterministic across parallelism (driver-side rename
+    only — no data movement, the scan plan is unchanged)."""
+    out: list[str] = []
+    seen: dict[str, int] = {}
+    for i, name in enumerate(df.columns):
+        # rstrip only: a trailing ``_`` comes from a substituted trailing
+        # ``)`` etc.; LEADING underscores are legal, meaningful names
+        # (``_id``) and must survive unchanged
+        base = _BAD_NAME_CHARS.sub("_", name.strip()).rstrip("_") or f"_c{i}"
+        n = seen.get(base.lower(), 0) + 1
+        seen[base.lower()] = n
+        out.append(base if n == 1 else f"{base}_{n}")
+    return df.toDF(*out)
 
 
 def read_tuples_csv(
@@ -32,6 +67,7 @@ def read_tuples_csv(
     path: str,
     delimiter: str = ",",
     with_order: bool = False,
+    clean_names: bool = True,
 ) -> DataFrame:
     """Schemaless (all-string) CSV scan with header-derived columns.
 
@@ -46,17 +82,20 @@ def read_tuples_csv(
         .option("delimiter", delimiter)
         .option("inferSchema", False)  # strings stay strings
     )
+    _clean = clean_column_names if clean_names else (lambda d: d)
     if not with_order:
-        return reader.csv(path)
+        return _clean(reader.csv(path))
     # Deterministic physical order needs each file to stay in ONE task:
     # multiLine disables input splitting, so within a partition
     # monotonically_increasing_id() ascends in physical row order and a
     # per-file window turns it into a dense 0-based __order. Matches the
     # reference's per-upload `__order` (Tuple.js:8) — uploads are small;
     # large order-insensitive scans should use with_order=False.
+    # _metadata is resolvable only on the scan relation, so order columns
+    # are attached BEFORE the (projection-introducing) name cleaning
     df = reader.option("multiLine", True).csv(path)
     w = Window.partitionBy(F.col("_file")).orderBy(F.col("_mid"))
-    return (
+    return _clean(
         df.withColumn("_file", F.col("_metadata.file_path"))
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("__order", F.row_number().over(w) - F.lit(1))

@@ -123,6 +123,36 @@ class ParquetDirIO:
             df = df.coalesce(coalesce)
         df.write.mode("append").parquet(self._path(table))
 
+    def _swap_in(self, df: DataFrame, table: str,
+                 partition_by: list[str] | None = None,
+                 coalesce: int | None = None) -> None:
+        """Write ``df`` to a sibling dir, then rename-swap it in.
+
+        ``df`` may READ from ``table`` (the table is untouched until the
+        sibling write has fully succeeded). Two renames instead of
+        delete+rename: a crash mid-swap leaves the data recoverable in
+        .bak/.compacting rather than destroying the table; the Iceberg
+        backend makes this a snapshot commit with no window at all."""
+        path = self._path(table)
+        hpath, fs = _hadoop_path(self.spark, path)
+        tmp, _ = _hadoop_path(self.spark, path + ".compacting")
+        bak, _ = _hadoop_path(self.spark, path + ".bak")
+        w = df.coalesce(coalesce) if coalesce else df
+        writer = w.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(tmp))
+        fs.delete(bak, True)
+        fs.rename(hpath, bak)
+        fs.rename(tmp, hpath)
+        fs.delete(bak, True)
+
+    def overwrite(self, df: DataFrame, table: str,
+                  partition_by: list[str] | None = None) -> None:
+        """Full-table replace via sibling write + rename swap; safe even
+        when ``df`` is derived from the table itself (purge rewrites)."""
+        self._swap_in(df, table, partition_by=partition_by)
+
     def compact(self, table: str, max_files: int, schema: str | None = None) -> None:
         """Rewrite the table as one file once its listing exceeds
         max_files (write-sibling + rename swap; see engine docstring for
@@ -137,20 +167,10 @@ class ParquetDirIO:
         )
         if n_files <= max_files:
             return
-        tmp, _ = _hadoop_path(self.spark, path + ".compacting")
-        bak, _ = _hadoop_path(self.spark, path + ".bak")
         r = self.spark.read
         if schema:
             r = r.schema(schema)
-        r.parquet(path).coalesce(1).write.mode("overwrite").parquet(str(tmp))
-        # two renames instead of delete+rename: a crash mid-swap leaves
-        # the data recoverable in .bak/.compacting rather than destroying
-        # the (resume-journal) table; the Iceberg backend makes this a
-        # snapshot commit with no window at all
-        fs.delete(bak, True)
-        fs.rename(hpath, bak)
-        fs.rename(tmp, hpath)
-        fs.delete(bak, True)
+        self._swap_in(r.parquet(path), table, coalesce=1)
 
 
 @dataclass
