@@ -39,6 +39,9 @@ Operator → query map (SURVEY §2 ids in brackets):
 - ivf_topk               [pipeline: ANN IVF (inverted-file) top-k]
 - ivf_topk_indexed       [pipeline: IVF over a persisted cell-partitioned index]
 - text_quality           [pipeline: text analysis suite]
+- doc_chunks             [pipeline: token-window chunking, 64/8 overlap]
+- curation_disposition   [pipeline: composed curation (lang+quality gates
+                          -> fingerprint dedup), per-doc audit trail]
 - binary_meta_docs       [pipeline: multimodal metadata, DuckDB-oracled]
 - audio_validate         [north_star audio rules]       (no DuckDB oracle:
                           binary audio — exact datagen golden, tests/test_hash_twins.py)
@@ -1085,6 +1088,96 @@ def _sql_text_quality() -> str:
     """
 
 
+_CHUNK_SIZE, _CHUNK_OVERLAP = 64, 8
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (functions.text.token_chunks): 64-token
+    chunks, 8-token overlap, exploded to one row per chunk. Chunk text
+    is md5'd so the contract rows stay small."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(tx.token_chunks("text", _CHUNK_SIZE, _CHUNK_OVERLAP))
+            .alias("chunk_idx", "chunk"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.md5("chunk").alias("chunk_md5"),
+            tx.token_count(F.col("chunk")).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def _sql_doc_chunks() -> str:
+    sz, st = _CHUNK_SIZE, _CHUNK_SIZE - _CHUNK_OVERLAP
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= {sz} THEN 1
+                  ELSE (len(toks) - {sz})
+                       + (({st} - ((len(toks) - {sz}) % {st})) % {st}) + 1
+             END AS last
+      FROM base WHERE len(toks) > 0
+    ),
+    x AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(last, 1), {st})) AS st
+      FROM s
+    )
+    SELECT doc_id,
+           CAST((st - 1) // {st} AS BIGINT) AS chunk_idx,
+           md5(array_to_string(list_slice(toks, st, st + {sz} - 1), ' ')) AS chunk_md5,
+           CAST(len(list_slice(toks, st, st + {sz} - 1)) AS BIGINT) AS n_tokens
+    FROM x
+    """
+
+
+def _q_curation_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline (operators/curate.py): language gate +
+    quality gate + fingerprint exact-dedup, audited per document."""
+    from nadeefiler_spark.operators.curate import curation_disposition
+
+    d = _t(spark, sf_dir, "documents")
+    return curation_disposition(
+        d, id_col="doc_id", text_col="text", min_quality=0.7, langs=("en",)
+    ).select(
+        "doc_id", "quality",
+        F.col("lang").alias("lang_guess"),  # table has a declared `lang`
+        "disposition",
+        F.col("dup_of").cast("bigint").alias("dup_of"),
+    )
+
+
+def _sql_curation_disposition() -> str:
+    # built ON the text_quality oracle: same quality/lang/fp expressions
+    return f"""
+    WITH tq AS ({_sql_text_quality()}),
+    keep AS (
+      SELECT fp, min(doc_id) AS keeper_id
+      FROM tq WHERE lang_guess IN ('en') AND quality >= 0.7
+      GROUP BY fp
+    )
+    SELECT t.doc_id, t.quality, t.lang_guess,
+           CASE WHEN t.lang_guess NOT IN ('en') THEN 'lang'
+                WHEN t.quality < 0.7 THEN 'quality'
+                WHEN k.keeper_id IS NOT NULL AND t.doc_id <> k.keeper_id
+                  THEN 'duplicate'
+                ELSE 'kept' END AS disposition,
+           CAST(CASE WHEN t.lang_guess IN ('en') AND t.quality >= 0.7
+                          AND t.doc_id <> k.keeper_id
+                     THEN k.keeper_id END AS BIGINT) AS dup_of
+    FROM tq t LEFT JOIN keep k USING (fp)
+    """
+
+
 def _q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary plumbing: per-blob metadata (size, sniffed kind)
     via mapInPandas over the deterministic synthetic clips' audio bytes.
@@ -1283,6 +1376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "ivf_topk_indexed": _q_ivf_topk_indexed,
         "text_quality": _q_text_quality,
+        "doc_chunks": _q_doc_chunks,
+        "curation_disposition": _q_curation_disposition,
         "fd_mine": _q_fd_mine,
         "fd_mine_parts": _q_fd_mine_parts,
         "binary_meta": _q_binary_meta,
@@ -1324,6 +1419,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _SQL_IVF_TOPK,
         "ivf_topk_indexed": _SQL_IVF_TOPK,
         "text_quality": _sql_text_quality(),
+        "doc_chunks": _sql_doc_chunks(),
+        "curation_disposition": _sql_curation_disposition(),
         "fd_mine": _sql_fd_mine(),
         "fd_mine_parts": _sql_fd_mine_parts(),
         "binary_meta_docs": _SQL_BINARY_META_DOCS,

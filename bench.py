@@ -57,6 +57,8 @@ HEADLINE_QUERIES = (
     "ivf_topk",
     "ivf_topk_indexed",
     "text_quality",
+    "doc_chunks",
+    "curation_disposition",
     "fd_mine",
     "fd_mine_parts",
     "binary_meta_docs",

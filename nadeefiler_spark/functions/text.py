@@ -115,3 +115,31 @@ def word_shingles(c: Column | str, n: int = 3) -> Column:
         F.size(toks) >= n,
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
     ).otherwise(F.expr("cast(array() as array<string>)"))
+
+
+def token_chunks(c: Column | str, size: int, overlap: int = 0) -> Column:
+    """Array of token-window chunk strings: ``size`` tokens per chunk,
+    consecutive chunks sharing ``overlap`` tokens (stride = size −
+    overlap) — the standard context-window chunking step ahead of
+    tokenizer/training ingestion. Expression-only (no UDF): chunk
+    starts are a `sequence` with the stride as step, each materialized
+    via `slice` + `array_join`, so the whole thing runs inside
+    whole-stage codegen. A document shorter than ``size`` yields one
+    chunk with all its tokens; a trailing window shorter than the
+    overlap-free stride still appears (no token is dropped)."""
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap=} {size=}")
+    stride = size - overlap
+    toks = tokens(c)
+    n = F.size(toks)
+    # last start: the smallest s in {1, 1+stride, 1+2*stride, ...} with
+    # s + size - 1 >= n, i.e. 1 + stride*ceil((n-size)/stride); when
+    # n <= size one chunk from position 1 covers everything
+    d = n - size
+    last = F.when(n <= size, F.lit(1)).otherwise(
+        d + (F.lit(stride) - d % F.lit(stride)) % F.lit(stride) + 1
+    )
+    starts = F.sequence(F.lit(1), F.greatest(last, F.lit(1)), F.lit(stride))
+    return F.when(n <= 0, F.expr("cast(array() as array<string>)")).otherwise(
+        F.transform(starts, lambda s: F.array_join(F.slice(toks, s, size), " "))
+    )

@@ -1,0 +1,49 @@
+"""Curation pipeline: composed lang/quality gates + fingerprint dedup
+(operators/curate.py) with a per-document audit trail."""
+
+from nadeefiler_spark.operators.curate import curate, curation_disposition
+
+GOOD = ("the cat and the dog sat with for of is was " * 9).strip()  # en, long
+GOOD_DUP = "  " + GOOD + "  "  # same token set -> same fingerprint
+SHORT = "the of and"  # en but < 50 chars -> quality gate
+GERMAN = ("der hund und die katze ist nicht mit dem ball " * 9).strip()
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, GOOD, "declared_xx"),
+            (2, GOOD_DUP, "declared_xx"),
+            (3, SHORT, "declared_xx"),
+            (4, GERMAN, "declared_xx"),
+        ],
+        "doc_id int, text string, lang string",  # declared lang is ignored
+    )
+
+
+def test_disposition_covers_all_reasons(spark):
+    got = {
+        r["doc_id"]: (r["disposition"], r["dup_of"])
+        for r in curation_disposition(_docs(spark), "doc_id", "text").collect()
+    }
+    assert got == {
+        1: ("kept", None),
+        2: ("duplicate", 1),
+        3: ("quality", None),
+        4: ("lang", None),
+    }
+
+
+def test_curate_returns_only_keepers_with_computed_lang(spark):
+    rows = curate(_docs(spark), "doc_id", "text").collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["lang"] == "en"  # declared column replaced by guess
+    assert rows[0]["quality"] >= 0.5
+
+
+def test_dup_of_rejected_doc_is_not_a_duplicate(spark):
+    """A doc whose only fingerprint-twin failed a gate is kept."""
+    df = _docs(spark).where("doc_id = 2")  # 1 absent: 2 becomes keeper
+    got = {r["doc_id"]: r["disposition"]
+           for r in curation_disposition(df, "doc_id", "text").collect()}
+    assert got == {2: "kept"}

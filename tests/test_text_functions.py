@@ -55,3 +55,30 @@ def test_word_shingles(spark):
     assert got == ["a b c", "b c d"]
     got2 = df.select(X.word_shingles("t", 5).alias("s")).first()["s"]
     assert got2 == []
+
+
+def test_token_chunks_no_token_dropped(spark):
+    import pytest
+
+    df = spark.createDataFrame([(" ".join(f"t{i}" for i in range(11)),)], "t string")
+    got = df.select(X.token_chunks("t", 4, 2).alias("c")).first()["c"]
+    # starts 1,3,5,7,9 (1-based): last chunk covers t10 even though the
+    # trailing window is shorter than the stride-free tail
+    assert got[0] == "t0 t1 t2 t3"
+    assert got[1] == "t2 t3 t4 t5"
+    assert got[-1] == "t8 t9 t10"
+    covered = {t for ch in got for t in ch.split()}
+    assert covered == {f"t{i}" for i in range(11)}
+
+    short = spark.createDataFrame([("a b",)], "t string")
+    assert short.select(X.token_chunks("t", 4).alias("c")).first()["c"] == ["a b"]
+    empty = spark.createDataFrame([("   ",)], "t string")
+    assert empty.select(X.token_chunks("t", 4).alias("c")).first()["c"] == []
+    with pytest.raises(ValueError):
+        X.token_chunks("t", 4, 4)
+
+
+def test_token_chunks_exact_cover_no_overlap(spark):
+    df = spark.createDataFrame([(" ".join("abcdefgh"),)], "t string")
+    got = df.select(X.token_chunks("t", 4, 0).alias("c")).first()["c"]
+    assert got == ["a b c d", "e f g h"]
