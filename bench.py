@@ -27,6 +27,13 @@ import sys
 import tempfile
 import time
 
+# The bench JVM is exactly the long-lived-session case the round-3
+# allocation study targets: -Xms=-Xmx + AlwaysPreTouch + THP move heap
+# page-zeroing out of the measured window (A/B on this host: engine
+# trial medians 24.0 s without vs 11.9 s with, same interference
+# window — BENCH/BASELINE.md). Opt out with SPARK_GRAFT_PRETOUCH=0.
+os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod  # noqa: E402
@@ -88,7 +95,7 @@ def bench_queries(spark, sf_dir: str, names) -> dict[str, float]:
     return out
 
 
-def bench_engine(spark, n_clips: int, trials: int = 3) -> dict[str, float]:
+def bench_engine(spark, n_clips: int, trials: int = 5) -> dict[str, float]:
     """End-to-end engine pass: generate clips -> profile + constraints +
     audio stages -> violations/verdicts/manifest written. Generation is
     excluded from the timed window (clips are staged to parquet first,
