@@ -548,6 +548,38 @@ FROM events GROUP BY 1
 """
 
 
+def _q_windowed_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window stats (streaming.windowed_event_stats,
+    run in batch mode — the IDENTICAL plan runs on a stream, where the
+    watermark bounds state and drops late rows; batch/stream equality
+    and the late-drop are pytest-covered). Spark's whole-unit tumbling
+    windows are epoch-aligned, so the ANSI twin is date_trunc. Window
+    starts are compared as strings — representation-based on both
+    engines, no timezone math."""
+    from nadeefiler_spark.streaming import windowed_event_stats
+
+    e = _t(spark, sf_dir, "events")
+    return windowed_event_stats(e).select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+_SQL_WINDOWED_EVENT_STATS = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(avg("value"), 6) AS avg_value,
+       round(min("value"), 6) AS min_value,
+       round(max("value"), 6) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def _q_percent_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     hist = c.groupBy(F.col("c_mktsegment").alias("value")).agg(
@@ -1359,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_violations": _q_range_violations,
         "cascade_delete_targets": _q_cascade_delete_targets,
         "pivot_counts": _q_pivot_counts,
+        "windowed_event_stats": _q_windowed_event_stats,
         "percent_histogram": _q_percent_histogram,
         "kb_group_import": _q_kb_group_import,
         "semantic_scores": _q_semantic_scores,
@@ -1404,6 +1437,7 @@ def oracle_sql() -> dict[str, str]:
         "range_violations": _SQL_RANGE_VIOLATIONS,
         "cascade_delete_targets": _SQL_CASCADE_DELETE_TARGETS,
         "pivot_counts": _SQL_PIVOT_COUNTS,
+        "windowed_event_stats": _SQL_WINDOWED_EVENT_STATS,
         "percent_histogram": _SQL_PERCENT_HISTOGRAM,
         "kb_group_import": _SQL_KB_GROUP_IMPORT,
         "semantic_scores": _SQL_SEMANTIC_SCORES,

@@ -53,6 +53,7 @@ HEADLINE_QUERIES = (
     "uniqueness_violations",
     "referential_orphans",
     "topk_per_group",
+    "windowed_event_stats",
     "semantic_scores",
     "exact_dup_groups",
     "ngram_jaccard",

@@ -3,8 +3,11 @@
 The reference's only streaming behavior is incremental DELIVERY: results
 are pushed row-by-row as profilers compute them and forwarded to
 subscribed dashboards (/root/reference/profilers/worker.js:70-83,
-api/hooks/amqp.js:32-43). There are no watermarks or event-time windows
-to reproduce. The Spark-native analog is micro-batch ingestion:
+api/hooks/amqp.js:32-43). The reference has no watermarks or event-time
+windows to reproduce; :func:`windowed_event_stats` adds them as a
+beyond-reference operator (task mandate: watermarks + windowed aggs for
+late data). The Spark-native analog of the reference's delivery loop is
+micro-batch ingestion:
 
     readStream (file source over the clips directory)
       -> foreachBatch: run the SAME resumable ValidationEngine stages
@@ -95,6 +98,65 @@ class StreamingValidator:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Event-time windowed aggregation with a watermark
+# ---------------------------------------------------------------------------
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window stats per key: (window_start,
+    window_end, key, n_events, avg/min/max of ``value_col``).
+
+    ONE definition serves both execution modes — the logical plan is
+    identical, only the sink semantics differ:
+
+    - **Batch** DataFrame: the watermark is a no-op (Spark defines
+      ``withWatermark`` as identity on batch plans); the result is the
+      exact full-input answer — this is what the ``windowed_event_stats``
+      contract query oracles against DuckDB.
+    - **Streaming** DataFrame: ``withWatermark`` bounds the state store —
+      a window's state is emitted (append mode) and dropped once the
+      watermark (max observed event time − ``watermark``) passes the
+      window end, and rows arriving LATER than the watermark are dropped
+      instead of reopening finalized windows. State is therefore
+      O(open windows × keys), not O(events) — the property that keeps an
+      event-time aggregation runnable forever at 10^12-row scale.
+      Covered by tests: batch/stream result equality and the late-row
+      drop (tests/test_job_skew_streaming.py).
+
+    Tumbling windows are epoch-aligned (Spark ``F.window`` semantics), so
+    for whole-unit windows the batch twin is ``date_trunc`` in ANSI SQL.
+    """
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(
+            F.window(F.col(ts_col), window).alias("w"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg(value_col).alias("avg_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col(key_col),
+            "n_events",
+            "avg_value",
+            "min_value",
+            "max_value",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -262,6 +262,119 @@ def test_job_fd_stage(spark, clips_dirs, tmp_path):
     assert summary2["partitions"] == []
 
 
+def test_windowed_event_stats_stream_equals_batch(spark, tmp_path):
+    """ONE definition, two execution modes: the windowed aggregation run
+    as a real stream (file source, one file per micro-batch, complete
+    mode) converges to exactly the batch answer over the same rows."""
+    import datetime as dt
+
+    from nadeefiler_spark.streaming import windowed_event_stats
+
+    def h(hour, minute=0):
+        return dt.datetime(2026, 1, 1, hour, minute)
+
+    src = str(tmp_path / "ev")
+    f1 = [
+        (h(0, 5), "click", 1.0),
+        (h(0, 40), "click", 3.0),
+        (h(0, 50), "view", 7.0),
+        (h(1, 10), "click", 5.0),
+    ]
+    f2 = [
+        (h(1, 30), "click", -1.0),
+        (h(2, 15), "view", 4.0),
+    ]
+    schema = "ts timestamp, event_type string, value double"
+    for rows in (f1, f2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        windowed_event_stats(stream)
+        .writeStream.format("memory")
+        .queryName("win_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def canon(df):
+        return sorted(
+            (str(r["window_start"]), r["event_type"], r["n_events"],
+             round(r["avg_value"], 9))
+            for r in df.collect()
+        )
+
+    batch = windowed_event_stats(spark.read.parquet(src))
+    assert canon(spark.table("win_complete")) == canon(batch)
+    assert len(canon(batch)) == 4  # (h0,click) (h0,view) (h1,click) (h2,view)
+
+
+def test_windowed_event_stats_watermark_drops_late_rows(spark, tmp_path):
+    """Append mode + watermark: a window is emitted once the watermark
+    passes its end, and a row arriving LATER than the watermark (across
+    a checkpoint-restart) is dropped instead of reopening the finalized
+    window — the state-bounding behavior that keeps event-time
+    aggregation runnable forever at ingest scale."""
+    import datetime as dt
+
+    from nadeefiler_spark.streaming import windowed_event_stats
+
+    def h(hour, minute=0):
+        return dt.datetime(2026, 1, 1, hour, minute)
+
+    src = tmp_path / "late_ev"
+    src.mkdir()
+    sink = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+    schema = "ts timestamp, event_type string, value double"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            windowed_event_stats(stream, watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two rows in the hour-0 window plus one at hour 10 that
+    # advances the watermark to hour 8, finalizing (and emitting) hour 0
+    spark.createDataFrame(
+        [(h(0, 10), "click", 1.0), (h(0, 45), "click", 3.0),
+         (h(10, 0), "view", 9.0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+
+    # batch 2 (fresh query restarted from the checkpoint — the watermark
+    # is restored, not reset): a LATE hour-0 row behind the watermark
+    # must be dropped; hour 11 keeps its window open (never emitted)
+    spark.createDataFrame(
+        [(h(0, 20), "click", 100.0), (h(11, 0), "view", 2.0)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+
+    got = pd.read_parquet(sink)
+    assert len(got) == 1  # only the finalized hour-0 window ever emitted
+    row = got.iloc[0]
+    assert str(row["window_start"]).startswith("2026-01-01 00:00:00")
+    assert row["event_type"] == "click"
+    assert row["n_events"] == 2  # late 100.0 row NOT re-aggregated
+    assert abs(row["avg_value"] - 2.0) < 1e-12
+
+
 def test_streaming_stateful_dedup(spark, tmp_path):
     """Cross-batch dedup state: a duplicate arriving in a LATER batch —
     after a full query restart from the checkpoint — is flagged against
