@@ -42,6 +42,10 @@ Operator → query map (SURVEY §2 ids in brackets):
 - doc_chunks             [pipeline: token-window chunking, 64/8 overlap]
 - curation_disposition   [pipeline: composed curation (lang+quality gates
                           -> fingerprint dedup), per-doc audit trail]
+- contamination          [pipeline: benchmark decontamination, 5-gram
+                          collision vs a broadcast benchmark corpus]
+- corpus_sample          [pipeline: deterministic stratified sampling,
+                          portable integer hash, pushed-down filter]
 - binary_meta_docs       [pipeline: multimodal metadata, DuckDB-oracled]
 - audio_validate         [north_star audio rules]       (no DuckDB oracle:
                           binary audio — exact datagen golden, tests/test_hash_twins.py)
@@ -1210,6 +1214,85 @@ def _sql_curation_disposition() -> str:
     """
 
 
+_CONTAM_N = 5  # word-n-gram length for the contamination check
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): corpus docs
+    sharing 5-gram shingles with a deterministic "benchmark" subset
+    (doc_id % 17 == 3) of the same table; self-pairs excluded since the
+    benchmark is drawn from the corpus."""
+    from nadeefiler_spark.operators import decontam
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 17 == 3).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return decontam.benchmark_contamination(
+        d, bench, corpus_id="doc_id", bench_id="bench_id", n=_CONTAM_N
+    ).where(F.col("doc_id") != F.col("bench_id"))
+
+
+_SQL_CONTAMINATION = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(tk) >= {_CONTAM_N}
+             THEN list_transform(range(1, len(tk) - {_CONTAM_N - 2}),
+                                 i -> array_to_string(tk[i:i+{_CONTAM_N - 1}], ' '))
+             ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+  FROM toks
+),
+bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 17 = 3),
+bsz AS (SELECT bench_id, count(*) AS n_bench_sh FROM bench GROUP BY 1),
+hits AS (
+  SELECT c.doc_id, b.bench_id, count(*) AS n_common
+  FROM sh c JOIN bench b USING (shingle)
+  WHERE c.doc_id <> b.bench_id
+  GROUP BY 1, 2
+)
+SELECT h.doc_id, h.bench_id,
+       CAST(h.n_common AS BIGINT) AS n_common,
+       round(h.n_common * 1.0 / b.n_bench_sh, 6) AS frac_bench
+FROM hits h JOIN bsz b USING (bench_id)
+"""
+
+
+# lang-stratified deterministic sample: fractions per stratum
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.1}
+_SAMPLE_DEFAULT = 0.05
+
+
+def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling (operators/sample.py):
+    portable integer-hash membership, per-lang fractions, pure pushed-
+    down filter (no shuffle, no RNG state)."""
+    from nadeefiler_spark.operators import sample as smp
+
+    d = _t(spark, sf_dir, "documents")
+    return smp.stratified_hash_sample(
+        d, "doc_id", "lang", _SAMPLE_FRACTIONS, default_fraction=_SAMPLE_DEFAULT
+    ).select("doc_id", "lang", "source")
+
+
+def _sql_corpus_sample() -> str:
+    from nadeefiler_spark.operators import sample as smp
+
+    cases = " ".join(
+        f"WHEN '{v}' THEN {smp.threshold(f)}"
+        for v, f in sorted(_SAMPLE_FRACTIONS.items())
+    )
+    return f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE ((doc_id % 2147483648) * 2654435761 + 17) % 2147483648 <
+          CASE lang {cases} ELSE {smp.threshold(_SAMPLE_DEFAULT)} END
+    """
+
+
 def _q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary plumbing: per-blob metadata (size, sniffed kind)
     via mapInPandas over the deterministic synthetic clips' audio bytes.
@@ -1411,6 +1494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "doc_chunks": _q_doc_chunks,
         "curation_disposition": _q_curation_disposition,
+        "contamination": _q_contamination,
+        "corpus_sample": _q_corpus_sample,
         "fd_mine": _q_fd_mine,
         "fd_mine_parts": _q_fd_mine_parts,
         "binary_meta": _q_binary_meta,
@@ -1455,6 +1540,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _sql_text_quality(),
         "doc_chunks": _sql_doc_chunks(),
         "curation_disposition": _sql_curation_disposition(),
+        "contamination": _SQL_CONTAMINATION,
+        "corpus_sample": _sql_corpus_sample(),
         "fd_mine": _sql_fd_mine(),
         "fd_mine_parts": _sql_fd_mine_parts(),
         "binary_meta_docs": _SQL_BINARY_META_DOCS,

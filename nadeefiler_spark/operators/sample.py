@@ -1,0 +1,75 @@
+"""Deterministic, engine-portable corpus sampling.
+
+Training-data pipelines subsample corpora per source/language with
+REPRODUCIBLE membership: re-running the job — at any parallelism, on
+any engine — must pick the same rows, or every downstream artifact
+(dedup keepers, shard manifests, eval splits) drifts. Spark's
+``df.sample`` is none of that (seed + partition-layout dependent), so
+sampling here is a pure expression on the row's id:
+
+    key(id)  = ((id mod 2^31) * 2654435761 + salt) mod 2^31
+    keep(f)  = key(id) < floor(f * 2^31)
+
+- Deterministic & layout-independent: the key depends only on the id.
+- Portable: plain int64 arithmetic — the DuckDB oracle computes the
+  identical key (no engine hash function involved; fraction enters as a
+  precomputed INTEGER threshold so no float crosses an engine boundary).
+- Equidistributed: the multiplier (Knuth's 2654435761) is odd, hence
+  coprime with 2^31; sequential ids map to a full-period arithmetic
+  progression of keys, so any id range receives fraction*|range| ± 1
+  rows per stratum.
+- 100-TB shape: keep() is a scan-stage filter — predicate-pushed, zero
+  shuffle, zero driver state. Changing the salt draws an independent
+  sample; ids must be non-negative (mod is engine-dependent below 0).
+
+No reference analog (beyond-reference operator per the task mandate).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MOD = 2**31
+_MULT = 2654435761
+
+
+def sample_key(id_col: Column | str, salt: int = 17) -> Column:
+    """The row's deterministic sampling key in [0, 2^31)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return ((c.cast("long") % _MOD) * F.lit(_MULT) + F.lit(salt)) % _MOD
+
+
+def threshold(fraction: float) -> int:
+    """Integer keep-threshold for a fraction (what crosses engines)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return int(fraction * _MOD)
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: int = 17
+) -> DataFrame:
+    """Uniform deterministic sample: rows whose key clears the
+    fraction's threshold. Pure filter — no shuffle, pushed to the scan."""
+    return df.where(sample_key(id_col, salt) < F.lit(threshold(fraction)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    salt: int = 17,
+) -> DataFrame:
+    """Per-stratum deterministic sample: each stratum keeps its own
+    fraction (rebalancing a source/language mix). Strata absent from
+    ``fractions`` keep ``default_fraction``. Still one pushed-down
+    filter — the per-stratum threshold is a CASE expression."""
+    thr: Column = F.lit(threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == value, F.lit(threshold(frac))).otherwise(thr)
+    return df.where(sample_key(id_col, salt) < thr)

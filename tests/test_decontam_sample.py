@@ -1,0 +1,151 @@
+"""Benchmark decontamination (operators/decontam.py) and deterministic
+sampling (operators/sample.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nadeefiler_spark.operators import decontam
+from nadeefiler_spark.operators import sample as smp
+
+BENCH_ITEM = "alpha beta gamma delta epsilon zeta eta theta"
+CLEAN = "one two three four five six seven eight nine ten"
+# contains the benchmark item verbatim inside other text
+CONTAMINATED = "prefix words " + BENCH_ITEM + " suffix words here"
+PARTIAL = "alpha beta gamma delta epsilon unrelated tail words"  # 1 shared 5-gram
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [(1, CLEAN), (2, CONTAMINATED), (3, PARTIAL), (4, BENCH_ITEM)],
+        "doc_id int, text string",
+    )
+
+
+def _bench(spark):
+    return spark.createDataFrame(
+        [(100, BENCH_ITEM)], "bench_id int, text string"
+    )
+
+
+def test_contamination_pairs_counts_and_fraction(spark):
+    got = {
+        (r["doc_id"], r["bench_id"]): (r["n_common"], r["frac_bench"])
+        for r in decontam.benchmark_contamination(
+            _corpus(spark), _bench(spark), n=5
+        ).collect()
+    }
+    # 8 tokens -> 4 distinct 5-grams in the benchmark item
+    assert got == {
+        (2, 100): (4, 1.0),  # full containment
+        (3, 100): (1, 0.25),
+        (4, 100): (4, 1.0),  # verbatim copy
+    }
+
+
+def test_min_common_prunes_weak_overlap(spark):
+    ids = {
+        r["doc_id"]
+        for r in decontam.benchmark_contamination(
+            _corpus(spark), _bench(spark), n=5, min_common=2
+        ).collect()
+    }
+    assert ids == {2, 4}
+
+
+def test_decontaminate_drops_flagged_docs(spark):
+    kept = sorted(
+        r["doc_id"]
+        for r in decontam.decontaminate(
+            _corpus(spark), _bench(spark), n=5
+        ).collect()
+    )
+    assert kept == [1]
+
+
+def test_same_id_column_name_rejected(spark):
+    with pytest.raises(ValueError, match="must differ"):
+        decontam.benchmark_contamination(
+            _corpus(spark), _corpus(spark), corpus_id="doc_id", bench_id="doc_id"
+        )
+
+
+def test_short_docs_yield_no_shingles(spark):
+    df = spark.createDataFrame([(9, "too short")], "doc_id int, text string")
+    assert decontam.benchmark_contamination(df, _bench(spark), n=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+
+def _rows(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    df = _rows(spark)
+    a = {r["doc_id"] for r in smp.hash_sample(df, "doc_id", 0.25).collect()}
+    b = {r["doc_id"] for r in smp.hash_sample(df, "doc_id", 0.25).collect()}
+    assert a == b  # layout/run independent
+    assert abs(len(a) / 2000 - 0.25) < 0.05
+    # repartitioning must not change membership
+    c = {
+        r["doc_id"]
+        for r in smp.hash_sample(df.repartition(13), "doc_id", 0.25).collect()
+    }
+    assert a == c
+
+
+def test_hash_sample_nested_fractions(spark):
+    """A smaller fraction's sample is a subset of a larger one's (keys
+    are compared against thresholds, so membership nests)."""
+    df = _rows(spark)
+    small = {r["doc_id"] for r in smp.hash_sample(df, "doc_id", 0.1).collect()}
+    big = {r["doc_id"] for r in smp.hash_sample(df, "doc_id", 0.5).collect()}
+    assert small <= big
+
+
+def test_stratified_rates_per_stratum(spark):
+    df = _rows(spark)
+    got = (
+        smp.stratified_hash_sample(
+            df, "doc_id", "lang", {"en": 0.5, "de": 0.1}
+        )
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    rates = {r["lang"]: r["count"] / 1000 for r in got}
+    assert abs(rates["en"] - 0.5) < 0.07
+    assert abs(rates["de"] - 0.1) < 0.07
+
+
+def test_stratified_default_fraction_zero_drops_unlisted(spark):
+    df = _rows(spark)
+    langs = {
+        r["lang"]
+        for r in smp.stratified_hash_sample(
+            df, "doc_id", "lang", {"en": 0.5}
+        ).collect()
+    }
+    assert langs == {"en"}
+
+
+def test_python_twin_of_sample_key(spark):
+    """Independent pure-Python recomputation of the membership set."""
+    df = _rows(spark, 500)
+    thr = smp.threshold(0.3)
+    expected = {
+        i for i in range(500) if ((i % 2**31) * 2654435761 + 17) % 2**31 < thr
+    }
+    got = {r["doc_id"] for r in smp.hash_sample(df, "doc_id", 0.3).collect()}
+    assert got == expected
+
+
+def test_fraction_bounds_validated():
+    with pytest.raises(ValueError):
+        smp.threshold(1.5)
