@@ -45,7 +45,7 @@ Operator → query map (SURVEY §2 ids in brackets):
 - contamination          [pipeline: benchmark decontamination, 5-gram
                           collision vs a broadcast benchmark corpus]
 - corpus_sample          [pipeline: deterministic stratified sampling,
-                          portable integer hash, pushed-down filter]
+                          portable integer hash, scan-stage filter]
 - binary_meta_docs       [pipeline: multimodal metadata, DuckDB-oracled]
 - audio_validate         [north_star audio rules]       (no DuckDB oracle:
                           binary audio — exact datagen golden, tests/test_hash_twins.py)
@@ -1269,8 +1269,8 @@ _SAMPLE_DEFAULT = 0.05
 
 def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified corpus sampling (operators/sample.py):
-    portable integer-hash membership, per-lang fractions, pure pushed-
-    down filter (no shuffle, no RNG state)."""
+    portable integer-hash membership, per-lang fractions, pure scan-
+    stage filter (no shuffle, no RNG state)."""
     from nadeefiler_spark.operators import sample as smp
 
     d = _t(spark, sf_dir, "documents")

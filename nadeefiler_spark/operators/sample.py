@@ -18,9 +18,12 @@ sampling here is a pure expression on the row's id:
   coprime with 2^31; sequential ids map to a full-period arithmetic
   progression of keys, so any id range receives fraction*|range| ± 1
   rows per stratum.
-- 100-TB shape: keep() is a scan-stage filter — predicate-pushed, zero
-  shuffle, zero driver state. Changing the salt draws an independent
-  sample; ids must be non-negative (mod is engine-dependent below 0).
+- 100-TB shape: keep() is a scan-stage filter — it evaluates inside the
+  scan's whole-stage codegen (the expression is too complex for parquet
+  row-group PushedFilters, but nothing past the scan stage ever sees a
+  dropped row), zero shuffle, zero driver state. Changing the salt draws
+  an independent sample; ids must be non-negative (mod is
+  engine-dependent below 0).
 
 No reference analog (beyond-reference operator per the task mandate).
 """
@@ -53,7 +56,7 @@ def hash_sample(
     df: DataFrame, id_col: str, fraction: float, salt: int = 17
 ) -> DataFrame:
     """Uniform deterministic sample: rows whose key clears the
-    fraction's threshold. Pure filter — no shuffle, pushed to the scan."""
+    fraction's threshold. Pure filter — no shuffle, scan-stage codegen."""
     return df.where(sample_key(id_col, salt) < F.lit(threshold(fraction)))
 
 
@@ -67,7 +70,7 @@ def stratified_hash_sample(
 ) -> DataFrame:
     """Per-stratum deterministic sample: each stratum keeps its own
     fraction (rebalancing a source/language mix). Strata absent from
-    ``fractions`` keep ``default_fraction``. Still one pushed-down
+    ``fractions`` keep ``default_fraction``. Still one scan-stage
     filter — the per-stratum threshold is a CASE expression."""
     thr: Column = F.lit(threshold(default_fraction))
     for value, frac in sorted(fractions.items()):
