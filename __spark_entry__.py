@@ -46,6 +46,8 @@ Operator → query map (SURVEY §2 ids in brackets):
                           collision vs a broadcast benchmark corpus]
 - corpus_sample          [pipeline: deterministic stratified sampling,
                           portable integer hash, scan-stage filter]
+- shard_manifest         [pipeline: training-shard export manifest,
+                          deterministic hash sharding + checksums]
 - binary_meta_docs       [pipeline: multimodal metadata, DuckDB-oracled]
 - audio_validate         [north_star audio rules]       (no DuckDB oracle:
                           binary audio — exact datagen golden, tests/test_hash_twins.py)
@@ -1293,6 +1295,37 @@ def _sql_corpus_sample() -> str:
     """
 
 
+_N_SHARDS, _SHARD_SALT = 16, 29
+
+
+def _q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest (operators/shards.py): deterministic
+    hash shard assignment, per-shard doc/token counts + additive
+    membership checksum — the dataloader index a shard export emits."""
+    from nadeefiler_spark.operators import shards
+
+    d = _t(spark, sf_dir, "documents")
+    return shards.shard_manifest(
+        d, "doc_id", "text", n_shards=_N_SHARDS, salt=_SHARD_SALT
+    )
+
+
+def _sql_shard_manifest() -> str:
+    return f"""
+    WITH k AS (
+      SELECT doc_id, text,
+             ((doc_id % 2147483648) * 2654435761 + {_SHARD_SALT}) % 2147483648 AS key
+      FROM documents
+    )
+    SELECT CAST(key % {_N_SHARDS} AS INT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> ''))) AS BIGINT) AS n_tokens,
+           CAST(sum(key % {2**20}) AS BIGINT) AS id_checksum
+    FROM k GROUP BY 1
+    """
+
+
 def _q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary plumbing: per-blob metadata (size, sniffed kind)
     via mapInPandas over the deterministic synthetic clips' audio bytes.
@@ -1496,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_disposition": _q_curation_disposition,
         "contamination": _q_contamination,
         "corpus_sample": _q_corpus_sample,
+        "shard_manifest": _q_shard_manifest,
         "fd_mine": _q_fd_mine,
         "fd_mine_parts": _q_fd_mine_parts,
         "binary_meta": _q_binary_meta,
@@ -1542,6 +1576,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_disposition": _sql_curation_disposition(),
         "contamination": _SQL_CONTAMINATION,
         "corpus_sample": _sql_corpus_sample(),
+        "shard_manifest": _sql_shard_manifest(),
         "fd_mine": _sql_fd_mine(),
         "fd_mine_parts": _sql_fd_mine_parts(),
         "binary_meta_docs": _SQL_BINARY_META_DOCS,

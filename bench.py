@@ -69,6 +69,7 @@ HEADLINE_QUERIES = (
     "curation_disposition",
     "contamination",
     "corpus_sample",
+    "shard_manifest",
     "fd_mine",
     "fd_mine_parts",
     "binary_meta_docs",
