@@ -48,6 +48,8 @@ Operator → query map (SURVEY §2 ids in brackets):
                           portable integer hash, scan-stage filter]
 - shard_manifest         [pipeline: training-shard export manifest,
                           deterministic hash sharding + checksums]
+- dup_clusters           [pipeline: near-dup clustering — connected
+                          components (large-star/small-star) over pairs]
 - binary_meta_docs       [pipeline: multimodal metadata, DuckDB-oracled]
 - audio_validate         [north_star audio rules]       (no DuckDB oracle:
                           binary audio — exact datagen golden, tests/test_hash_twins.py)
@@ -789,8 +791,9 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # twin of auto_max_df(count(documents)): greatest(5, floor(0.01 * n))
-_SQL_NGRAM_JACCARD = """
-WITH toks AS (
+# shared CTE body so the pair query and the clustering query can never
+# diverge on pair semantics
+_NGRAM_CTES = """toks AS (
   SELECT doc_id AS id,
          list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
   FROM documents
@@ -813,15 +816,59 @@ common AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY 1, 2
-)
-SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
-  SELECT c.id_a, c.id_b,
-         c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) AS jac
-  FROM common c
-  JOIN sizes sa ON sa.id = c.id_a
-  JOIN sizes sb ON sb.id = c.id_b
-) WHERE jac >= 0.2
+),
+jpairs AS (
+  SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
+    SELECT c.id_a, c.id_b,
+           c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) AS jac
+    FROM common c
+    JOIN sizes sa ON sa.id = c.id_a
+    JOIN sizes sb ON sb.id = c.id_b
+  ) WHERE jac >= 0.2
+)"""
+
+_SQL_NGRAM_JACCARD = f"""
+WITH {_NGRAM_CTES}
+SELECT id_a, id_b, jaccard FROM jpairs
 """
+
+# connected components over the jaccard pairs: recursive reachability
+# (set-semantics UNION terminates on cycles), component id = min
+# reachable node — the oracle twin of the large-star/small-star
+# algorithm in operators/components.py
+_SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM jpairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM jpairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         FROM reach GROUP BY u)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM comp
+"""
+
+
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering (operators/components.py): connected
+    components over the ngram-Jaccard pair list via alternating
+    large-star/small-star; cluster id = min member (the keeper)."""
+    from nadeefiler_spark.operators import components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+    return components.dup_clusters(pairs).select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+    )
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1516,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_values": _q_rare_values,
         "exact_dup_groups": _q_exact_dup_groups,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dup_clusters": _q_dup_clusters,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_cosine_dups": _q_embedding_cosine_dups,
@@ -1565,6 +1613,7 @@ def oracle_sql() -> dict[str, str]:
         "rare_values": _SQL_RARE_VALUES,
         "exact_dup_groups": _SQL_EXACT_DUP_GROUPS,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "dup_clusters": _SQL_DUP_CLUSTERS,
         "embedding_cosine_dups": _SQL_EMBEDDING_COSINE_DUPS,
         "embedding_cosine_dups_blocked": _sql_embedding_cosine_dups_blocked(),
         "ann_topk": _SQL_ANN_TOPK,

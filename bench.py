@@ -70,6 +70,7 @@ HEADLINE_QUERIES = (
     "contamination",
     "corpus_sample",
     "shard_manifest",
+    "dup_clusters",
     "fd_mine",
     "fd_mine_parts",
     "binary_meta_docs",
