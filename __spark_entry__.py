@@ -50,6 +50,12 @@ Operator → query map (SURVEY §2 ids in brackets):
                           deterministic hash sharding + checksums]
 - dup_clusters           [pipeline: near-dup clustering — connected
                           components (large-star/small-star) over pairs]
+- rollup_stats           [§2.7 grouping sets] every ROLLUP level in one scan
+- event_sessions         [pipeline: gap-based sessionization, one shuffle]
+- audio_fp_dups          [pipeline: audio CONTENT dedup — decoded-PCM
+                          Haitsma–Kalker fingerprints, codec-robust]
+                          (no DuckDB oracle: binary decode — independent
+                          pure-numpy twin, tests/test_audio_fp.py)
 - binary_meta_docs       [pipeline: multimodal metadata, DuckDB-oracled]
 - audio_validate         [north_star audio rules]       (no DuckDB oracle:
                           binary audio — exact datagen golden, tests/test_hash_twins.py)
@@ -586,6 +592,86 @@ SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
        round(max("value"), 6) AS max_value
 FROM events GROUP BY 1, 2
 """
+
+
+def _q_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets profile (SURVEY §2.7): every drill-down level of
+    (l_returnflag, l_linestatus) plus the grand total in ONE scan via
+    ROLLUP — one Expand + hash aggregate instead of the reference's
+    re-run-per-level Mongo pipelines. gid = SQL-standard grouping_id."""
+    li = _t(spark, sf_dir, "lineitem")
+    return profiler.rollup_summary(
+        li, ("l_returnflag", "l_linestatus"), "l_extendedprice"
+    )
+
+
+_SQL_ROLLUP_STATS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n_rows,
+       round(sum(l_extendedprice), 6) AS sum_val,
+       round(avg(l_extendedprice), 6) AS avg_val,
+       round(min(l_extendedprice), 6) AS min_val,
+       round(max(l_extendedprice), 6) AS max_val
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators.sessions): per-user sessions
+    split at >30-min gaps, one shuffle on user + one within-partition
+    sort; the per-session rollup reuses the window's partitioning.
+    Timestamps compared as strings (representation-based, UTC session
+    tz on the Spark side matches DuckDB's naive timestamps)."""
+    from nadeefiler_spark.operators.sessions import session_stats
+
+    e = _t(spark, sf_dir, "events")
+    return session_stats(
+        e, "user_id", "ts", gap_s=1800, tiebreak_col="event_id"
+    ).select(
+        "user",
+        "session_idx",
+        "n_events",
+        F.col("t_start").cast("string").alias("t_start"),
+        F.col("t_end").cast("string").alias("t_end"),
+        "dur_s",
+    )
+
+
+_SQL_EVENT_SESSIONS = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS boundary
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM e)
+SELECT user_id AS user, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(ts) AS VARCHAR) AS t_start, CAST(max(ts) AS VARCHAR) AS t_end,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS dur_s
+FROM s GROUP BY 1, 2
+"""
+
+
+def _q_audio_fp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio CONTENT dedup (operators.audio_fp): decoded-PCM
+    Haitsma–Kalker fingerprints over the deterministic synthetic clips
+    table — catches the same recording re-encoded in a different
+    container, which byte-hash dedup cannot see. No DuckDB oracle
+    (binary decode); pinned by an independent pure-numpy twin
+    (tests/test_audio_fp.py) and the planted-duplicate golden."""
+    from nadeefiler_spark.operators.audio_fp import audio_content_dup_groups
+
+    cfg = datagen.GenConfig(n_rows=4000, seed=7, dur_min_ms=40, dur_max_ms=200)
+    clips = datagen.clips_df(spark, cfg)
+    return audio_content_dup_groups(clips).select(
+        "fp", "n_clips", "keeper_id", F.to_json("clip_ids").alias("clip_ids")
+    ).orderBy("fp")
 
 
 def _q_percent_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1555,6 +1641,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_delete_targets": _q_cascade_delete_targets,
         "pivot_counts": _q_pivot_counts,
         "windowed_event_stats": _q_windowed_event_stats,
+        "rollup_stats": _q_rollup_stats,
+        "event_sessions": _q_event_sessions,
+        "audio_fp_dups": _q_audio_fp_dups,
         "percent_histogram": _q_percent_histogram,
         "kb_group_import": _q_kb_group_import,
         "semantic_scores": _q_semantic_scores,
@@ -1605,6 +1694,8 @@ def oracle_sql() -> dict[str, str]:
         "cascade_delete_targets": _SQL_CASCADE_DELETE_TARGETS,
         "pivot_counts": _SQL_PIVOT_COUNTS,
         "windowed_event_stats": _SQL_WINDOWED_EVENT_STATS,
+        "rollup_stats": _SQL_ROLLUP_STATS,
+        "event_sessions": _SQL_EVENT_SESSIONS,
         "percent_histogram": _SQL_PERCENT_HISTOGRAM,
         "kb_group_import": _SQL_KB_GROUP_IMPORT,
         "semantic_scores": _SQL_SEMANTIC_SCORES,

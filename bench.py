@@ -74,6 +74,9 @@ HEADLINE_QUERIES = (
     "fd_mine",
     "fd_mine_parts",
     "binary_meta_docs",
+    "rollup_stats",
+    "event_sessions",
+    "audio_fp_dups",
 )
 
 

@@ -1,0 +1,170 @@
+"""Audio CONTENT dedup: decoded-PCM fingerprints, codec/container-robust.
+
+Exact dedup (``operators.dedup.exact_dup_groups``) hashes the raw
+``bytes`` column, so the same recording stored once as WAV and once as
+FLAC counts as two distinct clips — at 10^12-clip scale re-encoded
+copies are a dominant duplication mode a byte hash cannot see. This
+operator fingerprints the DECODED waveform instead, with a 64-bit
+spectral-envelope robust hash in the Haitsma–Kalker band-energy-sign
+family: 65 log-spaced spectral bands over the whole clip, one bit per
+adjacent-band energy comparison. The bits encode the spectral SHAPE, so
+they are content-determined even for stationary audio (a time-delta
+scheme degenerates there: frame-to-frame deltas of a steady tone are
+noise, and unrelated clips collide — measured before this design was
+chosen). Identical PCM gives identical fingerprints regardless of
+container; small perturbations flip few bits, so near-matches are found
+with the same 16-bit-chunk pigeonhole blocking the SimHash path uses
+(``functions.similarity.simhash_chunks``).
+
+Caveat (documented, by construction): the hash is duration- and
+loudness-insensitive — the same spectrum at two lengths collides. Pair
+groups with the decode facts' ``dec_ms`` when recording-level identity
+(not content identity) is required.
+
+Spark-first plan: ONE narrow ``mapInPandas`` decode+fingerprint pass
+(bytes never shuffle — only the 8-byte fingerprint leaves the scan),
+then a groupBy on the fingerprint for exact-content groups, or the
+chunk-blocked self-join + hamming verify for near matches. Both are the
+same shuffle shapes as the text dedup family, already audited for
+10^12-row behavior (PLANS.md).
+
+Reference semantics analog: the dedupe-before-expensive-work shape of
+``/root/reference/profilers/messystreams.js:91-107`` (group identical
+values once, pay per distinct value), lifted from column values to audio
+payloads.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import similarity as S
+from .dedup import _finalize
+
+FP_SCHEMA = "id string, fp long, fp_error string"
+
+N_BANDS = 65         # adjacent-band comparisons -> 64 bits
+LO_HZ = 60.0         # lowest band edge
+HI_HZ = 4000.0       # band edges cap (content below min(sr/2, 4 kHz))
+_MIN_SAMPLES = 128   # zero-pad shorter clips so the rFFT has bins to band
+
+
+def pcm_fingerprint64(pcm: np.ndarray, sr_hz: int) -> int:
+    """64-bit spectral-envelope content hash of one mono int16 clip.
+
+    bit(b) = 1 iff band-b energy > band-(b+1) energy over 65 log-spaced
+    bands between 60 Hz and min(sr/2, 4 kHz) of the whole-clip power
+    spectrum. Band energies are computed positionally (Hz -> bin via the
+    clip's own resolution), so the same content at the same sample rate
+    always bands identically; adjacent bands that collapse to the same
+    bin at coarse resolutions compare equal -> a deterministic 0 bit.
+    """
+    x = np.asarray(pcm, dtype=np.float32)
+    if len(x) < _MIN_SAMPLES:
+        x = np.pad(x, (0, _MIN_SAMPLES - len(x)))
+    mag2 = np.abs(np.fft.rfft(x)) ** 2
+    hi = min(sr_hz / 2.0, HI_HZ)
+    edges_hz = np.geomspace(LO_HZ, hi, N_BANDS + 1)
+    bin_hz = sr_hz / len(x)
+    idx = np.clip((edges_hz / bin_hz).astype(np.int64), 1, len(mag2) - 1)
+    # prefix sums -> O(bins) band energies for any number of bands
+    cs = np.concatenate([[0.0], np.cumsum(mag2, dtype=np.float64)])
+    e = cs[np.maximum(idx[1:], idx[:-1])] - cs[np.minimum(idx[1:], idx[:-1])]
+    bits = e[:-1] > e[1:]
+    fp = 0
+    for bit in bits:
+        fp = (fp << 1) | int(bit)
+    return fp - (1 << 64) if fp >= (1 << 63) else fp  # to signed i64
+
+
+def audio_fingerprints(
+    clips: DataFrame, id_col: str = "clip_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """(id, fp, fp_error): one narrow Arrow pass, decode + fingerprint.
+
+    Undecodable blobs get fp NULL + the error string (they are rule
+    violations, not dedup candidates). Only (id, 8-byte fp) survives the
+    scan — the binary column never reaches a shuffle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nadeefiler_spark import audio  # import on executor
+
+        for pdf in batches:
+            ids, fps, errs = [], [], []
+            for cid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                ids.append(cid)
+                try:
+                    _codec, sr, pcm = audio.decode(bytes(blob))
+                    fps.append(pcm_fingerprint64(pcm, int(sr)))
+                    errs.append(None)
+                except Exception as exc:
+                    fps.append(None)
+                    errs.append(str(exc)[:200])
+            yield pd.DataFrame({"id": ids, "fp": pd.array(fps, dtype="Int64"), "fp_error": errs})
+
+    return clips.select(id_col, bytes_col).mapInPandas(run, FP_SCHEMA)
+
+
+def audio_content_dup_groups(
+    clips: DataFrame, id_col: str = "clip_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """(fp, n_clips, keeper_id, clip_ids): exact-content duplicate groups.
+
+    Catches byte-identical copies AND the same recording re-encoded in a
+    different container/codec (same decoded PCM -> same fingerprint).
+    One shuffle on the 8-byte fingerprint.
+    """
+    fps = audio_fingerprints(clips, id_col, bytes_col).where(F.col("fp").isNotNull())
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.min("id").alias("keeper_id"),
+            F.sort_array(F.collect_list("id")).alias("clip_ids"),
+        )
+        .where(F.col("n_clips") > 1)
+    )
+
+
+def audio_near_dup_pairs(
+    clips: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    max_hamming: int = 3,
+    eager: bool = True,
+) -> DataFrame:
+    """(id_a, id_b, hamming): near-duplicate audio pairs.
+
+    Same pigeonhole guarantee as the SimHash text path: 4 chunks give
+    full recall for hamming distance <= 3. Blocking join keys are 16-bit
+    chunk values — bounded buckets, no all-pairs stage.
+    """
+    fp = audio_fingerprints(clips, id_col, bytes_col).where(
+        F.col("fp").isNotNull()
+    ).select("id", "fp").persist()
+    chunked = fp.select(
+        "id", "fp", F.explode(S.simhash_chunks(F.col("fp"))).alias("c")
+    ).select("id", "fp", "c.chunk", "c.key")
+    cand = (
+        chunked.alias("x")
+        .join(chunked.alias("y"), ["chunk", "key"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
+            F.col("x.fp").alias("fp_a"), F.col("y.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    out = (
+        cand.withColumn("hamming", S.hamming64(F.col("fp_a"), F.col("fp_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return _finalize(out, fp, eager=eager)

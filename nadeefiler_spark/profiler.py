@@ -189,3 +189,41 @@ def default_clips_config(exact_ndv: bool = False) -> ProfileConfig:
         bucket_hist_cols={"dur_ms": 100.0},
         skip_cols=(),
     )
+
+
+def rollup_summary(
+    df: DataFrame,
+    dims: tuple[str, ...],
+    value_col: str,
+    precision: int = 6,
+) -> DataFrame:
+    """Multi-level partition stats in ONE pass via ROLLUP grouping sets.
+
+    The reference produces per-dataset totals and per-column breakdowns
+    as SEPARATE Mongo pipelines (worker.js re-runs a $group per level);
+    Spark's ``rollup`` computes every prefix level of ``dims`` — plus the
+    grand total — in a single Expand + hash-aggregate, so the input is
+    scanned once regardless of how many drill-down levels are requested
+    (SURVEY §2.7: grouping-sets gap, now closed).
+
+    Output: one row per grouping set, with ``gid`` = ``grouping_id()``
+    (SQL-standard bit per dim: 1 where the dim is rolled up), so a
+    consumer can slice levels without re-aggregating.
+
+    Scale: the Expand multiplies input rows ×(len(dims)+1) BEFORE the
+    partial aggregate, but map-side combine collapses them immediately;
+    shuffle bytes ∝ Σ|grouping-set cardinalities|, independent of row
+    count — the right 10^12-row plan.
+    """
+    v = F.col(value_col)
+    return (
+        df.rollup(*dims)
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(v), precision).alias("sum_val"),
+            F.round(F.avg(v), precision).alias("avg_val"),
+            F.round(F.min(v), precision).alias("min_val"),
+            F.round(F.max(v), precision).alias("max_val"),
+        )
+    )

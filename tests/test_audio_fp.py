@@ -1,0 +1,137 @@
+"""Audio content fingerprint dedup (operators/audio_fp.py).
+
+Twin strategy: an independent pure-pandas recompute of the fingerprint
+pipeline (decode via the audio codec layer, Haitsma–Kalker bits via a
+test-local numpy reimplementation that shares no code with the
+operator's kernel) must produce the same dup-group sets as the Spark
+path — the same exact-equality discipline as tests/test_hash_twins.py.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from nadeefiler_spark import audio, datagen
+from nadeefiler_spark.operators import audio_fp
+
+
+def _twin_fp(pcm: np.ndarray, sr_hz: int) -> int:
+    """Test-local reimplementation of the spectral-envelope hash:
+    explicit per-band loop sums (no prefix-sum trick), no shared
+    helpers — must agree bit-for-bit with the operator's kernel."""
+    x = np.asarray(pcm, dtype=np.float32)
+    if len(x) < 128:
+        x = np.concatenate([x, np.zeros(128 - len(x), dtype=np.float32)])
+    mag2 = np.abs(np.fft.rfft(x)) ** 2
+    hi = min(sr_hz / 2.0, 4000.0)
+    edges_hz = np.geomspace(60.0, hi, 66)
+    bin_of = lambda h: int(np.clip(np.int64(h / (sr_hz / len(x))), 1, len(mag2) - 1))
+    e = []
+    for b in range(65):
+        lo_i, hi_i = bin_of(edges_hz[b]), bin_of(edges_hz[b + 1])
+        lo_i, hi_i = min(lo_i, hi_i), max(lo_i, hi_i)
+        # float64 accumulation to match the kernel's prefix-sum dtype
+        e.append(float(np.sum(mag2[lo_i:hi_i], dtype=np.float64)))
+    bits = [int(e[b] > e[b + 1]) for b in range(64)]
+    v = 0
+    for bit in bits:
+        v = (v << 1) | bit
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _mini_clips(spark):
+    """Handcrafted corpus: cross-codec content dups + distinct clips."""
+    pcm_a = audio.render_pcm("content-A", 16000, 500)
+    pcm_b = audio.render_pcm("content-B", 16000, 500)
+    rows = [
+        ("a-wav", audio.encode(pcm_a, 16000, "pcm_s16le")),
+        ("a-flac", audio.encode(pcm_a, 16000, "flac")),   # same PCM, new container
+        ("a-opus", audio.encode(pcm_a, 16000, "opus")),
+        ("b-wav", audio.encode(pcm_b, 16000, "pcm_s16le")),
+        ("junk", b"\x00not audio"),
+    ]
+    return spark.createDataFrame(rows, "clip_id string, bytes binary")
+
+
+def test_cross_codec_groups_and_errors(spark):
+    groups = audio_fp.audio_content_dup_groups(_mini_clips(spark)).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["clip_ids"] == ["a-flac", "a-opus", "a-wav"]
+    assert g["keeper_id"] == "a-flac" and g["n_clips"] == 3
+    # byte-hash dedup CANNOT see these: all blobs are distinct bytes
+    n_byte_dups = (
+        _mini_clips(spark).groupBy(F.md5("bytes")).count().where("count > 1").count()
+    )
+    assert n_byte_dups == 0
+    errs = audio_fp.audio_fingerprints(_mini_clips(spark)).where(
+        F.col("fp_error").isNotNull()
+    ).collect()
+    assert [e["id"] for e in errs] == ["junk"]
+
+
+def test_near_pairs_pigeonhole(spark):
+    # plant a hamming-2 neighbor by flipping two fp bits' worth of audio?
+    # Simpler: near path must at least find all exact-content pairs.
+    pairs = audio_fp.audio_near_dup_pairs(_mini_clips(spark), max_hamming=3)
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs.collect()}
+    assert got == {
+        ("a-flac", "a-opus", 0),
+        ("a-flac", "a-wav", 0),
+        ("a-opus", "a-wav", 0),
+    }
+
+
+def test_datagen_twin_pairset(spark, tiny_cfg):
+    """Full-pipeline twin: Spark dup groups == pure-pandas recompute on
+    the same generated clips (decode shared, bit kernel independent)."""
+    clips = datagen.clips_df(spark, tiny_cfg)
+    spark_groups = {
+        tuple(r["clip_ids"])
+        for r in audio_fp.audio_content_dup_groups(clips).collect()
+    }
+    pdf = clips.select("clip_id", "bytes").toPandas()
+    by_fp: dict[int, list[str]] = {}
+    for cid, blob in zip(pdf["clip_id"], pdf["bytes"]):
+        try:
+            _c, sr, pcm = audio.decode(bytes(blob))
+        except Exception:
+            continue
+        by_fp.setdefault(_twin_fp(pcm, int(sr)), []).append(cid)
+    twin_groups = {tuple(sorted(v)) for v in by_fp.values() if len(v) > 1}
+    assert spark_groups == twin_groups
+    # datagen plants exact duplicates (row_spec i%211==1) — they MUST be found
+    assert len(spark_groups) >= 1
+    # and nothing else: datagen's only content dups are exact copies, so
+    # every group must hold identical decoded PCM (no false positives —
+    # the time-delta scheme this kernel replaced failed exactly here)
+    pcm_by_id = {}
+    for cid, blob in zip(pdf["clip_id"], pdf["bytes"]):
+        try:
+            _c, _sr, p = audio.decode(bytes(blob))
+            pcm_by_id[cid] = p
+        except Exception:
+            pass
+    for grp in spark_groups:
+        ref = pcm_by_id[grp[0]]
+        for cid in grp[1:]:
+            assert np.array_equal(pcm_by_id[cid], ref), grp
+    # and the operator's own kernel agrees bit-for-bit with the twin
+    pcm = audio.render_pcm("bitcheck", 8000, 300)
+    assert audio_fp.pcm_fingerprint64(pcm, 8000) == _twin_fp(pcm, 8000)
+
+
+def test_fp_distinct_for_distinct_content():
+    fps = {
+        audio_fp.pcm_fingerprint64(audio.render_pcm(f"c{i}", 16000, 400), 16000)
+        for i in range(64)
+    }
+    assert len(fps) == 64
+
+
+def test_short_clip_padding():
+    # clips shorter than N_FRAMES samples must not crash
+    v = audio_fp.pcm_fingerprint64(np.array([5, -3], dtype=np.int16), 8000)
+    assert isinstance(v, int)

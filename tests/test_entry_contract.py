@@ -30,6 +30,8 @@ SUBSET = [
     "exact_dup_groups",
     "ann_topk",
     "text_quality",
+    "rollup_stats",
+    "event_sessions",
 ]
 
 
@@ -54,7 +56,8 @@ def test_queries_and_oracles_align():
     assert set(oracles) <= set(qs)
     # everything SQL-expressible has an oracle; known exceptions listed
     assert set(qs) - set(oracles) == {
-        "minhash_pairs", "simhash_pairs", "audio_validate", "binary_meta"
+        "minhash_pairs", "simhash_pairs", "audio_validate", "binary_meta",
+        "audio_fp_dups",
     }
 
 

@@ -1,0 +1,81 @@
+"""Sessionization (operators/sessions.py) + rollup profile
+(profiler.rollup_summary) unit semantics; DuckDB parity is covered by
+the contract gate (test_entry_contract: rollup_stats, event_sessions)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from nadeefiler_spark.operators.sessions import session_stats, sessionize
+from nadeefiler_spark.profiler import rollup_summary
+
+
+def _ts(minute: int, second: int = 0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def _events(spark):
+    rows = [
+        # user 1: two sessions split by a 31-min gap
+        ("e1", 1, _ts(0)),
+        ("e2", 1, _ts(10)),
+        ("e3", 1, _ts(41, 1)),  # gap 31:01 > 30 min -> new session
+        # user 2: one session, gap exactly == 1800 s stays in-session
+        ("e4", 2, _ts(0)),
+        ("e5", 2, _ts(30)),
+        # user 3: single event
+        ("e6", 3, _ts(5)),
+    ]
+    return spark.createDataFrame(rows, "event_id string, user_id int, ts timestamp")
+
+
+def test_sessionize_boundaries(spark):
+    s = sessionize(_events(spark), "user_id", "ts", gap_s=1800, tiebreak_col="event_id")
+    got = {r["event_id"]: r["session_idx"] for r in s.collect()}
+    assert got == {"e1": 1, "e2": 1, "e3": 2, "e4": 1, "e5": 1, "e6": 1}
+
+
+def test_session_stats(spark):
+    out = session_stats(
+        _events(spark), "user_id", "ts", gap_s=1800, tiebreak_col="event_id"
+    )
+    rows = {(r["user"], r["session_idx"]): r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[(1, 1)]["n_events"] == 2 and rows[(1, 1)]["dur_s"] == 600
+    assert rows[(1, 2)]["n_events"] == 1 and rows[(1, 2)]["dur_s"] == 0
+    assert rows[(2, 1)]["n_events"] == 2 and rows[(2, 1)]["dur_s"] == 1800
+    assert rows[(3, 1)]["n_events"] == 1
+
+
+def test_session_single_shuffle_plan(spark):
+    """The groupBy must reuse the window's hash partitioning: exactly one
+    Exchange in the physical plan (the 100-TB invariant)."""
+    out = session_stats(_events(spark), "user_id", "ts", gap_s=1800)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_rollup_levels(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0)],
+        "d1 string, d2 string, v double",
+    )
+    out = rollup_summary(df, ("d1", "d2"), "v")
+    rows = {(r["d1"], r["d2"], r["gid"]): r for r in out.collect()}
+    # leaf + per-d1 + grand total = 3 + 2 + 1
+    assert len(rows) == 6
+    assert rows[("a", None, 1)]["sum_val"] == 3.0
+    assert rows[(None, None, 3)]["n_rows"] == 3
+    assert rows[("b", "x", 0)]["avg_val"] == 4.0
+
+
+def test_rollup_single_scan(spark, tmp_path):
+    """ROLLUP must not re-scan the input per level: one scan node."""
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [("a", "x", 1.0)], "d1 string, d2 string, v double"
+    ).write.parquet(p)
+    out = rollup_summary(spark.read.parquet(p), ("d1", "d2"), "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan
