@@ -50,6 +50,9 @@ Operator → query map (SURVEY §2 ids in brackets):
                           deterministic hash sharding + checksums]
 - dup_clusters           [pipeline: near-dup clustering — connected
                           components (large-star/small-star) over pairs]
+- numeric_quantiles      [A9-adjacent profile] per-partition quantiles —
+                          mergeable percentile_approx sketch in production,
+                          exact percentile_cont for the oracle
 - rollup_stats           [§2.7 grouping sets] every ROLLUP level in one scan
 - event_sessions         [pipeline: gap-based sessionization, one shuffle]
 - audio_fp_dups          [pipeline: audio CONTENT dedup — decoded-PCM
@@ -656,6 +659,26 @@ SELECT user_id AS user, session_idx, CAST(count(*) AS BIGINT) AS n_events,
        CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS dur_s
 FROM s GROUP BY 1, 2
 """
+
+
+def _q_numeric_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition quantile profile (profiler.numeric_quantiles).
+    exact=True here because the ORACLE demands SQL percentile_cont
+    semantics; the production default is the mergeable
+    percentile_approx sketch (shuffle bytes independent of row count —
+    the 10^12-row path), sanity-bounded vs exact in pytest."""
+    ev = _t(spark, sf_dir, "events")
+    return profiler.numeric_quantiles(
+        ev, ("value",), part_col="event_type", exact=True
+    )
+
+
+def _sql_numeric_quantiles() -> str:
+    sub = (
+        "SELECT event_type AS part, 'value' AS key, CAST({q} AS DOUBLE) AS q, "
+        'round(quantile_cont("value", {q}), 6) AS val FROM events GROUP BY 1'
+    )
+    return " UNION ALL ".join(sub.format(q=q) for q in (0.25, 0.5, 0.75, 0.95))
 
 
 def _q_audio_fp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1643,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_stats": _q_windowed_event_stats,
         "rollup_stats": _q_rollup_stats,
         "event_sessions": _q_event_sessions,
+        "numeric_quantiles": _q_numeric_quantiles,
         "audio_fp_dups": _q_audio_fp_dups,
         "percent_histogram": _q_percent_histogram,
         "kb_group_import": _q_kb_group_import,
@@ -1696,6 +1720,7 @@ def oracle_sql() -> dict[str, str]:
         "windowed_event_stats": _SQL_WINDOWED_EVENT_STATS,
         "rollup_stats": _SQL_ROLLUP_STATS,
         "event_sessions": _SQL_EVENT_SESSIONS,
+        "numeric_quantiles": _sql_numeric_quantiles(),
         "percent_histogram": _SQL_PERCENT_HISTOGRAM,
         "kb_group_import": _SQL_KB_GROUP_IMPORT,
         "semantic_scores": _SQL_SEMANTIC_SCORES,

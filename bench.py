@@ -76,6 +76,7 @@ HEADLINE_QUERIES = (
     "binary_meta_docs",
     "rollup_stats",
     "event_sessions",
+    "numeric_quantiles",
     "audio_fp_dups",
 )
 

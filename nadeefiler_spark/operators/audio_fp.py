@@ -168,3 +168,23 @@ def audio_near_dup_pairs(
         .select("id_a", "id_b", "hamming")
     )
     return _finalize(out, fp, eager=eager)
+
+
+def dup_groups_from_facts(decoded: DataFrame, id_col: str = "clip_id") -> DataFrame:
+    """Exact-content duplicate groups from a decode-facts frame that
+    already carries ``fp`` (``rules.audio_rules.decode_facts(with_fp=
+    True)``) — content dedup off the engine's SHARED decode pass, zero
+    additional binary scans. Same output contract as
+    :func:`audio_content_dup_groups`."""
+    fps = decoded.where(F.col("fp").isNotNull()).select(
+        F.col(id_col).alias("id"), "fp"
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.min("id").alias("keeper_id"),
+            F.sort_array(F.collect_list("id")).alias("clip_ids"),
+        )
+        .where(F.col("n_clips") > 1)
+    )

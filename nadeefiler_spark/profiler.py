@@ -227,3 +227,53 @@ def rollup_summary(
             F.round(F.max(v), precision).alias("max_val"),
         )
     )
+
+
+def numeric_quantiles(
+    df: DataFrame,
+    cols: tuple[str, ...],
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    part_col: str | None = None,
+    exact: bool = False,
+    accuracy: int = 10000,
+    precision: int = 6,
+) -> DataFrame:
+    """Per-column quantiles -> long format (part?, key, q, val).
+
+    Production path (default): ``percentile_approx`` — a mergeable
+    rank sketch whose partial states combine map-side, so shuffle bytes
+    are O(#groups × #cols × sketch), independent of row count — the
+    only 10^12-row-viable formulation. ``exact=True`` switches to the
+    exact interpolated ``percentile`` (SQL percentile_cont semantics,
+    what a DuckDB ``quantile_cont`` oracle computes) — a per-group sort,
+    reserved for oracle tests and small groups.
+
+    All columns × all quantiles are folded into ONE agg (one scan, one
+    shuffle); the long format comes from the same explode-melt shape as
+    :func:`profile_summary`.
+    """
+    q_arr = F.array(*[F.lit(float(q)) for q in qs])
+    aggs = []
+    for c in cols:
+        fn = F.percentile if exact else (
+            lambda col, qq: F.percentile_approx(col, qq, F.lit(accuracy))
+        )
+        aggs.append(fn(F.col(c), q_arr).alias(f"{c}::q"))
+    grouped = (
+        df.groupBy(F.col(part_col).cast("string").alias("part"))
+        if part_col
+        else df.groupBy(F.lit("*").alias("part"))
+    )
+    wide = grouped.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("key"),
+            F.lit(float(q)).alias("q"),
+            F.round(F.col(f"`{c}::q`")[i], precision).alias("val"),
+        )
+        for c in cols
+        for i, q in enumerate(qs)
+    ]
+    return wide.select("part", F.explode(F.array(*structs)).alias("s")).select(
+        "part", "s.*"
+    )

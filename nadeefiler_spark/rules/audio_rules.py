@@ -42,22 +42,35 @@ DECODED_SCHEMA = (
 SNR_PASS_DB = 30.0  # input_hint: decoded-PCM allclose asserted as SNR>=30dB
 
 
-def decode_facts(clips: DataFrame, with_snr: bool = True) -> DataFrame:
+def decode_facts(
+    clips: DataFrame, with_snr: bool = True, with_fp: bool = False
+) -> DataFrame:
     """One narrow mapInPandas pass: bytes -> decoded facts per clip.
 
     ``snr_db`` compares decoded PCM against an independent deterministic
     re-render of the clip's reference waveform (the sandbox stand-in for
     a reference decoder; see nadeefiler_spark.audio module docstring).
+
+    ``with_fp`` appends the 64-bit content fingerprint
+    (``operators.audio_fp.pcm_fingerprint64``) computed from the SAME
+    decoded PCM — content dedup then costs one extra rFFT per clip on
+    the shared scan instead of a second full-table binary decode pass
+    (the decode-once-check-many invariant, engine binary-scan fusion).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from nadeefiler_spark import audio  # import on executor
+
+        if with_fp:
+            from nadeefiler_spark.operators.audio_fp import pcm_fingerprint64
 
         for pdf in batches:
             out = {k: [] for k in (
                 "part", "clip_id", "sr_hz", "dur_ms", "codec", "n_bytes",
                 "dec_codec", "dec_sr", "dec_n", "dec_ms", "snr_db", "decode_error",
             )}
+            if with_fp:
+                out["fp"] = []
             for part, cid, sr, dur, codec, blob in zip(
                 pdf["part"], pdf["clip_id"], pdf["sr_hz"], pdf["dur_ms"],
                 pdf["codec"], pdf["bytes"],
@@ -89,6 +102,8 @@ def decode_facts(clips: DataFrame, with_snr: bool = True) -> DataFrame:
                     out["dec_ms"].append(dec_ms)
                     out["snr_db"].append(snr)
                     out["decode_error"].append(None)
+                    if with_fp:
+                        out["fp"].append(pcm_fingerprint64(pcm, int(dec_sr)))
                 except Exception as exc:  # garbage container
                     out["dec_codec"].append(None)
                     out["dec_sr"].append(None)
@@ -96,10 +111,15 @@ def decode_facts(clips: DataFrame, with_snr: bool = True) -> DataFrame:
                     out["dec_ms"].append(None)
                     out["snr_db"].append(None)
                     out["decode_error"].append(str(exc)[:200])
+                    if with_fp:
+                        out["fp"].append(None)
+            if with_fp:
+                out["fp"] = pd.array(out["fp"], dtype="Int64")
             yield pd.DataFrame(out)
 
     cols = ["part", "clip_id", "sr_hz", "dur_ms", "codec", "bytes"]
-    return clips.select(*cols).mapInPandas(run, DECODED_SCHEMA)
+    schema = DECODED_SCHEMA + (", fp bigint" if with_fp else "")
+    return clips.select(*cols).mapInPandas(run, schema)
 
 
 @dataclass

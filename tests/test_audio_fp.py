@@ -73,8 +73,7 @@ def test_cross_codec_groups_and_errors(spark):
 
 
 def test_near_pairs_pigeonhole(spark):
-    # plant a hamming-2 neighbor by flipping two fp bits' worth of audio?
-    # Simpler: near path must at least find all exact-content pairs.
+    # near path must find all exact-content pairs at hamming 0
     pairs = audio_fp.audio_near_dup_pairs(_mini_clips(spark), max_hamming=3)
     got = {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs.collect()}
     assert got == {
@@ -82,6 +81,31 @@ def test_near_pairs_pigeonhole(spark):
         ("a-flac", "a-wav", 0),
         ("a-opus", "a-wav", 0),
     }
+
+
+def test_near_pairs_noise_variant(spark):
+    """A noise-floor variant (same recording, audible noise added) is NOT
+    byte- or fp-identical but must surface as a near pair within the
+    pigeonhole bound — the case exact dedup is structurally blind to."""
+    pcm = audio.render_pcm("clip-N", 16000, 600)
+    rng = np.random.default_rng(3)
+    noisy = np.clip(
+        pcm.astype(np.float32) + rng.normal(0, 80, len(pcm)).astype(np.float32),
+        -32768, 32767,
+    ).astype(np.int16)
+    rows = [
+        ("orig", audio.encode(pcm, 16000, "pcm_s16le")),
+        ("noisy", audio.encode(noisy, 16000, "flac")),
+        ("other", audio.encode(audio.render_pcm("clip-M", 16000, 600), 16000, "pcm_s16le")),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    # not exact-identical content
+    assert audio_fp.audio_content_dup_groups(df).count() == 0
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in audio_fp.audio_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs == {("noisy", "orig")}
 
 
 def test_datagen_twin_pairset(spark, tiny_cfg):
@@ -135,3 +159,28 @@ def test_short_clip_padding():
     # clips shorter than N_FRAMES samples must not crash
     v = audio_fp.pcm_fingerprint64(np.array([5, -3], dtype=np.int16), 8000)
     assert isinstance(v, int)
+
+
+def test_fused_decode_facts_fp(spark, tiny_cfg):
+    """decode_facts(with_fp=True) must carry the identical fingerprints
+    the standalone operator computes, and the facts-based dup groups
+    must equal the operator's (the decode-once fusion contract)."""
+    from nadeefiler_spark.rules.audio_rules import decode_facts
+
+    clips = datagen.clips_df(spark, tiny_cfg)
+    facts = decode_facts(clips, with_snr=False, with_fp=True)
+    fused = {r["clip_id"]: r["fp"] for r in facts.select("clip_id", "fp").collect()}
+    direct = {
+        r["id"]: r["fp"]
+        for r in audio_fp.audio_fingerprints(clips).collect()
+    }
+    assert fused == direct
+    a = {
+        tuple(r["clip_ids"])
+        for r in audio_fp.dup_groups_from_facts(facts).collect()
+    }
+    b = {
+        tuple(r["clip_ids"])
+        for r in audio_fp.audio_content_dup_groups(clips).collect()
+    }
+    assert a == b and len(a) >= 1

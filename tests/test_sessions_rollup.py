@@ -79,3 +79,37 @@ def test_rollup_single_scan(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan
     assert "Expand" in plan
+
+
+def test_numeric_quantiles_approx_vs_exact(spark):
+    """Production sketch path must stay within the sketch's rank-error
+    bound of the exact path, and both fold everything into one agg."""
+    import random
+
+    from nadeefiler_spark.profiler import numeric_quantiles
+
+    rng = random.Random(11)
+    rows = [("g%d" % (i % 3), rng.gauss(0, 10)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    ex = {
+        (r["part"], r["q"]): r["val"]
+        for r in numeric_quantiles(df, ("v",), part_col="grp", exact=True).collect()
+    }
+    ap = {
+        (r["part"], r["q"]): r["val"]
+        for r in numeric_quantiles(df, ("v",), part_col="grp").collect()
+    }
+    assert set(ex) == set(ap) and len(ex) == 12
+    for k, v in ex.items():
+        assert abs(ap[k] - v) < 1.0, (k, v, ap[k])
+
+
+def test_numeric_quantiles_single_exchange(spark):
+    from nadeefiler_spark.profiler import numeric_quantiles
+
+    df = spark.createDataFrame([("a", 1.0)], "grp string, v double")
+    plan = (
+        numeric_quantiles(df, ("v",), part_col="grp")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
