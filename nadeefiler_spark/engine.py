@@ -373,6 +373,78 @@ class ValidationEngine:
             "holds boolean, part string",
         )
 
+    # --- cascade stage: audio content dedup ---------------------------------
+    def run_content_dedup(
+        self,
+        clips: DataFrame,
+        resume: bool = True,
+        run_id: str | None = None,
+    ) -> DataFrame:
+        """Cascade stage: cross-partition audio CONTENT dedup.
+
+        Decoded-PCM fingerprint groups (operators.audio_fp) as an engine
+        stage — output table ``content_dups``, manifest rows under
+        stage='content_dedup' with per-partition lineage (n_violations =
+        clips in that partition belonging to a duplicate-content group).
+
+        Semantics are deliberately GLOBAL, unlike the per-partition rule
+        stages: a re-encoded copy lands in a DIFFERENT codec partition
+        than its original, so duplicate groups span partitions. Any
+        pending partition therefore triggers a full recompute and a
+        whole-table replace; a resumed run with no new partitions skips
+        entirely. The decode runs once in the same narrow shape as the
+        shared decode pass (decode_facts with_fp, no SNR render).
+        """
+        run_id = run_id or uuid.uuid4().hex[:12]
+        all_parts = [r[0] for r in clips.select(self.part_col).distinct().collect()]
+        done: set[str] = set()
+        if resume:
+            done = {
+                r["part"]
+                for r in self.manifest().where(F.col("stage") == "content_dedup")
+                .select("part").distinct().collect()
+            }
+        pending = [p for p in all_parts if str(p) not in done]
+        if not pending:
+            return self.verdicts().where(
+                (F.col("stage") == "content_dedup") & (F.col("run_id") == run_id)
+            )
+        t0 = time.monotonic()
+        from .operators.audio_fp import dup_groups_from_facts
+
+        facts = decode_facts(clips, with_snr=False, with_fp=True).persist()
+        try:
+            groups = dup_groups_from_facts(facts, id_col="clip_id").withColumn(
+                "part", F.lit("*")
+            )
+            self.io.replace_partitions(groups, "content_dups", "part", ["*"])
+            # per-partition lineage: clips implicated in any dup group
+            dup_fp = self.content_dups().select("fp")  # tiny: one row/group
+            viol = {
+                str(r["part"]): r["c"]
+                for r in facts.where(F.col("fp").isNotNull())
+                .join(F.broadcast(dup_fp), "fp")
+                .groupBy("part").agg(F.count(F.lit(1)).alias("c")).collect()
+            }
+        finally:
+            facts.unpersist()
+        rows = self._rows_by_part(pending)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        self._commit(
+            run_id, "content_dedup", [str(p) for p in pending],
+            rows, {str(p): viol.get(str(p), 0) for p in pending}, wall_ms,
+        )
+        return self.verdicts().where(
+            (F.col("stage") == "content_dedup") & (F.col("run_id") == run_id)
+        )
+
+    def content_dups(self) -> DataFrame:
+        return self.io.read(
+            "content_dups",
+            "fp bigint, n_clips bigint, keeper_id string, "
+            "clip_ids array<string>, part string",
+        )
+
     # --- stage bodies -----------------------------------------------------
     def _run_profile(self, scoped, cfg, pending, decoded=None):
         # idempotent per-partition replace (reference delete-before-write,

@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the FD-mining cascade stage over these columns "
                         "(no values = every non-binary column); writes the "
                         "fd_results table and stage='fd' manifest rows")
+    p.add_argument("--content-dedup", action="store_true",
+                   help="run the cross-partition audio content-dedup stage "
+                        "(decoded-PCM fingerprint groups -> content_dups table)")
     p.add_argument("--run-id", default=None)
     return p
 
@@ -86,6 +89,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
             resume=not args.no_resume, run_id=args.run_id,
         )
         verdicts = verdicts.unionByName(fd_v)
+    if args.content_dedup:
+        cd_v = eng.run_content_dedup(
+            clips, resume=not args.no_resume, run_id=args.run_id
+        )
+        verdicts = verdicts.unionByName(cd_v)
     rows = verdicts.orderBy("part", "stage").collect()
     summary = {
         "partitions": sorted({r["part"] for r in rows}),

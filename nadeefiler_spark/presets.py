@@ -22,6 +22,11 @@ def default_clip_rules(
         UniquenessRule(keys=("clip_id",)),
         DomainRule(name="sr_domain", column="sr_hz", allowed=audio.VALID_SR),
         RequiredRule(name="transcript_required", column="transcript"),
+        # SpeakingRateRule (constraints.py) is deliberately NOT in this
+        # preset: the synthetic corpus compresses durations to 40-200 ms
+        # for test speed, so a chars-per-second plausibility check would
+        # correctly flag nearly every row. On real speech data add
+        # SpeakingRateRule() here — it folds into the same shared scan.
     ]
     if with_refs:
         rules.append(ReferentialRule(name="ref_integrity", key="clip_id"))

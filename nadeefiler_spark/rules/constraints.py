@@ -166,3 +166,43 @@ class MatchRule(Rule):
             [self.key, "_ref_val"]
         )
         return self.shape(bad, ctx, self.name, F.lit(f"{self.column}_mismatch"))
+
+
+@dataclass
+class SpeakingRateRule(Rule):
+    """Transcript length must be plausible for the clip's duration.
+
+    Audio+transcript cross-column check: characters-per-second outside
+    ``[lo_cps, hi_cps]`` flags mislabeled pairs (a paragraph attached to
+    a 100 ms clip, or a minute of audio with a two-word transcript) —
+    the dominant label-noise mode in scraped speech corpora. Human
+    speech spans roughly 5-25 chars/sec; the wide default [1, 50] only
+    flags physically implausible pairs. Empty/whitespace transcripts are
+    RequiredRule's job, not this rule's; they are skipped here.
+
+    Pure Catalyst predicate (no UDF, folds into the shared constraint
+    scan via the predicate fast path).
+    """
+
+    transcript_col: str = "transcript"
+    dur_col: str = "dur_ms"
+    lo_cps: float = 1.0
+    hi_cps: float = 50.0
+
+    def __post_init__(self) -> None:
+        self.name = self.name or "speaking_rate"
+        self.stage = "constraints"
+
+    def violations(self, ctx: RuleContext) -> DataFrame:
+        pred, detail = self.predicate(ctx)
+        return self.shape(ctx.clips.where(pred), ctx, self.name, detail)
+
+    def predicate(self, ctx: RuleContext):
+        t = F.col(self.transcript_col)
+        dur_s = F.col(self.dur_col).cast("double") / 1000.0
+        n_chars = F.length(F.trim(t))
+        cps = n_chars / dur_s
+        applicable = t.isNotNull() & (n_chars > 0) & dur_s.isNotNull() & (dur_s > 0)
+        pred = applicable & ((cps < self.lo_cps) | (cps > self.hi_cps))
+        detail = F.concat(F.lit("cps="), F.round(cps, 2).cast("string"))
+        return pred, detail

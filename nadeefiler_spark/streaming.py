@@ -221,3 +221,44 @@ def streaming_exact_dedup(
     return keyed.applyInPandasWithState(
         dedupe, DEDUP_OUT_SCHEMA, DEDUP_STATE_SCHEMA, "append", "NoTimeout"
     )
+
+
+def session_event_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session stats via Spark's native ``session_window``:
+    (user, session_start, session_end, n_events).
+
+    ONE definition, both modes (same contract as
+    :func:`windowed_event_stats`):
+
+    - **Batch**: full-input sessions — cross-validated in pytest against
+      the independent window/lag implementation in
+      ``operators.sessions.session_stats`` (two different formulations,
+      same sessions).
+    - **Streaming**: the watermark closes a session once no event can
+      extend it (max event time − watermark > last event + gap); its
+      state is emitted (append) and dropped, later rows are discarded.
+      State is O(OPEN sessions), not O(events) — the property that lets
+      per-user sessionization run forever at 10^12 events.
+
+    Note ``session_window.end`` is last-event-time + gap (Spark
+    semantics); the last EVENT time is end − gap.
+    """
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(user_col).alias("user"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -184,3 +184,55 @@ def test_fused_decode_facts_fp(spark, tiny_cfg):
         for r in audio_fp.audio_content_dup_groups(clips).collect()
     }
     assert a == b and len(a) >= 1
+
+
+def test_engine_content_dedup_stage(spark, tiny_cfg, clips_dir, tmp_path_factory):
+    """Engine cascade stage: content_dups table + manifest lineage +
+    global-recompute resume semantics."""
+    from nadeefiler_spark.engine import ValidationEngine
+
+    out = str(tmp_path_factory.mktemp("engine_cd"))
+    eng = ValidationEngine(spark, out, rules=[])
+    clips = spark.read.parquet(f"{clips_dir}/clips")
+
+    v = eng.run_content_dedup(clips, run_id="cd1").toPandas()
+    assert set(v["stage"]) == {"content_dedup"}
+    groups = eng.content_dups().toPandas()
+    direct = audio_fp.audio_content_dup_groups(clips).toPandas()
+    assert sorted(map(tuple, groups["clip_ids"])) == sorted(
+        map(tuple, direct["clip_ids"])
+    )
+    # lineage: per-part n_violations == clips implicated in a dup group
+    implicated = sum(len(g) for g in groups["clip_ids"])
+    assert int(v["n_violations"].sum()) == implicated > 0
+
+    # resume with no new partitions: a no-op (no new manifest rows)
+    eng.run_content_dedup(clips, run_id="cd2")
+    m = eng.manifest().toPandas()
+    assert set(m[m["stage"] == "content_dedup"]["run_id"]) == {"cd1"}
+
+    # a NEW partition triggers a full global recompute: plant a cross-
+    # partition re-encode of an existing clip in a fresh partition
+    row = clips.where("part = 'pcm_s16le'").limit(1).collect()[0]
+    from nadeefiler_spark import audio
+
+    _c, sr, pcm = audio.decode(bytes(row["bytes"]))
+    reenc = audio.encode(pcm, sr, "flac")
+    extra_row = row.asDict()
+    extra_row.update(
+        clip_id=row["clip_id"] + "-re", bytes=bytearray(reenc),
+        codec="flac", part="newpart",
+    )
+    extra = spark.createDataFrame(
+        [tuple(extra_row[f.name] for f in clips.schema.fields)], clips.schema
+    )
+    eng.run_content_dedup(clips.unionByName(extra), run_id="cd3")
+    groups2 = eng.content_dups().toPandas()
+    joined = {
+        tuple(g) for g in groups2["clip_ids"]
+        if row["clip_id"] in g and row["clip_id"] + "-re" in g
+    }
+    assert joined, "cross-partition re-encode must join its original's group"
+    m3 = eng.manifest().toPandas()
+    cd3 = m3[(m3["stage"] == "content_dedup") & (m3["run_id"] == "cd3")]
+    assert set(cd3["part"]) == {"newpart"}

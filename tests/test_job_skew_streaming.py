@@ -425,3 +425,17 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     # the cross-batch case: state survived the restart
     assert got.loc[4, "is_dup"] and got.loc[4, "keeper_id"] == 1
     assert not got.loc[5, "is_dup"] and got.loc[5, "keeper_id"] == 5
+
+
+def test_job_content_dedup_flag(spark, clips_dirs, tmp_path):
+    out = str(tmp_path / "out_cd")
+    summary = job.main(
+        ["--clips", f"{clips_dirs}/clips", "--out", out,
+         "--no-audio", "--no-drift", "--content-dedup"],
+        spark=spark,
+    )
+    assert "content_dedup" in summary["stages"]
+    from nadeefiler_spark.engine import ValidationEngine
+
+    eng = ValidationEngine(spark, out, rules=[])
+    assert eng.content_dups().count() > 0  # planted exact dups grouped

@@ -113,3 +113,92 @@ def test_numeric_quantiles_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_session_window_cross_impl_twin(spark):
+    """Two independent sessionization formulations — native
+    session_window vs the window/lag implementation — must produce the
+    SAME sessions on the same input (start, membership count, user)."""
+    from nadeefiler_spark.streaming import session_event_stats
+
+    native = {
+        (r["user"], str(r["session_start"]), r["n_events"])
+        for r in session_event_stats(
+            _events(spark), gap="30 minutes"
+        ).collect()
+    }
+    lagged = {
+        (r["user"], str(r["t_start"]), r["n_events"])
+        for r in session_stats(
+            _events(spark), "user_id", "ts", gap_s=1800, tiebreak_col="event_id"
+        ).collect()
+    }
+    assert native == lagged and len(native) == 4
+
+
+def test_session_window_stream_equals_batch(spark, tmp_path):
+    """session_event_stats run as a real stream (file source, one file
+    per micro-batch, complete mode) converges to the batch answer."""
+    from nadeefiler_spark.streaming import session_event_stats
+
+    src = str(tmp_path / "sess_ev")
+    schema = "event_id string, user_id int, ts timestamp"
+    rows = [r for r in _events(spark).collect()]
+    half = len(rows) // 2
+    for chunk in (rows[:half], rows[half:]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        session_event_stats(stream)
+        .writeStream.format("memory")
+        .queryName("sess_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def canon(df):
+        return sorted(
+            (r["user"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+            for r in df.collect()
+        )
+
+    batch = session_event_stats(spark.read.parquet(src))
+    assert canon(spark.table("sess_complete")) == canon(batch)
+    assert len(canon(batch)) == 4
+
+
+def test_speaking_rate_rule(spark):
+    from nadeefiler_spark.rules.base import RuleContext
+    from nadeefiler_spark.rules.constraints import SpeakingRateRule
+
+    rows = [
+        # 20 chars / 2 s = 10 cps -> plausible
+        ("ok", "p", "twenty chars here ab", 2000),
+        # 80 chars / 0.1 s = 800 cps -> implausible (paragraph on a blip)
+        ("fast", "p", "x" * 80, 100),
+        # 2 chars / 30 s = 0.07 cps -> implausible (near-empty label)
+        ("slow", "p", "hi", 30000),
+        # empty / null / zero-duration rows are out of scope here
+        ("empty", "p", "", 1000),
+        ("null", "p", None, 1000),
+        ("nodur", "p", "some words", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, part string, transcript string, dur_ms int"
+    )
+    ctx = RuleContext(spark=spark, clips=df, key_col="clip_id", part_col="part")
+    rule = SpeakingRateRule()
+    got = {r["clip_id"]: r["detail"] for r in rule.violations(ctx).collect()}
+    assert set(got) == {"fast", "slow"}
+    assert got["fast"] == "cps=800.0"
+    # predicate fast path exists (folds into the shared constraint scan)
+    assert rule.predicate(ctx) is not None
