@@ -138,19 +138,28 @@ def audio_near_dup_pairs(
     id_col: str = "clip_id",
     bytes_col: str = "bytes",
     max_hamming: int = 3,
+    n_chunks: int = 4,
     eager: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, hamming): near-duplicate audio pairs.
 
-    Same pigeonhole guarantee as the SimHash text path: 4 chunks give
-    full recall for hamming distance <= 3. Blocking join keys are 16-bit
-    chunk values — bounded buckets, no all-pairs stage.
+    Same pigeonhole guarantee as the SimHash text path: ``n_chunks``
+    chunks give full recall for hamming distance < n_chunks (default 4
+    chunks of 16 bits -> guaranteed through distance 3; raise to 8 for
+    distance <= 7 at the cost of shorter 8-bit chunk keys, i.e. hotter
+    blocking buckets). Blocking join keys are chunk values — bounded
+    buckets, no all-pairs stage.
     """
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"pigeonhole recall needs max_hamming < n_chunks "
+            f"(got {max_hamming} >= {n_chunks})"
+        )
     fp = audio_fingerprints(clips, id_col, bytes_col).where(
         F.col("fp").isNotNull()
     ).select("id", "fp").persist()
     chunked = fp.select(
-        "id", "fp", F.explode(S.simhash_chunks(F.col("fp"))).alias("c")
+        "id", "fp", F.explode(S.simhash_chunks(F.col("fp"), n_chunks)).alias("c")
     ).select("id", "fp", "c.chunk", "c.key")
     cand = (
         chunked.alias("x")

@@ -156,7 +156,7 @@ def test_fp_distinct_for_distinct_content():
 
 
 def test_short_clip_padding():
-    # clips shorter than N_FRAMES samples must not crash
+    # clips shorter than the 128-sample FFT floor must not crash
     v = audio_fp.pcm_fingerprint64(np.array([5, -3], dtype=np.int16), 8000)
     assert isinstance(v, int)
 
@@ -236,3 +236,24 @@ def test_engine_content_dedup_stage(spark, tiny_cfg, clips_dir, tmp_path_factory
     m3 = eng.manifest().toPandas()
     cd3 = m3[(m3["stage"] == "content_dedup") & (m3["run_id"] == "cd3")]
     assert set(cd3["part"]) == {"newpart"}
+
+
+def test_near_pairs_wider_recall_knob(spark):
+    """n_chunks=8 guarantees recall through hamming 7 — catches a
+    heavier perturbation the default 4-chunk blocking may miss."""
+    pcm = audio.render_pcm("clip-N", 16000, 600)
+    rng = np.random.default_rng(3)
+    noisy = np.clip(
+        pcm.astype(np.float32) + rng.normal(0, 150, len(pcm)).astype(np.float32),
+        -32768, 32767,
+    ).astype(np.int16)  # measured hamming 7 vs the original
+    df = spark.createDataFrame(
+        [("orig", audio.encode(pcm, 16000, "pcm_s16le")),
+         ("noisy", audio.encode(noisy, 16000, "flac"))],
+        "clip_id string, bytes binary",
+    )
+    pairs = audio_fp.audio_near_dup_pairs(df, max_hamming=7, n_chunks=8)
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs.collect()}
+    assert got == {("noisy", "orig", 7)}
+    with pytest.raises(ValueError, match="pigeonhole"):
+        audio_fp.audio_near_dup_pairs(df, max_hamming=4, n_chunks=4)
