@@ -59,6 +59,10 @@ Operator → query map (SURVEY §2 ids in brackets):
                           Haitsma–Kalker fingerprints, codec-robust]
                           (no DuckDB oracle: binary decode — independent
                           pure-numpy twin, tests/test_audio_fp.py)
+- audio_feature_ann      [pipeline: audio -> band-energy embedding ->
+                          existing ANN toolchain] (no DuckDB oracle:
+                          binary decode — invariance + twin-retrieval
+                          pinned in tests/test_audio_features.py)
 - binary_meta_docs       [pipeline: multimodal metadata, DuckDB-oracled]
 - audio_validate         [north_star audio rules]       (no DuckDB oracle:
                           binary audio — exact datagen golden, tests/test_hash_twins.py)
@@ -695,6 +699,30 @@ def _q_audio_fp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_content_dup_groups(clips).select(
         "fp", "n_clips", "keeper_id", F.to_json("clip_ids").alias("clip_ids")
     ).orderBy("fp")
+
+
+def _q_audio_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio -> embedding -> ANN composition (operators.audio_features +
+    operators.ann): band-energy feature vectors over the deterministic
+    synthetic clips feed the EXISTING brute-force ANN — deterministic
+    top-2 per query clip. Planted exact duplicates reuse their
+    original's clip_id (datagen.row_spec), so the cos=1 twin-retrieval
+    property is pinned on distinct ids in tests/test_audio_features.py;
+    no DuckDB oracle (binary decode)."""
+    from nadeefiler_spark.operators.audio_features import audio_features
+
+    cfg = datagen.GenConfig(n_rows=1000, seed=7, dur_min_ms=40, dur_max_ms=200)
+    clips = datagen.clips_df(spark, cfg)
+    emb = (
+        audio_features(clips)
+        .where(F.col("features").isNotNull())
+        .select(F.col("id").alias("vec_id"), F.col("features").alias("embedding"))
+        .dropDuplicates(["vec_id"])  # planted dups share their twin's id
+    )
+    q = emb.where(F.col("vec_id").isin([f"clip-{i:012d}" for i in (0, 5, 500)]))
+    from nadeefiler_spark.operators.ann import brute_force_topk
+
+    return brute_force_topk(emb, q, k=2).orderBy("query_id", "rank")
 
 
 def _q_percent_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1668,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_event_sessions,
         "numeric_quantiles": _q_numeric_quantiles,
         "audio_fp_dups": _q_audio_fp_dups,
+        "audio_feature_ann": _q_audio_feature_ann,
         "percent_histogram": _q_percent_histogram,
         "kb_group_import": _q_kb_group_import,
         "semantic_scores": _q_semantic_scores,

@@ -78,6 +78,7 @@ HEADLINE_QUERIES = (
     "event_sessions",
     "numeric_quantiles",
     "audio_fp_dups",
+    "audio_feature_ann",
 )
 
 
