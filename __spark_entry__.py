@@ -63,6 +63,10 @@ Operator → query map (SURVEY §2 ids in brackets):
                           existing ANN toolchain] (no DuckDB oracle:
                           binary decode — invariance + twin-retrieval
                           pinned in tests/test_audio_features.py)
+- audio_embedding_dups   [pipeline: audio near-dup at scale — LSH-blocked
+                          embedding-cosine over planted resample variants]
+                          (no DuckDB oracle: binary decode — recall +
+                          blocked⊆exact pinned, tests/test_audio_features.py)
 - binary_meta_docs       [pipeline: multimodal metadata, DuckDB-oracled]
 - audio_validate         [north_star audio rules]       (no DuckDB oracle:
                           binary audio — exact datagen golden, tests/test_hash_twins.py)
@@ -723,6 +727,39 @@ def _q_audio_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nadeefiler_spark.operators.ann import brute_force_topk
 
     return brute_force_topk(emb, q, k=2).orderBy("query_id", "rank")
+
+
+def _q_audio_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup at scale (operators.audio_features.
+    audio_embedding_dup_pairs): decode -> mean-centered band-energy
+    embedding -> hyperplane-LSH blocking -> exact-cosine verify. The
+    corpus is the deterministic synthetic clips PLUS a planted 8 kHz
+    resample of every 11th 16 kHz clip of >=60 ms (clean 2:1 ratio;
+    measured cos vs original >=0.9908 across the 13 plants — sub-60 ms
+    clips are excluded because their FFT has too few bins below 4 kHz
+    for banding to survive a rate change). The result must contain each
+    planted variant paired with its original, along with the corpus's
+    genuine f0-collision near-dups (the synthetic waveform has ONE
+    content degree of freedom, so same-band f0s really are
+    near-identical). No DuckDB oracle (binary decode); recall and
+    blocked-subset-of-exact are pinned in tests/test_audio_features.py."""
+    from nadeefiler_spark.operators.audio_features import (
+        audio_embedding_dup_pairs, resample_clips,
+    )
+
+    cfg = datagen.GenConfig(n_rows=800, seed=7, dur_min_ms=40, dur_max_ms=200)
+    clips = datagen.clips_df(spark, cfg)
+    idx = F.substring("clip_id", 6, 12).cast("long")
+    subset = clips.where(
+        (idx % 11 == 0) & (F.col("sr_hz") == 16000) & (F.col("dur_ms") >= 60)
+    )
+    variants = (
+        resample_clips(subset, 8000)
+        .where(F.col("bytes").isNotNull())
+        .select(F.concat("clip_id", F.lit("-rs8k")).alias("clip_id"), "bytes")
+    )
+    corpus = clips.select("clip_id", "bytes").unionByName(variants)
+    return audio_embedding_dup_pairs(corpus, threshold=0.985).orderBy("id_a", "id_b")
 
 
 def _q_percent_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1697,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_quantiles": _q_numeric_quantiles,
         "audio_fp_dups": _q_audio_fp_dups,
         "audio_feature_ann": _q_audio_feature_ann,
+        "audio_embedding_dups": _q_audio_embedding_dups,
         "percent_histogram": _q_percent_histogram,
         "kb_group_import": _q_kb_group_import,
         "semantic_scores": _q_semantic_scores,

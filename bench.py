@@ -79,6 +79,7 @@ HEADLINE_QUERIES = (
     "numeric_quantiles",
     "audio_fp_dups",
     "audio_feature_ann",
+    "audio_embedding_dups",
 )
 
 

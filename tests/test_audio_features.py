@@ -84,6 +84,66 @@ def test_resample_kernel_identity():
     assert abs(len(up) - 2 * len(pcm)) <= 1
 
 
+def _dup_corpus(spark, n=120, plant_every=10):
+    """Synthetic clips + an 8 kHz resample of every plant_every-th clip."""
+    rows, planted = [], []
+    for i in range(n):
+        pcm = audio.render_pcm(f"dup-{i}", 16000, 300)
+        rows.append((f"dup-{i}", audio.encode(pcm, 16000, "pcm_s16le")))
+        if i % plant_every == 0:
+            rs = AFE.resample_pcm(pcm, 16000, 8000)
+            rows.append((f"dup-{i}-rs8k", audio.encode(rs, 8000, "pcm_s16le")))
+            planted.append((f"dup-{i}", f"dup-{i}-rs8k"))
+    return spark.createDataFrame(rows, "clip_id string, bytes binary"), planted
+
+
+def test_audio_embedding_dup_pairs(spark):
+    """Blocked audio near-dup: every planted resample variant is paired
+    with its original, and the LSH-blocked pairs are a subset of the
+    exact brute-force pairs at the same threshold."""
+    from nadeefiler_spark.operators.dedup import embedding_cosine_pairs
+
+    corpus, planted = _dup_corpus(spark)
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in AFE.audio_embedding_dup_pairs(corpus).collect()
+    }
+    emb = (
+        AFE.audio_features(corpus)
+        .where(F.col("features").isNotNull())
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(emb, "id", "features", 0.98).collect()
+    }
+    assert blocked <= exact
+    for a, b in planted:
+        pair = (a, b) if a < b else (b, a)
+        assert pair in blocked, pair
+
+
+def test_dup_pairs_are_semantically_near():
+    """Non-planted high-cosine pairs must be GENUINE near-content: the
+    synthetic waveform is fully characterized by its fundamental f0
+    (audio.render_pcm), so any pair at cos >= 0.98 must have f0s within
+    one log band (the feature's resolution: log(4000/60)/16 ~ 30% in
+    frequency at 16 bands). Guards against the embedding regressing to
+    pre-mean-centering behavior where spectrally-DISTANT clips scored
+    0.99 off shared loudness envelope alone."""
+    band_log_width = np.log(AFE._HI_HZ / AFE._LO_HZ) / AFE.N_FEATURE_BANDS
+    vecs, f0s = {}, {}
+    for i in range(150):
+        cid = f"sem-{i}"
+        vecs[cid] = AFE.band_energy_features(audio.render_pcm(cid, 16000, 300), 16000)
+        f0s[cid] = 80.0 + (audio.clip_seed(cid) % 800)
+    ids = list(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if float(vecs[a] @ vecs[b]) >= 0.98:
+                log_gap = abs(np.log(f0s[a] / f0s[b]))
+                assert log_gap < band_log_width, (a, b, f0s[a], f0s[b])
+
+
 def test_feature_contrast():
     """Mean-centering must keep unrelated clips well-separated — the
     property that makes ANN over audio features meaningful (without it

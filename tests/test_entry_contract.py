@@ -57,7 +57,7 @@ def test_queries_and_oracles_align():
     # everything SQL-expressible has an oracle; known exceptions listed
     assert set(qs) - set(oracles) == {
         "minhash_pairs", "simhash_pairs", "audio_validate", "binary_meta",
-        "audio_fp_dups", "audio_feature_ann",
+        "audio_fp_dups", "audio_feature_ann", "audio_embedding_dups",
     }
 
 
