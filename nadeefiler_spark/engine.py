@@ -395,47 +395,114 @@ class ValidationEngine:
         entirely. The decode runs once in the same narrow shape as the
         shared decode pass (decode_facts with_fp, no SNR render).
         """
+        from .operators.audio_fp import dup_groups_from_facts
+
+        def compute():
+            facts = decode_facts(clips, with_snr=False, with_fp=True).persist()
+            groups = dup_groups_from_facts(facts, id_col="clip_id").withColumn(
+                "part", F.lit("*")
+            )
+            # per-partition lineage: clips implicated in any dup group
+            # (the fp side of the join is tiny — one row per dup group)
+            implicated = (
+                facts.where(F.col("fp").isNotNull())
+                .join(F.broadcast(groups.select("fp")), "fp")
+                .select(F.col("part").alias(self.part_col))
+            )
+            return groups, implicated, facts.unpersist
+
+        return self._run_global_stage(
+            clips, "content_dedup", "content_dups", compute, resume, run_id
+        )
+
+    def run_embedding_dedup(
+        self,
+        clips: DataFrame,
+        threshold: float = 0.98,
+        resume: bool = True,
+        run_id: str | None = None,
+    ) -> DataFrame:
+        """Cascade stage: cross-partition PERCEPTUAL audio dedup.
+
+        LSH-blocked embedding-cosine pairs
+        (operators.audio_features.audio_embedding_dup_pairs) clustered
+        into connected components (operators.components.dup_clusters) —
+        catches resample / noise-floor variants the exact-PCM
+        fingerprint stage cannot. Output table ``embedding_dups``:
+        (id, cluster_id, cluster_size) per implicated clip, cluster_id =
+        keeper (min member id). Same GLOBAL semantics and manifest
+        lineage as run_content_dedup (stage='embedding_dedup',
+        n_violations = implicated clips per partition).
+        """
+        from .operators.audio_features import audio_embedding_dup_pairs
+        from .operators.components import dup_clusters
+
+        def compute():
+            pairs = audio_embedding_dup_pairs(
+                clips, id_col="clip_id", threshold=threshold
+            )
+            clusters = dup_clusters(pairs).persist()
+            groups = clusters.withColumn("part", F.lit("*"))
+            # implicated side is duplicates-only (tiny) -> broadcast it,
+            # never shuffle the corpus
+            implicated = clips.select(
+                F.col("clip_id").alias("id"), self.part_col
+            ).join(F.broadcast(clusters.select("id")), "id").select(self.part_col)
+            return groups, implicated, clusters.unpersist
+
+        return self._run_global_stage(
+            clips, "embedding_dedup", "embedding_dups", compute, resume, run_id
+        )
+
+    def _run_global_stage(
+        self,
+        clips: DataFrame,
+        stage: str,
+        table: str,
+        compute,
+        resume: bool,
+        run_id: str | None,
+    ) -> DataFrame:
+        """Shared scaffolding for GLOBAL (cross-partition) cascade stages:
+        resume from the manifest, recompute the whole table when any
+        partition is pending (dup groups span partitions), commit
+        per-partition lineage. ``compute() -> (table_df, implicated_df,
+        cleanup)`` where table_df carries part='*', implicated_df has one
+        row per implicated clip with its partition column, and cleanup
+        releases any persisted intermediates after the write + count."""
         run_id = run_id or uuid.uuid4().hex[:12]
         all_parts = [r[0] for r in clips.select(self.part_col).distinct().collect()]
         done: set[str] = set()
         if resume:
             done = {
                 r["part"]
-                for r in self.manifest().where(F.col("stage") == "content_dedup")
+                for r in self.manifest().where(F.col("stage") == stage)
                 .select("part").distinct().collect()
             }
         pending = [p for p in all_parts if str(p) not in done]
         if not pending:
             return self.verdicts().where(
-                (F.col("stage") == "content_dedup") & (F.col("run_id") == run_id)
+                (F.col("stage") == stage) & (F.col("run_id") == run_id)
             )
         t0 = time.monotonic()
-        from .operators.audio_fp import dup_groups_from_facts
-
-        facts = decode_facts(clips, with_snr=False, with_fp=True).persist()
+        groups, implicated, cleanup = compute()
         try:
-            groups = dup_groups_from_facts(facts, id_col="clip_id").withColumn(
-                "part", F.lit("*")
-            )
-            self.io.replace_partitions(groups, "content_dups", "part", ["*"])
-            # per-partition lineage: clips implicated in any dup group
-            dup_fp = self.content_dups().select("fp")  # tiny: one row/group
+            self.io.replace_partitions(groups, table, "part", ["*"])
             viol = {
-                str(r["part"]): r["c"]
-                for r in facts.where(F.col("fp").isNotNull())
-                .join(F.broadcast(dup_fp), "fp")
-                .groupBy("part").agg(F.count(F.lit(1)).alias("c")).collect()
+                str(r[0]): r["c"]
+                for r in implicated.groupBy(self.part_col)
+                .agg(F.count(F.lit(1)).alias("c")).collect()
             }
         finally:
-            facts.unpersist()
+            cleanup()
         rows = self._rows_by_part(pending)
         wall_ms = int((time.monotonic() - t0) * 1000)
         self._commit(
-            run_id, "content_dedup", [str(p) for p in pending],
+            run_id, stage, [str(p) for p in pending],
             rows, {str(p): viol.get(str(p), 0) for p in pending}, wall_ms,
         )
         return self.verdicts().where(
-            (F.col("stage") == "content_dedup") & (F.col("run_id") == run_id)
+            (F.col("stage") == stage) & (F.col("run_id") == run_id)
         )
 
     def content_dups(self) -> DataFrame:
@@ -443,6 +510,12 @@ class ValidationEngine:
             "content_dups",
             "fp bigint, n_clips bigint, keeper_id string, "
             "clip_ids array<string>, part string",
+        )
+
+    def embedding_dups(self) -> DataFrame:
+        return self.io.read(
+            "embedding_dups",
+            "id string, cluster_id string, cluster_size bigint, part string",
         )
 
     # --- stage bodies -----------------------------------------------------

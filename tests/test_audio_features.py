@@ -144,6 +144,45 @@ def test_dup_pairs_are_semantically_near():
                 assert log_gap < band_log_width, (a, b, f0s[a], f0s[b])
 
 
+def test_engine_embedding_dedup_stage(spark, tmp_path_factory):
+    """Engine cascade stage: embedding_dups table + manifest lineage +
+    global-recompute resume — over a planted cross-partition RESAMPLE,
+    the variant class the exact-PCM fingerprint stage cannot group."""
+    from nadeefiler_spark.engine import ValidationEngine
+
+    rows = []
+    for i in range(40):
+        pcm = audio.render_pcm(f"eng-{i}", 16000, 300)
+        rows.append((f"eng-{i}", audio.encode(pcm, 16000, "pcm_s16le"), "pcm_s16le"))
+    # 8 kHz resample of eng-3, landing in a DIFFERENT (flac) partition
+    rs = AFE.resample_pcm(audio.render_pcm("eng-3", 16000, 300), 16000, 8000)
+    rows.append(("eng-3-rs8k", audio.encode(rs, 8000, "flac"), "flac"))
+    clips = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, part string"
+    )
+
+    out = str(tmp_path_factory.mktemp("engine_ed"))
+    eng = ValidationEngine(spark, out, rules=[])
+    v = eng.run_embedding_dedup(clips, threshold=0.99, run_id="ed1").toPandas()
+    assert set(v["stage"]) == {"embedding_dedup"}
+
+    clusters = eng.embedding_dups().toPandas()
+    by_id = clusters.set_index("id")
+    assert by_id.loc["eng-3-rs8k", "cluster_id"] == "eng-3"  # keeper = min id
+    assert by_id.loc["eng-3", "cluster_size"] >= 2
+    # lineage: n_violations per partition == implicated clips there
+    viol = dict(zip(v["part"], v["n_violations"]))
+    assert viol["flac"] == 1
+    assert viol["pcm_s16le"] == int(
+        (clusters["id"].str.len() > 0).sum() - 1
+    )  # every other implicated clip sits in the pcm partition
+
+    # resume with no new partitions is a no-op
+    eng.run_embedding_dedup(clips, threshold=0.99, run_id="ed2")
+    m = eng.manifest().toPandas()
+    assert set(m[m["stage"] == "embedding_dedup"]["run_id"]) == {"ed1"}
+
+
 def test_feature_contrast():
     """Mean-centering must keep unrelated clips well-separated — the
     property that makes ANN over audio features meaningful (without it
