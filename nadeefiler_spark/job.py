@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--content-dedup", action="store_true",
                    help="run the cross-partition audio content-dedup stage "
                         "(decoded-PCM fingerprint groups -> content_dups table)")
+    p.add_argument("--embedding-dedup", type=float, default=None, nargs="?",
+                   const=0.98, metavar="THRESHOLD",
+                   help="run the cross-partition PERCEPTUAL audio dedup stage "
+                        "(LSH-blocked embedding-cosine clusters -> "
+                        "embedding_dups table); optional cosine threshold, "
+                        "default 0.98")
     p.add_argument("--run-id", default=None)
     return p
 
@@ -94,6 +100,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
             clips, resume=not args.no_resume, run_id=args.run_id
         )
         verdicts = verdicts.unionByName(cd_v)
+    if args.embedding_dedup is not None:
+        ed_v = eng.run_embedding_dedup(
+            clips, threshold=args.embedding_dedup,
+            resume=not args.no_resume, run_id=args.run_id,
+        )
+        verdicts = verdicts.unionByName(ed_v)
     rows = verdicts.orderBy("part", "stage").collect()
     summary = {
         "partitions": sorted({r["part"] for r in rows}),

@@ -439,3 +439,20 @@ def test_job_content_dedup_flag(spark, clips_dirs, tmp_path):
 
     eng = ValidationEngine(spark, out, rules=[])
     assert eng.content_dups().count() > 0  # planted exact dups grouped
+
+
+def test_job_embedding_dedup_flag(spark, clips_dirs, tmp_path):
+    out = str(tmp_path / "out_ed")
+    summary = job.main(
+        ["--clips", f"{clips_dirs}/clips", "--out", out,
+         "--no-audio", "--no-drift", "--embedding-dedup", "0.99"],
+        spark=spark,
+    )
+    assert "embedding_dedup" in summary["stages"]
+    from nadeefiler_spark.engine import ValidationEngine
+
+    eng = ValidationEngine(spark, out, rules=[])
+    clusters = eng.embedding_dups().toPandas()
+    # planted exact duplicates (datagen i%211) are cos=1 pairs at minimum
+    assert len(clusters) > 0
+    assert (clusters["cluster_size"] >= 2).all()
