@@ -53,6 +53,9 @@ Operator → query map (SURVEY §2 ids in brackets):
 - numeric_quantiles      [A9-adjacent profile] per-partition quantiles —
                           mergeable percentile_approx sketch in production,
                           exact percentile_cont for the oracle
+- windowed_drift         [continuous validation: event-time-windowed
+                          histograms PSI/KS-tested vs baseline; same
+                          definition streams with watermark finalization]
 - rollup_stats           [§2.7 grouping sets] every ROLLUP level in one scan
 - event_sessions         [pipeline: gap-based sessionization, one shuffle]
 - audio_fp_dups          [pipeline: audio CONTENT dedup — decoded-PCM
@@ -867,6 +870,62 @@ def _q_drift_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "part", "key", "kind", F.round("psi", 6).alias("psi"), F.round("ks_d", 6).alias("ks_d")
     )
+
+
+def _q_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-validation drift (streaming.windowed_drift_hist +
+    windowed_drift_metrics, batch mode): hourly event-time windows of
+    the events value histogram, PSI/KS-tested against the global
+    baseline. The SAME definition runs as a stream (append mode,
+    watermark-finalized windows, foreachBatch PSI) — stream==batch is
+    pinned in tests/test_job_skew_streaming.py; this query oracles the
+    shared math."""
+    from nadeefiler_spark import streaming as st
+
+    e = _t(spark, sf_dir, "events")
+    hist = st.windowed_drift_hist(e, ts_col="ts", bucket_hist_cols={"value": 5.0})
+    m = st.windowed_drift_metrics(hist, drift.global_baseline(hist))
+    return m.select(
+        "window_start", "key", "kind",
+        F.round("psi", 6).alias("psi"), F.round("ks_d", 6).alias("ks_d"),
+    )
+
+
+_SQL_WINDOWED_DRIFT = """
+WITH hist AS (
+  SELECT date_trunc('hour', ts) AS part, 'value' AS key, 'bucket' AS kind,
+         CAST(CAST(floor("value" / 5.0) * 5.0 AS BIGINT) AS VARCHAR) AS bin,
+         count(*) AS c
+  FROM events GROUP BY 1, 4
+),
+base AS (SELECT key, kind, bin, CAST(sum(c) AS BIGINT) AS cq FROM hist GROUP BY 1, 2, 3),
+parts AS (SELECT DISTINCT part, key, kind FROM hist),
+bins AS (SELECT DISTINCT key, kind, bin FROM hist),
+grid AS (SELECT p.part, b.key, b.kind, b.bin FROM parts p JOIN bins b USING (key, kind)),
+j AS (
+  SELECT g.part, g.key, g.kind, g.bin,
+         coalesce(h.c, 0) AS c_p, coalesce(q.cq, 0) AS c_q
+  FROM grid g
+  LEFT JOIN hist h ON h.part = g.part AND h.bin = g.bin
+  LEFT JOIN base q ON q.bin = g.bin
+),
+probs AS (
+  SELECT part, key, kind, bin, c_p, c_q,
+    greatest(c_p / greatest(CAST(sum(c_p) OVER w AS BIGINT), 1), 1e-4) AS p,
+    greatest(c_q / greatest(CAST(sum(c_q) OVER w AS BIGINT), 1), 1e-4) AS q,
+    (CAST(sum(c_p) OVER ord AS BIGINT) * 1.0) / greatest(CAST(sum(c_p) OVER w AS BIGINT), 1) AS cdf_p,
+    (CAST(sum(c_q) OVER ord AS BIGINT) * 1.0) / greatest(CAST(sum(c_q) OVER w AS BIGINT), 1) AS cdf_q
+  FROM j
+  WINDOW w AS (PARTITION BY part, key, kind),
+         ord AS (PARTITION BY part, key, kind
+                 ORDER BY try_cast(bin AS DOUBLE) ASC NULLS LAST, bin
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT part AS window_start, key, kind,
+       round(sum((p - q) * ln(p / q)), 6) AS psi,
+       round(max(abs(cdf_p - cdf_q)), 6) AS ks_d
+FROM probs GROUP BY 1, 2, 3
+"""
 
 
 _SQL_DRIFT_METRICS = """
@@ -1739,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kb_group_import": _q_kb_group_import,
         "semantic_scores": _q_semantic_scores,
         "drift_metrics": _q_drift_metrics,
+        "windowed_drift": _q_windowed_drift,
         "zscore_outliers": _q_zscore_outliers,
         "rare_values": _q_rare_values,
         "exact_dup_groups": _q_exact_dup_groups,
@@ -1792,6 +1852,7 @@ def oracle_sql() -> dict[str, str]:
         "kb_group_import": _SQL_KB_GROUP_IMPORT,
         "semantic_scores": _SQL_SEMANTIC_SCORES,
         "drift_metrics": _SQL_DRIFT_METRICS,
+        "windowed_drift": _SQL_WINDOWED_DRIFT,
         "zscore_outliers": _SQL_ZSCORE_OUTLIERS,
         "rare_values": _SQL_RARE_VALUES,
         "exact_dup_groups": _SQL_EXACT_DUP_GROUPS,

@@ -50,6 +50,7 @@ HEADLINE_QUERIES = (
     "type_scores",
     "type_histograms",
     "drift_metrics",
+    "windowed_drift",
     "uniqueness_violations",
     "referential_orphans",
     "topk_per_group",

@@ -152,24 +152,36 @@ def profile_summary(df: DataFrame, cfg: ProfileConfig | None = None) -> DataFram
     )
 
 
-def profile_histograms(df: DataFrame, cfg: ProfileConfig) -> DataFrame:
-    """All configured columns' histograms in ONE shuffle.
-
-    Output: (part, key, kind, bin, count). kind='value' for raw values,
-    'bucket' for width-binned numerics (bin = inclusive lower bound).
-    """
+def hist_entry_exprs(
+    value_hist_cols: tuple[str, ...], bucket_hist_cols: dict[str, float]
+) -> list[Column]:
+    """(key, kind, bin) struct per configured histogram column — the ONE
+    binning definition shared by the batch profiler and the streaming
+    drift monitor, so their bins align exactly. kind='value' for raw
+    values, 'bucket' for width-binned numerics (bin = inclusive lower
+    bound)."""
     entries: list[Column] = []
-    for c in cfg.value_hist_cols:
+    for c in value_hist_cols:
         entries.append(F.struct(
             F.lit(c).alias("key"), F.lit("value").alias("kind"),
             F.col(c).cast("string").alias("bin"),
         ))
-    for c, width in cfg.bucket_hist_cols.items():
+    for c, width in bucket_hist_cols.items():
         lower = F.floor(F.col(c).cast("double") / F.lit(width)) * F.lit(width)
         entries.append(F.struct(
             F.lit(c).alias("key"), F.lit("bucket").alias("kind"),
             lower.cast("long").cast("string").alias("bin"),
         ))
+    return entries
+
+
+def profile_histograms(df: DataFrame, cfg: ProfileConfig) -> DataFrame:
+    """All configured columns' histograms in ONE shuffle.
+
+    Output: (part, key, kind, bin, count). See :func:`hist_entry_exprs`
+    for the bin definition.
+    """
+    entries = hist_entry_exprs(cfg.value_hist_cols, cfg.bucket_hist_cols)
     if not entries:
         raise ValueError("no histogram columns configured")
     return (

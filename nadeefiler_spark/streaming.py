@@ -262,3 +262,104 @@ def session_event_stats(
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous drift monitoring (windowed histograms -> PSI/KS vs baseline)
+# ---------------------------------------------------------------------------
+
+def windowed_drift_hist(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    value_hist_cols: tuple[str, ...] = (),
+    bucket_hist_cols: dict[str, float] | None = None,
+) -> DataFrame:
+    """Event-time-windowed histograms: (window_start, key, kind, bin,
+    count), binned EXACTLY like the batch profiler
+    (profiler.hist_entry_exprs — shared definition, so windowed bins
+    align with a profile_hist-derived baseline).
+
+    ONE definition, both modes (contract of windowed_event_stats):
+    batch = exact full-input histograms (watermark is identity);
+    streaming = append mode, a window's bins finalize and their state
+    drops once the watermark passes the window end. State is
+    O(open windows x bins) — a histogram sketch, never O(events).
+    """
+    from .profiler import hist_entry_exprs
+
+    entries = hist_entry_exprs(tuple(value_hist_cols), bucket_hist_cols or {})
+    if not entries:
+        raise ValueError("no histogram columns configured")
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.select(
+            F.window(F.col(ts_col), window).alias("w"),
+            F.explode(F.array(*entries)).alias("h"),
+        )
+        .groupBy("w", "h.key", "h.kind", "h.bin")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(F.col("w.start").alias("window_start"), "key", "kind", "bin", "count")
+    )
+
+
+def windowed_drift_metrics(hist: DataFrame, baseline: DataFrame) -> DataFrame:
+    """PSI/KS per (window_start, key) vs a static baseline — a thin
+    adapter over drift.drift_metrics with the window standing in for the
+    partition. `hist`: windowed_drift_hist output; `baseline`:
+    (key, kind, bin, count), e.g. drift.global_baseline of a known-good
+    profile_hist or of the hist itself."""
+    from .drift import drift_metrics
+
+    m = drift_metrics(hist.withColumnRenamed("window_start", "part"), baseline)
+    return m.withColumnRenamed("part", "window_start")
+
+
+def drift_monitor(
+    events: DataFrame,
+    baseline: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    value_hist_cols: tuple[str, ...] = (),
+    bucket_hist_cols: dict[str, float] | None = None,
+    psi_threshold: float = 0.25,
+    ks_threshold: float = 0.2,
+):
+    """Continuous validation: stream -> windowed histograms (append mode,
+    finalized by the watermark) -> each finalized window PSI/KS-tested
+    against the static baseline inside foreachBatch -> drift rows
+    appended to ``out_path`` (window_start, key, kind, psi, ks_d,
+    drifted).
+
+    The streaming side holds only open-window histogram state; the PSI/KS
+    math runs batch-side per micro-batch over finalized (tiny,
+    sketch-sized) histogram rows — the same drift.drift_metrics used by
+    the batch DriftRule, so alert semantics match the engine's exactly.
+    Returns the DataStreamWriter; call .trigger(...).start() to run.
+    """
+    hist = windowed_drift_hist(
+        events, ts_col, window, watermark, value_hist_cols, bucket_hist_cols
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = windowed_drift_metrics(batch_df, baseline).select(
+            "window_start", "key", "kind",
+            F.round("psi", 6).alias("psi"),
+            F.round("ks_d", 6).alias("ks_d"),
+            (
+                (F.col("psi") > psi_threshold) | (F.col("ks_d") > ks_threshold)
+            ).alias("drifted"),
+        )
+        out.write.mode("append").parquet(out_path)
+
+    return (
+        hist.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(process)
+    )

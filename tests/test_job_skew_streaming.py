@@ -456,3 +456,80 @@ def test_job_embedding_dedup_flag(spark, clips_dirs, tmp_path):
     # planted exact duplicates (datagen i%211) are cos=1 pairs at minimum
     assert len(clusters) > 0
     assert (clusters["cluster_size"] >= 2).all()
+
+
+def test_drift_monitor_stream_equals_batch(spark, tmp_path):
+    """Continuous drift monitoring: the streamed monitor (append mode,
+    watermark-finalized windows, PSI/KS in foreachBatch) produces for
+    every FINALIZED window exactly the batch windowed_drift_metrics
+    answer against the same baseline, and flags the planted drifted
+    hour."""
+    import datetime as dt
+
+    from nadeefiler_spark import drift
+    from nadeefiler_spark.streaming import (
+        drift_monitor, windowed_drift_hist, windowed_drift_metrics,
+    )
+
+    def h(hour, minute=0):
+        return dt.datetime(2026, 1, 1, hour, minute)
+
+    schema = "ts timestamp, value double"
+    src = str(tmp_path / "ev")
+    # hour 0: values in buckets 0 and 5 — matches the baseline mix
+    f1 = [(h(0, m), float(v)) for m, v in
+          [(1, 1.0), (5, 2.0), (10, 6.0), (20, 3.0), (30, 7.0), (40, 1.5)]]
+    # hour 1: values in bucket 50 — drifted
+    f2 = [(h(1, m), 52.0) for m in (5, 15, 25, 35)]
+    # flush: advances the watermark past hours 0 and 1 (its own window
+    # stays open and must NOT appear in the monitor output)
+    f3 = [(h(10, 0), 1.0)]
+    for rows in (f1, f2, f3):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # static baseline: the hour-0 distribution
+    base = drift.global_baseline(
+        windowed_drift_hist(
+            spark.createDataFrame(f1, schema), bucket_hist_cols={"value": 5.0}
+        )
+    ).persist()
+
+    out_path = str(tmp_path / "drift_out")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        drift_monitor(
+            stream, base, out_path, str(tmp_path / "ckpt"),
+            bucket_hist_cols={"value": 5.0},
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        str(r["window_start"]): r
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert set(got) == {str(h(0)), str(h(1))}  # open hour-10 window absent
+    assert not got[str(h(0))]["drifted"]  # matches baseline: psi ~ 0
+    assert got[str(h(1))]["drifted"]      # planted drift flagged
+
+    # finalized windows match the batch answer exactly
+    batch = windowed_drift_metrics(
+        windowed_drift_hist(
+            spark.read.parquet(src), bucket_hist_cols={"value": 5.0}
+        ),
+        base,
+    )
+    want = {
+        str(r["window_start"]): r
+        for r in batch.collect() if str(r["window_start"]) in got
+    }
+    for w, row in got.items():
+        assert round(row["psi"], 6) == round(want[w]["psi"], 6)
+        assert round(row["ks_d"], 6) == round(want[w]["ks_d"], 6)
+    base.unpersist()
