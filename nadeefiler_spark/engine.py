@@ -98,6 +98,15 @@ class ValidationEngine:
     def profile_hist(self) -> DataFrame:
         return self.io.read("profile_hist", PROFILE_HIST_SCHEMA)
 
+    def drift_baseline(self) -> DataFrame:
+        """Known-good baseline for the streaming drift monitor: the
+        global aggregate of this engine's profile histograms (bins
+        already align — streaming.windowed_drift_hist bins with the same
+        profiler.hist_entry_exprs that produced profile_hist)."""
+        from .drift import global_baseline
+
+        return global_baseline(self.profile_hist())
+
     # --- run -------------------------------------------------------------
     def run(
         self,

@@ -533,3 +533,61 @@ def test_drift_monitor_stream_equals_batch(spark, tmp_path):
         assert round(row["psi"], 6) == round(want[w]["psi"], 6)
         assert round(row["ks_d"], 6) == round(want[w]["ks_d"], 6)
     base.unpersist()
+
+
+def test_drift_monitor_with_engine_baseline(spark, tmp_path):
+    """End-to-end tie: a validated batch's engine profile histograms
+    (ValidationEngine.drift_baseline) serve directly as the streaming
+    monitor's baseline — bins align because both sides share
+    profiler.hist_entry_exprs. An identical-mix hour passes, an
+    all-one-codec hour drifts."""
+    import datetime as dt
+
+    from nadeefiler_spark.profiler import ProfileConfig
+    from nadeefiler_spark.streaming import drift_monitor
+
+    def h(hour, minute=0):
+        return dt.datetime(2026, 1, 1, hour, minute)
+
+    codecs0 = ["flac", "mp3", "flac", "opus", "flac", "mp3"]
+    batch = spark.createDataFrame(
+        [(f"c{i}", c, c) for i, c in enumerate(codecs0)],
+        "clip_id string, codec string, part string",
+    )
+    eng = ValidationEngine(
+        spark, str(tmp_path / "out"), rules=[],
+        profile_cfg=ProfileConfig(value_hist_cols=("codec",)),
+    )
+    eng.run(batch, resume=False)
+    base = eng.drift_baseline().persist()
+
+    f1 = [(h(0, i), c) for i, c in enumerate(codecs0)]  # same mix: psi ~ 0
+    f2 = [(h(1, i), "mp3") for i in range(6)]           # all-mp3 hour: drift
+    f3 = [(h(10), "flac")]                              # watermark flush
+    src = str(tmp_path / "s")
+    for rows in (f1, f2, f3):
+        spark.createDataFrame(rows, "ts timestamp, codec string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, codec string")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        drift_monitor(
+            stream, base, str(tmp_path / "dout"), str(tmp_path / "ck"),
+            value_hist_cols=("codec",),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r["window_start"]): r
+        for r in spark.read.parquet(str(tmp_path / "dout")).collect()
+    }
+    assert set(got) == {str(h(0)), str(h(1))}
+    assert not got[str(h(0))]["drifted"]
+    assert got[str(h(1))]["drifted"]
+    base.unpersist()
