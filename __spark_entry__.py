@@ -58,6 +58,12 @@ Operator → query map (SURVEY §2 ids in brackets):
                           definition streams with watermark finalization]
 - rollup_stats           [§2.7 grouping sets] every ROLLUP level in one scan
 - event_sessions         [pipeline: gap-based sessionization, one shuffle]
+- asof_attribution       [pipeline: backward as-of join (last-touch
+                          attribution) — union + window carry-forward,
+                          one shuffle; DuckDB ASOF LEFT JOIN oracle]
+- session_concurrency    [pipeline: interval-point range join via
+                          time-bin bucketing — hash equi-join on the
+                          bin instead of a nested-loop range join]
 - audio_fp_dups          [pipeline: audio CONTENT dedup — decoded-PCM
                           Haitsma–Kalker fingerprints, codec-robust]
                           (no DuckDB oracle: binary decode — independent
@@ -669,6 +675,122 @@ SELECT user_id AS user, session_idx, CAST(count(*) AS BIGINT) AS n_events,
        CAST(min(ts) AS VARCHAR) AS t_start, CAST(max(ts) AS VARCHAR) AS t_end,
        CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS dur_s
 FROM s GROUP BY 1, 2
+"""
+
+
+def _q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators.temporal.asof_join): for each
+    'purchase' event, the most recent prior 'click'/'view' touch by the
+    same user — last-touch attribution, the canonical as-of shape Spark
+    has no built-in for. ONE shuffle on user_id (union + window
+    carry-forward), no range-predicate join, so no nested-loop plan.
+    Left-join semantics: a purchase with no prior touch keeps nulls
+    (70 such rows at sf0.01). Ties resolve to the largest event_id —
+    pinned by the pandas merge_asof twin in tests/test_temporal.py.
+    DuckDB's native ASOF LEFT JOIN is the oracle."""
+    from nadeefiler_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    conv = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touch = e.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = asof_join(
+        conv,
+        touch,
+        ["user_id"],
+        "ts",
+        "ts",
+        ["event_id", "event_type", "ts"],
+        prefix="touch_",
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        F.round("value", 6).alias("value"),
+        "touch_event_id",
+        F.col("touch_event_type").alias("touch_type"),
+        F.col("touch_ts").cast("string").alias("touch_ts"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("touch_ts")).alias("lag_s"),
+    )
+
+
+_SQL_ASOF_ATTRIBUTION = """
+SELECT p.event_id, p.user_id, CAST(p.ts AS VARCHAR) AS ts,
+       round(p.value, 6) AS value,
+       t.event_id AS touch_event_id, t.event_type AS touch_type,
+       CAST(t.ts AS VARCHAR) AS touch_ts,
+       CAST(floor(epoch(p.ts)) - floor(epoch(t.ts)) AS BIGINT) AS lag_s
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type IN ('click', 'view')) t
+  ON p.user_id = t.user_id AND t.ts <= p.ts
+"""
+
+
+def _q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval–point range join (operators.temporal.interval_point_join):
+    per 12h-gap user session, how many events from OTHER users landed
+    inside [t_start, t_end] — the keyless containment join Spark would
+    otherwise plan as BroadcastNestedLoopJoin. Both sides bucket into
+    1-day bins (a session spans at most ~4 days at sf0.01) so the join
+    is a plain hash equi-join on the bin; exact containment filters
+    inside buckets; left-join-back keeps zero-concurrency sessions."""
+    from nadeefiler_spark.operators.sessions import session_stats
+    from nadeefiler_spark.operators.temporal import interval_point_join
+
+    e = _t(spark, sf_dir, "events")
+    iv = session_stats(e, "user_id", "ts", gap_s=43200, tiebreak_col="event_id").select(
+        "user", "session_idx", "n_events", "t_start", "t_end"
+    )
+    pts = e.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+    )
+    m = interval_point_join(iv, pts, "t_start", "t_end", "p_ts", bin_s=86400).where(
+        F.col("p_user") != F.col("user")
+    )
+    counts = m.groupBy("user", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_concurrent"),
+        F.countDistinct("p_user").alias("n_other_users"),
+    )
+    return iv.join(counts, ["user", "session_idx"], "left").select(
+        "user",
+        "session_idx",
+        "n_events",
+        F.coalesce("n_concurrent", F.lit(0)).alias("n_concurrent"),
+        F.coalesce("n_other_users", F.lit(0)).alias("n_other_users"),
+    )
+
+
+_SQL_SESSION_CONCURRENCY = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 43200
+              THEN 1 ELSE 0 END AS boundary
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM e
+), sess AS (
+  SELECT user_id AS user, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+         min(ts) AS t_start, max(ts) AS t_end
+  FROM s GROUP BY 1, 2
+)
+SELECT sess.user, sess.session_idx, sess.n_events,
+       CAST(count(p.event_id) AS BIGINT) AS n_concurrent,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_other_users
+FROM sess LEFT JOIN events p
+  ON p.ts >= sess.t_start AND p.ts <= sess.t_end AND p.user_id <> sess.user
+GROUP BY 1, 2, 3
 """
 
 
@@ -1790,6 +1912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_stats": _q_windowed_event_stats,
         "rollup_stats": _q_rollup_stats,
         "event_sessions": _q_event_sessions,
+        "asof_attribution": _q_asof_attribution,
+        "session_concurrency": _q_session_concurrency,
         "numeric_quantiles": _q_numeric_quantiles,
         "audio_fp_dups": _q_audio_fp_dups,
         "audio_feature_ann": _q_audio_feature_ann,
@@ -1847,6 +1971,8 @@ def oracle_sql() -> dict[str, str]:
         "windowed_event_stats": _SQL_WINDOWED_EVENT_STATS,
         "rollup_stats": _SQL_ROLLUP_STATS,
         "event_sessions": _SQL_EVENT_SESSIONS,
+        "asof_attribution": _SQL_ASOF_ATTRIBUTION,
+        "session_concurrency": _SQL_SESSION_CONCURRENCY,
         "numeric_quantiles": _sql_numeric_quantiles(),
         "percent_histogram": _SQL_PERCENT_HISTOGRAM,
         "kb_group_import": _SQL_KB_GROUP_IMPORT,

@@ -77,6 +77,8 @@ HEADLINE_QUERIES = (
     "binary_meta_docs",
     "rollup_stats",
     "event_sessions",
+    "asof_attribution",
+    "session_concurrency",
     "numeric_quantiles",
     "audio_fp_dups",
     "audio_feature_ann",
