@@ -64,6 +64,11 @@ Operator → query map (SURVEY §2 ids in brackets):
 - session_concurrency    [pipeline: interval-point range join via
                           time-bin bucketing — hash equi-join on the
                           bin instead of a nested-loop range join]
+- ind_mine               [profiling: inclusion-dependency discovery —
+                          distinct-set containment per candidate pair,
+                          the referential rule's mining counterpart]
+- mask_profile           [profiling: Potter's-Wheel structure-mask
+                          histograms — format drift at mask cardinality]
 - audio_fp_dups          [pipeline: audio CONTENT dedup — decoded-PCM
                           Haitsma–Kalker fingerprints, codec-robust]
                           (no DuckDB oracle: binary decode — independent
@@ -792,6 +797,115 @@ FROM sess LEFT JOIN events p
   ON p.ts >= sess.t_start AND p.ts <= sess.t_end AND p.user_id <> sess.user
 GROUP BY 1, 2, 3
 """
+
+
+# IND candidates: every declared-FK-shaped pair in the testdata schema
+# (all hold on the clean synthetic data) plus two REVERSE pairs that
+# only partially hold (customers with no orders; never-ordered parts),
+# so both verdicts are exercised. Shared by the Spark query and the
+# oracle-SQL generator so the two can't drift.
+_IND_PAIRS = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("part", "p_partkey", "lineitem", "l_partkey"),
+)
+
+
+def _q_ind_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency mining (ind.mine_inds): containment of each
+    candidate column pair A ⊆ B — the discovery counterpart of the
+    engine's declared referential rule, and the classical profiling
+    companion to fd_mine. Each side collapses to its distinct set first
+    (shuffle bytes ∝ NDV, not rows), the containment join runs over
+    distinct sets (AQE broadcasts the small side), and all 9 candidate
+    pairs union into ONE Spark job."""
+    from nadeefiler_spark.ind import IndCandidate, mine_inds
+
+    dfs: dict[str, DataFrame] = {}
+    cands = []
+    for lt, lc, rt, rc in _IND_PAIRS:
+        for t in (lt, rt):
+            if t not in dfs:
+                dfs[t] = _t(spark, sf_dir, t)
+        cands.append(IndCandidate(lt, dfs[lt], lc, rt, dfs[rt], rc))
+    out = mine_inds(cands, min_containment=1.0)
+    return out.select(
+        "lhs",
+        "rhs",
+        "n_lhs",
+        "n_contained",
+        F.round("containment", 6).alias("containment"),
+        "holds",
+    )
+
+
+def _sql_ind_mine() -> str:
+    parts = []
+    for lt, lc, rt, rc in _IND_PAIRS:
+        parts.append(
+            f"""SELECT '{lt}.{lc}' AS lhs, '{rt}.{rc}' AS rhs,
+       CAST(count(*) AS BIGINT) AS n_lhs,
+       CAST(count(b.v) AS BIGINT) AS n_contained,
+       round(CAST(count(b.v) AS DOUBLE) / count(*), 6) AS containment,
+       count(b.v) = count(*) AS holds
+FROM (SELECT DISTINCT {lc} AS v FROM {lt} WHERE {lc} IS NOT NULL) a
+LEFT JOIN (SELECT DISTINCT {rc} AS v FROM {rt} WHERE {rc} IS NOT NULL) b
+  ON a.v = b.v"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+_MASK_COLS = ("p_name", "p_brand", "p_type")
+
+
+def _q_mask_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern/mask histogram (functions.text.mask): per column, the
+    histogram of structure masks (uppercase→A, lowercase→a, digit→9,
+    punctuation kept) — format-drift profiling at mask cardinality
+    instead of value cardinality. One scan: the columns melt via
+    explode(array(struct...)) before a single groupBy; the per-column
+    percentage reuses the groupBy's hash partitioning for its window."""
+    p = _t(spark, sf_dir, "part")
+    melted = p.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("key"), tx.mask(c).alias("mask"))
+                    for c in _MASK_COLS
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.*")
+    w = Window.partitionBy("key")
+    return (
+        melted.groupBy("key", "mask")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("pct", F.round(F.col("cnt") / F.sum("cnt").over(w), 6))
+    )
+
+
+def _sql_mask_profile() -> str:
+    def m(c: str) -> str:
+        return (
+            "regexp_replace(regexp_replace(regexp_replace("
+            f"{c}, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[0-9]', '9', 'g')"
+        )
+
+    melted = "\n  UNION ALL\n".join(
+        f"  SELECT '{c}' AS key, {m(c)} AS mask FROM part" for c in _MASK_COLS
+    )
+    return f"""WITH melted AS (
+{melted}
+)
+SELECT key, mask, CAST(count(*) AS BIGINT) AS cnt,
+       round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY key), 6) AS pct
+FROM melted GROUP BY key, mask"""
 
 
 def _q_numeric_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1914,6 +2028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_event_sessions,
         "asof_attribution": _q_asof_attribution,
         "session_concurrency": _q_session_concurrency,
+        "ind_mine": _q_ind_mine,
+        "mask_profile": _q_mask_profile,
         "numeric_quantiles": _q_numeric_quantiles,
         "audio_fp_dups": _q_audio_fp_dups,
         "audio_feature_ann": _q_audio_feature_ann,
@@ -1973,6 +2089,8 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": _SQL_EVENT_SESSIONS,
         "asof_attribution": _SQL_ASOF_ATTRIBUTION,
         "session_concurrency": _SQL_SESSION_CONCURRENCY,
+        "ind_mine": _sql_ind_mine(),
+        "mask_profile": _sql_mask_profile(),
         "numeric_quantiles": _sql_numeric_quantiles(),
         "percent_histogram": _SQL_PERCENT_HISTOGRAM,
         "kb_group_import": _SQL_KB_GROUP_IMPORT,

@@ -79,6 +79,8 @@ HEADLINE_QUERIES = (
     "event_sessions",
     "asof_attribution",
     "session_concurrency",
+    "ind_mine",
+    "mask_profile",
     "numeric_quantiles",
     "audio_fp_dups",
     "audio_feature_ann",

@@ -143,3 +143,18 @@ def token_chunks(c: Column | str, size: int, overlap: int = 0) -> Column:
     return F.when(n <= 0, F.expr("cast(array() as array<string>)")).otherwise(
         F.transform(starts, lambda s: F.array_join(F.slice(toks, s, size), " "))
     )
+
+
+def mask(c: Column | str) -> Column:
+    """Potter's-Wheel-style structure mask: uppercase letters -> 'A',
+    lowercase -> 'a', digits -> '9', everything else kept verbatim, so
+    "Brand#17" profiles as "Aaaaa#99". Histogramming masks instead of
+    raw values surfaces FORMAT drift (a column of phone-like strings
+    with three masks has a dirty row problem no value histogram shows)
+    at format-count cardinality instead of value cardinality. ASCII
+    classes only, matching the portable `[A-Z]` semantics DuckDB and
+    Spark share; three regexp_replace passes, all whole-stage codegen."""
+    col = F.col(c) if isinstance(c, str) else c
+    m = F.regexp_replace(col, "[A-Z]", "A")
+    m = F.regexp_replace(m, "[a-z]", "a")
+    return F.regexp_replace(m, "[0-9]", "9")

@@ -82,3 +82,20 @@ def test_token_chunks_exact_cover_no_overlap(spark):
     df = spark.createDataFrame([(" ".join("abcdefgh"),)], "t string")
     got = df.select(X.token_chunks("t", 4, 0).alias("c")).first()["c"]
     assert got == ["a b c d", "e f g h"]
+
+
+def test_mask_structure_classes(spark):
+    df = spark.createDataFrame(
+        [("Brand#17",), ("Customer#000000042",), ("+1 (555) 010-9999",),
+         ("small ring",), ("",), (None,)],
+        "t string",
+    )
+    got = [r["m"] for r in df.select(X.mask("t").alias("m")).collect()]
+    assert got == [
+        "Aaaaa#99",
+        "Aaaaaaaa#999999999",
+        "+9 (999) 999-9999",
+        "aaaaa aaaa",
+        "",
+        None,
+    ]
