@@ -67,6 +67,10 @@ Operator → query map (SURVEY §2 ids in brackets):
 - ind_mine               [profiling: inclusion-dependency discovery —
                           distinct-set containment per candidate pair,
                           the referential rule's mining counterpart]
+- ucc_mine               [profiling: unique-column-combination / key
+                          discovery — dup + NULL accounting per
+                          candidate, the uniqueness rule's mining
+                          counterpart]
 - mask_profile           [profiling: Potter's-Wheel structure-mask
                           histograms — format drift at mask cardinality]
 - audio_fp_dups          [pipeline: audio CONTENT dedup — decoded-PCM
@@ -857,6 +861,65 @@ def _sql_ind_mine() -> str:
 FROM (SELECT DISTINCT {lc} AS v FROM {lt} WHERE {lc} IS NOT NULL) a
 LEFT JOIN (SELECT DISTINCT {rc} AS v FROM {rt} WHERE {rc} IS NOT NULL) b
   ON a.v = b.v"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+# UCC candidates: the declared keys of the testdata schema plus
+# combinations that fail — singletons with duplicates, and the
+# TPC-H-shaped composite (l_orderkey, l_linenumber), which the
+# synthetic datagen does NOT keep unique — so both verdicts and the
+# dup accounting are exercised. Shared by the Spark query and the
+# oracle-SQL generator so the two can't drift.
+_UCC_CANDS = (
+    ("events", ("event_id",)),
+    ("events", ("user_id",)),
+    ("events", ("user_id", "ts")),
+    ("lineitem", ("l_orderkey",)),
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("lineitem", ("l_partkey", "l_suppkey")),
+    ("orders", ("o_orderkey",)),
+    ("orders", ("o_custkey",)),
+    ("documents", ("doc_id",)),
+)
+
+
+def _q_ucc_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique-column-combination mining (ucc.mine_uccs): per candidate
+    key, the exact duplicate-row and NULL accounting — the discovery
+    counterpart of the engine's declared uniqueness rule, completing
+    the keys/FDs/INDs profiling-discovery triple with fd_mine and
+    ind_mine. One shuffle per candidate keyed on its own columns with
+    map-side partial agg; all 9 candidates union into ONE Spark job;
+    at scale the HLL prune (ucc.prune_candidates, exercised in pytest)
+    refutes non-keys before any exact shuffle."""
+    from nadeefiler_spark.ucc import UccCandidate, mine_uccs
+
+    dfs: dict[str, DataFrame] = {}
+    cands = []
+    for t, cols in _UCC_CANDS:
+        if t not in dfs:
+            dfs[t] = _t(spark, sf_dir, t)
+        cands.append(UccCandidate(t, dfs[t], cols))
+    return mine_uccs(cands)
+
+
+def _sql_ucc_mine() -> str:
+    parts = []
+    for t, cols in _UCC_CANDS:
+        cl = ", ".join(cols)
+        null_any = " OR ".join(f"{c} IS NULL" for c in cols)
+        nulls = f"coalesce(sum(CASE WHEN {null_any} THEN cnt ELSE 0 END), 0)"
+        dups = "coalesce(sum(cnt - 1), 0)"
+        parts.append(
+            f"""SELECT '{t}' AS tbl, '{",".join(cols)}' AS cols,
+       CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_rows,
+       CAST({nulls} AS BIGINT) AS n_nulls,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST({dups} AS BIGINT) AS dup_rows,
+       {dups} = 0 AS is_unique,
+       ({dups} = 0 AND {nulls} = 0) AS is_key
+FROM (SELECT {cl}, count(*) AS cnt FROM {t} GROUP BY {cl}) g"""
         )
     return "\nUNION ALL\n".join(parts)
 
@@ -2029,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": _q_asof_attribution,
         "session_concurrency": _q_session_concurrency,
         "ind_mine": _q_ind_mine,
+        "ucc_mine": _q_ucc_mine,
         "mask_profile": _q_mask_profile,
         "numeric_quantiles": _q_numeric_quantiles,
         "audio_fp_dups": _q_audio_fp_dups,
@@ -2090,6 +2154,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_attribution": _SQL_ASOF_ATTRIBUTION,
         "session_concurrency": _SQL_SESSION_CONCURRENCY,
         "ind_mine": _sql_ind_mine(),
+        "ucc_mine": _sql_ucc_mine(),
         "mask_profile": _sql_mask_profile(),
         "numeric_quantiles": _sql_numeric_quantiles(),
         "percent_histogram": _SQL_PERCENT_HISTOGRAM,

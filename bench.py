@@ -80,6 +80,7 @@ HEADLINE_QUERIES = (
     "asof_attribution",
     "session_concurrency",
     "ind_mine",
+    "ucc_mine",
     "mask_profile",
     "numeric_quantiles",
     "audio_fp_dups",
