@@ -514,6 +514,101 @@ class ValidationEngine:
             (F.col("stage") == stage) & (F.col("run_id") == run_id)
         )
 
+    # --- cascade stage: schema discovery (keys + INDs) ----------------------
+    def run_discovery(
+        self,
+        clips: DataFrame,
+        refs: DataFrame | None = None,
+        key_cols: list[str] | None = None,
+        max_arity: int = 1,
+        id_col: str = "clip_id",
+        resume: bool = True,
+        run_id: str | None = None,
+    ) -> DataFrame:
+        """Cascade stage: mine the schema facts the declared rules assert
+        — candidate keys (ucc.mine_keys over ``key_cols``, lattice up to
+        ``max_arity``) and the clip↔transcript inclusion dependencies in
+        BOTH directions (ind.mine_inds) — so undeclared keys and broken
+        declared ones surface from the data, the discovery counterpart of
+        the uniqueness + referential validators (reference declares these
+        per-dataset, api/models/Rule.js semantics; here they're mined).
+
+        GLOBAL semantics like the dedup stages: keys and containment are
+        whole-table properties, so any pending partition recomputes the
+        table (stage='discovery', output ``discovery_results``). Rows are
+        normalized across kinds: (kind, lhs, rhs, n, n_bad, metric,
+        holds) — for kind='ucc', n=rows, n_bad=dup+null rows blocking key
+        status, metric=dup-free fraction; for kind='ind', n=LHS distinct
+        values, n_bad=uncontained ones, metric=containment. Candidates
+        the HLL bound refutes cheaply carry no row (they were never
+        plausibly keys); manifest lineage counts clips whose ``id_col``
+        value is duplicated — the declared-key violation discovery found.
+        """
+        from . import ucc as uccm
+        from .ind import IndCandidate, mine_inds
+
+        def compute():
+            cols = key_cols
+            if cols is None:
+                cols = [
+                    f.name for f in clips.schema.fields
+                    if f.name != self.part_col
+                    and "Binary" not in str(f.dataType)
+                ]
+            mined = uccm.mine_keys(clips, cols, name="clips", max_arity=max_arity)
+            uccs = mined.select(
+                F.lit("ucc").alias("kind"),
+                F.col("cols").alias("lhs"),
+                F.lit(None).cast("string").alias("rhs"),
+                F.col("n_rows").alias("n"),
+                (F.col("dup_rows") + F.col("n_nulls")).alias("n_bad"),
+                F.when(F.col("n_rows") == 0, F.lit(1.0))
+                .otherwise(F.col("n_groups") / F.col("n_rows"))
+                .alias("metric"),
+                F.col("is_key").alias("holds"),
+            )
+            out = uccs
+            if refs is not None:
+                inds = mine_inds(
+                    [
+                        IndCandidate("refs", refs, id_col, "clips", clips, id_col),
+                        IndCandidate("clips", clips, id_col, "refs", refs, id_col),
+                    ]
+                ).select(
+                    F.lit("ind").alias("kind"),
+                    "lhs",
+                    "rhs",
+                    F.col("n_lhs").alias("n"),
+                    (F.col("n_lhs") - F.col("n_contained")).alias("n_bad"),
+                    F.col("containment").alias("metric"),
+                    "holds",
+                )
+                out = out.unionByName(inds)
+            groups = out.withColumn("part", F.lit("*"))
+            # lineage: clips carrying a duplicated declared-key value —
+            # the dup-id set is tiny, broadcast it, never shuffle clips
+            dup_ids = (
+                clips.groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .where(F.col("__c") > 1)
+                .select(id_col)
+            )
+            implicated = clips.select(id_col, self.part_col).join(
+                F.broadcast(dup_ids), id_col
+            ).select(self.part_col)
+            return groups, implicated, (lambda: None)
+
+        return self._run_global_stage(
+            clips, "discovery", "discovery_results", compute, resume, run_id
+        )
+
+    def discovery_results(self) -> DataFrame:
+        return self.io.read(
+            "discovery_results",
+            "kind string, lhs string, rhs string, n bigint, n_bad bigint, "
+            "metric double, holds boolean, part string",
+        )
+
     def content_dups(self) -> DataFrame:
         return self.io.read(
             "content_dups",

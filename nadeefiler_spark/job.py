@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the FD-mining cascade stage over these columns "
                         "(no values = every non-binary column); writes the "
                         "fd_results table and stage='fd' manifest rows")
+    p.add_argument("--discover", action="store_true",
+                   help="mine candidate keys + clip<->transcript inclusion "
+                        "dependencies into discovery_results")
+    p.add_argument("--discover-arity", type=int, default=1,
+                   help="max key-combination arity for --discover")
     p.add_argument("--content-dedup", action="store_true",
                    help="run the cross-partition audio content-dedup stage "
                         "(decoded-PCM fingerprint groups -> content_dups table)")
@@ -95,6 +100,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
             resume=not args.no_resume, run_id=args.run_id,
         )
         verdicts = verdicts.unionByName(fd_v)
+    if args.discover:
+        disc_v = eng.run_discovery(
+            clips, refs=refs, max_arity=args.discover_arity,
+            resume=not args.no_resume, run_id=args.run_id,
+        )
+        verdicts = verdicts.unionByName(disc_v)
     if args.content_dedup:
         cd_v = eng.run_content_dedup(
             clips, resume=not args.no_resume, run_id=args.run_id
