@@ -73,6 +73,11 @@ Operator → query map (SURVEY §2 ids in brackets):
                           counterpart]
 - mask_profile           [profiling: Potter's-Wheel structure-mask
                           histograms — format drift at mask cardinality]
+- corr_profile           [profiling: pairwise Pearson correlation, all
+                          pairs in one mergeable aggregation pass]
+- partition_outliers     [profiling: cross-partition robust median/MAD
+                          z-score over group means — the partition-level
+                          dBoost gaussian]
 - audio_fp_dups          [pipeline: audio CONTENT dedup — decoded-PCM
                           Haitsma–Kalker fingerprints, codec-robust]
                           (no DuckDB oracle: binary decode — independent
@@ -763,9 +768,18 @@ def _q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = interval_point_join(iv, pts, "t_start", "t_end", "p_ts", bin_s=86400).where(
         F.col("p_user") != F.col("user")
     )
-    counts = m.groupBy("user", "session_idx").agg(
-        F.count(F.lit(1)).alias("n_concurrent"),
-        F.countDistinct("p_user").alias("n_other_users"),
+    # two stacked aggs instead of count+countDistinct in one groupBy:
+    # the combined form Expands every match row once PER aggregate
+    # (2x the 45M matches at sf0.1 into the shuffle), while stacking
+    # lets map-side combine collapse matches to (session, partner)
+    # grain first — no Expand, no distinct aggregate anywhere
+    # (measured 19.4s -> see BENCH/BASELINE.md)
+    per_partner = m.groupBy("user", "session_idx", "p_user").agg(
+        F.count(F.lit(1)).alias("n_from_partner")
+    )
+    counts = per_partner.groupBy("user", "session_idx").agg(
+        F.sum("n_from_partner").alias("n_concurrent"),
+        F.count(F.lit(1)).alias("n_other_users"),
     )
     return iv.join(counts, ["user", "session_idx"], "left").select(
         "user",
@@ -969,6 +983,71 @@ def _sql_mask_profile() -> str:
 SELECT key, mask, CAST(count(*) AS BIGINT) AS cnt,
        round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY key), 6) AS pct
 FROM melted GROUP BY key, mask"""
+
+
+# numeric correlation profile: all pairs of these lineitem measures in
+# ONE aggregation pass (F.corr partials merge map-side)
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _q_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation profile (profiler.numeric_corr):
+    the cross-column consistency stat dBoost-style outlier models
+    consume. k(k-1)/2 pairs cost one scan and a one-row shuffle —
+    F.corr's co-moment partials combine map-side, so the plan is
+    row-count-independent past the scan."""
+    from nadeefiler_spark.profiler import numeric_corr
+
+    return numeric_corr(_t(spark, sf_dir, "lineitem"), _CORR_COLS)
+
+
+def _sql_corr_profile() -> str:
+    from itertools import combinations
+
+    parts = []
+    for a, b in combinations(_CORR_COLS, 2):
+        parts.append(
+            f"""SELECT '*' AS part, '{a}' AS col_a, '{b}' AS col_b,
+       CAST(count(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL THEN 1 END) AS BIGINT) AS n,
+       round(corr({a}, {b}), 6) AS corr
+FROM lineitem"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _q_partition_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-partition consistency check (outliers.group_stat_outliers):
+    robust median/MAD z-score of each event_type group's mean value —
+    the partition-level gaussian the engine runs before trusting
+    per-partition verdicts. One groupBy shuffle over raw rows; the
+    median/MAD layer runs on #groups rows via broadcast crossJoins."""
+    from nadeefiler_spark.outliers import group_stat_outliers
+
+    return group_stat_outliers(
+        _t(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+_SQL_PARTITION_OUTLIERS = """
+WITH stats AS (
+  SELECT CAST(event_type AS VARCHAR) AS grp, CAST(count(*) AS BIGINT) AS n,
+         avg(value) AS stat
+  FROM events GROUP BY 1
+), m AS (
+  SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY stat) AS med FROM stats
+), d AS (
+  SELECT s.*, m.med, abs(s.stat - m.med) AS dev FROM stats s, m
+), md AS (
+  SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY dev) AS mad FROM d
+)
+SELECT grp, n, round(stat, 6) AS stat,
+       round(CASE WHEN md.mad > 0
+                  THEN 0.6745 * (stat - med) / md.mad END, 6) AS z,
+       coalesce(CASE WHEN md.mad > 0
+                     THEN abs(0.6745 * (stat - med) / md.mad) > 3.5 END,
+                stat <> med) AS is_outlier
+FROM d, md
+"""
 
 
 def _q_numeric_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2094,6 +2173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ind_mine": _q_ind_mine,
         "ucc_mine": _q_ucc_mine,
         "mask_profile": _q_mask_profile,
+        "corr_profile": _q_corr_profile,
+        "partition_outliers": _q_partition_outliers,
         "numeric_quantiles": _q_numeric_quantiles,
         "audio_fp_dups": _q_audio_fp_dups,
         "audio_feature_ann": _q_audio_feature_ann,
@@ -2156,6 +2237,8 @@ def oracle_sql() -> dict[str, str]:
         "ind_mine": _sql_ind_mine(),
         "ucc_mine": _sql_ucc_mine(),
         "mask_profile": _sql_mask_profile(),
+        "corr_profile": _sql_corr_profile(),
+        "partition_outliers": _SQL_PARTITION_OUTLIERS,
         "numeric_quantiles": _sql_numeric_quantiles(),
         "percent_histogram": _SQL_PERCENT_HISTOGRAM,
         "kb_group_import": _SQL_KB_GROUP_IMPORT,

@@ -82,6 +82,8 @@ HEADLINE_QUERIES = (
     "ind_mine",
     "ucc_mine",
     "mask_profile",
+    "corr_profile",
+    "partition_outliers",
     "numeric_quantiles",
     "audio_fp_dups",
     "audio_feature_ann",

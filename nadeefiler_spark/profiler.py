@@ -289,3 +289,50 @@ def numeric_quantiles(
     return wide.select("part", F.explode(F.array(*structs)).alias("s")).select(
         "part", "s.*"
     )
+
+
+def numeric_corr(
+    df: DataFrame,
+    cols: tuple[str, ...],
+    part_col: str | None = None,
+    precision: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation over every pair of ``cols`` ->
+    long format (part?, col_a, col_b, n, corr) — the cross-column
+    consistency stat dBoost's correlation models consume (the reference
+    shells per-column stats only; this is the pair extension its
+    outlier profiler gestures at).
+
+    ONE aggregation pass: ``F.corr`` is a single-pass mergeable
+    aggregate (co-moment partials combine map-side), so k(k-1)/2 pairs
+    cost one scan and one O(#groups)-row shuffle, independent of row
+    count. ``n`` counts rows where BOTH sides are non-null — corr
+    ignores half-null pairs, so n is corr's true support, not the row
+    count.
+    """
+    from itertools import combinations
+
+    pairs = list(combinations(cols, 2))
+    grouped = (
+        df.groupBy(F.col(part_col).cast("string").alias("part"))
+        if part_col
+        else df.groupBy(F.lit("*").alias("part"))
+    )
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        aggs.append(F.corr(a, b).alias(f"__corr_{i}"))
+        aggs.append(F.count(F.when(both, F.lit(1))).alias(f"__n_{i}"))
+    wide = grouped.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"__n_{i}").alias("n"),
+            F.round(F.col(f"__corr_{i}"), precision).alias("corr"),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    return wide.select("part", F.explode(F.array(*structs)).alias("s")).select(
+        "part", "s.*"
+    )

@@ -59,3 +59,29 @@ def test_outlier_rule_shape(spark):
     assert len(rows) == 1
     assert rows[0]["rule"] == "x_outlier"
     assert rows[0]["detail"].startswith("x=10000.0 z=")
+
+
+def test_group_stat_outliers_flags_shifted_group(spark):
+    from nadeefiler_spark.outliers import group_stat_outliers
+
+    rows = [
+        (g, 100.0 + gi * 0.5 + i % 5)  # slightly different group means
+        for gi, g in enumerate("abcdefg")
+        for i in range(20)
+    ]
+    rows += [("h", 500.0 + i % 5) for i in range(20)]  # shifted group
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = {r["grp"]: r for r in group_stat_outliers(df, "grp", "v").collect()}
+    assert out["h"]["is_outlier"] is True and abs(out["h"]["z"]) > 3.5
+    assert all(out[g]["is_outlier"] is False for g in "abcdefg")
+
+
+def test_group_stat_outliers_zero_mad(spark):
+    from nadeefiler_spark.outliers import group_stat_outliers
+
+    # all groups identical except one: MAD = 0, z NULL, deviation flags
+    rows = [(g, 10.0) for g in "abcde"] + [("f", 11.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = {r["grp"]: r for r in group_stat_outliers(df, "grp", "v").collect()}
+    assert out["f"]["z"] is None and out["f"]["is_outlier"] is True
+    assert out["a"]["is_outlier"] is False

@@ -202,3 +202,22 @@ def test_speaking_rate_rule(spark):
     assert got["fast"] == "cps=800.0"
     # predicate fast path exists (folds into the shared constraint scan)
     assert rule.predicate(ctx) is not None
+
+
+def test_numeric_corr_signs_and_support(spark):
+    from nadeefiler_spark.profiler import numeric_corr
+
+    # y = 2x (corr 1), z = -x (corr -1 with x), w has a null that
+    # shrinks its pair support
+    df = spark.createDataFrame(
+        [(1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, None),
+         (3.0, 6.0, -3.0, 1.0), (4.0, 8.0, -4.0, 7.0)],
+        "x double, y double, z double, w double",
+    )
+    out = {(r["col_a"], r["col_b"]): r
+           for r in numeric_corr(df, ("x", "y", "z", "w")).collect()}
+    assert abs(out[("x", "y")]["corr"] - 1.0) < 1e-9
+    assert abs(out[("x", "z")]["corr"] + 1.0) < 1e-9
+    assert out[("x", "w")]["n"] == 3  # null w row excluded from support
+    assert out[("x", "y")]["n"] == 4
+    assert all(r["part"] == "*" for r in out.values())
