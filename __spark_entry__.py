@@ -78,6 +78,12 @@ Operator → query map (SURVEY §2 ids in brackets):
 - partition_outliers     [profiling: cross-partition robust median/MAD
                           z-score over group means — the partition-level
                           dBoost gaussian]
+- dc_violations          [constraints: denial constraint over tuple
+                          pairs — NADEEF's rule language, equality-block
+                          hash join, never a cross join]
+- fuzzy_name_pairs       [pipeline: edit-distance similarity self-join —
+                          q-gram blocked, count-bound pruned, exact
+                          levenshtein verify, no cartesian]
 - audio_fp_dups          [pipeline: audio CONTENT dedup — decoded-PCM
                           Haitsma–Kalker fingerprints, codec-robust]
                           (no DuckDB oracle: binary decode — independent
@@ -983,6 +989,61 @@ def _sql_mask_profile() -> str:
 SELECT key, mask, CAST(count(*) AS BIGINT) AS cnt,
        round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY key), 6) AS pct
 FROM melted GROUP BY key, mask"""
+
+
+def _q_dc_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denial constraint (rules.denial.violation_pairs): no two orders
+    of the same customer on the same day may disagree on total price —
+    the DC ¬(t1.cust = t2.cust ∧ t1.date = t2.date ∧ t1.total >
+    t2.total), NADEEF's pairwise rule language over the equality-block
+    hash join (never a cross join; the '=' predicates are the blocking
+    key, enumeration happens only inside same-(cust, date) blocks)."""
+    from nadeefiler_spark.rules.denial import Pred, violation_pairs
+
+    return violation_pairs(
+        _t(spark, sf_dir, "orders"),
+        [
+            Pred("o_custkey", "="),
+            Pred("o_orderdate", "="),
+            Pred("o_totalprice", ">"),
+        ],
+        id_col="o_orderkey",
+    )
+
+
+_SQL_DC_VIOLATIONS = """
+SELECT a.o_orderkey AS id_a, b.o_orderkey AS id_b
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderdate = b.o_orderdate
+ AND a.o_totalprice > b.o_totalprice
+ AND a.o_orderkey <> b.o_orderkey
+"""
+
+
+def _q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join (operators.fuzzy
+    .edit_distance_pairs): part-name pairs within Levenshtein distance
+    2 — q-gram inverted-index blocking, multiset count-bound pruning,
+    levenshtein verify only inside candidate blocks (a raw
+    levenshtein<=k self-join plans a cartesian). p_name lengths (7-12)
+    clear the q-gram exactness bound, so the blocked plan returns
+    EXACTLY the cartesian semantics the oracle computes."""
+    from nadeefiler_spark.operators.fuzzy import edit_distance_pairs
+
+    return edit_distance_pairs(
+        _t(spark, sf_dir, "part"), "p_partkey", "p_name", max_dist=2
+    )
+
+
+_SQL_FUZZY_NAME_PAIRS = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= 2
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
 
 
 # numeric correlation profile: all pairs of these lineitem measures in
@@ -2175,6 +2236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_profile": _q_mask_profile,
         "corr_profile": _q_corr_profile,
         "partition_outliers": _q_partition_outliers,
+        "dc_violations": _q_dc_violations,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "numeric_quantiles": _q_numeric_quantiles,
         "audio_fp_dups": _q_audio_fp_dups,
         "audio_feature_ann": _q_audio_feature_ann,
@@ -2239,6 +2302,8 @@ def oracle_sql() -> dict[str, str]:
         "mask_profile": _sql_mask_profile(),
         "corr_profile": _sql_corr_profile(),
         "partition_outliers": _SQL_PARTITION_OUTLIERS,
+        "dc_violations": _SQL_DC_VIOLATIONS,
+        "fuzzy_name_pairs": _SQL_FUZZY_NAME_PAIRS,
         "numeric_quantiles": _sql_numeric_quantiles(),
         "percent_histogram": _SQL_PERCENT_HISTOGRAM,
         "kb_group_import": _SQL_KB_GROUP_IMPORT,

@@ -84,6 +84,8 @@ HEADLINE_QUERIES = (
     "mask_profile",
     "corr_profile",
     "partition_outliers",
+    "dc_violations",
+    "fuzzy_name_pairs",
     "numeric_quantiles",
     "audio_fp_dups",
     "audio_feature_ann",
