@@ -84,6 +84,9 @@ Operator → query map (SURVEY §2 ids in brackets):
 - fuzzy_name_pairs       [pipeline: edit-distance similarity self-join —
                           q-gram blocked, count-bound pruned, exact
                           levenshtein verify, no cartesian]
+- fd_repairs             [constraints: NADEEF-style repair suggestions —
+                          modal value per violating FD group, broadcast
+                          of violating modes back to the scan]
 - audio_fp_dups          [pipeline: audio CONTENT dedup — decoded-PCM
                           Haitsma–Kalker fingerprints, codec-robust]
                           (no DuckDB oracle: binary decode — independent
@@ -1018,6 +1021,50 @@ FROM orders a JOIN orders b
  AND a.o_orderdate = b.o_orderdate
  AND a.o_totalprice > b.o_totalprice
  AND a.o_orderkey <> b.o_orderkey
+"""
+
+
+def _q_fd_repairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FD repair suggestions (repair.suggest_fd_repairs): for orders
+    violating (o_custkey, o_orderdate) -> o_totalprice, the modal total
+    per violating group and the rows that would change — NADEEF's
+    repair phase over the same FD the dc_violations query detects. One
+    (group, value) groupBy (shuffle ∝ distinct pairs), a window over
+    the per-group value histogram, and one broadcast join of violating
+    modes back to the scan."""
+    from nadeefiler_spark.repair import suggest_fd_repairs
+
+    out = suggest_fd_repairs(
+        _t(spark, sf_dir, "orders"),
+        ["o_custkey", "o_orderdate"],
+        "o_totalprice",
+        "o_orderkey",
+    )
+    return out.withColumnRenamed("current", "current_val")
+
+
+_SQL_FD_REPAIRS = """
+WITH counts AS (
+  SELECT o_custkey, o_orderdate, o_totalprice AS val, count(*) AS cnt
+  FROM orders GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY cnt DESC, val ASC NULLS LAST) AS rk,
+         count(*) OVER (PARTITION BY o_custkey, o_orderdate) AS nvals,
+         sum(cnt) OVER (PARTITION BY o_custkey, o_orderdate) AS gsize
+  FROM counts
+), modes AS (
+  SELECT o_custkey, o_orderdate, val AS suggested,
+         cnt AS n_support, gsize AS group_size
+  FROM ranked WHERE rk = 1 AND nvals > 1
+)
+SELECT o.o_orderkey AS id, o.o_custkey, o.o_orderdate,
+       o.o_totalprice AS current_val, m.suggested,
+       CAST(m.n_support AS BIGINT) AS n_support,
+       CAST(m.group_size AS BIGINT) AS group_size
+FROM orders o JOIN modes m USING (o_custkey, o_orderdate)
+WHERE o.o_totalprice IS DISTINCT FROM m.suggested
 """
 
 
@@ -2238,6 +2285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_outliers": _q_partition_outliers,
         "dc_violations": _q_dc_violations,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "fd_repairs": _q_fd_repairs,
         "numeric_quantiles": _q_numeric_quantiles,
         "audio_fp_dups": _q_audio_fp_dups,
         "audio_feature_ann": _q_audio_feature_ann,
@@ -2304,6 +2352,7 @@ def oracle_sql() -> dict[str, str]:
         "partition_outliers": _SQL_PARTITION_OUTLIERS,
         "dc_violations": _SQL_DC_VIOLATIONS,
         "fuzzy_name_pairs": _SQL_FUZZY_NAME_PAIRS,
+        "fd_repairs": _SQL_FD_REPAIRS,
         "numeric_quantiles": _sql_numeric_quantiles(),
         "percent_histogram": _SQL_PERCENT_HISTOGRAM,
         "kb_group_import": _SQL_KB_GROUP_IMPORT,

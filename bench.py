@@ -86,6 +86,7 @@ HEADLINE_QUERIES = (
     "partition_outliers",
     "dc_violations",
     "fuzzy_name_pairs",
+    "fd_repairs",
     "numeric_quantiles",
     "audio_fp_dups",
     "audio_feature_ann",
