@@ -87,6 +87,10 @@ Operator → query map (SURVEY §2 ids in brackets):
 - fd_repairs             [constraints: NADEEF-style repair suggestions —
                           modal value per violating FD group, broadcast
                           of violating modes back to the scan]
+- audio_qc               [audio: clipping / dead-air / DC-offset stats
+                          fused into the shared decode pass]
+                          (no DuckDB oracle: binary decode — pure-numpy
+                          twin in tests/test_audio.py)
 - audio_fp_dups          [pipeline: audio CONTENT dedup — decoded-PCM
                           Haitsma–Kalker fingerprints, codec-robust]
                           (no DuckDB oracle: binary decode — independent
@@ -1022,6 +1026,67 @@ FROM orders a JOIN orders b
  AND a.o_totalprice > b.o_totalprice
  AND a.o_orderkey <> b.o_orderkey
 """
+
+
+def _qc_planted_clips(spark: SparkSession) -> DataFrame:
+    """Three deterministic capture-defect clips (digital clipping, dead
+    air, DC offset) encoded as real WAVs — shared by the audio_qc query
+    and its pure-numpy twin test so the two can't drift."""
+    import numpy as np
+
+    from nadeefiler_spark import audio
+
+    sr, n = 16000, 1600
+    t = np.arange(n)
+    rows = []
+    for cid, pcm in (
+        ("qc-clipped", np.where((t // 8) % 2 == 0, 32767, -32768)),
+        ("qc-silent", np.zeros(n)),
+        ("qc-dc", 3000.0 * np.sin(2 * np.pi * 440.0 * t / sr) + 8000.0),
+    ):
+        blob = audio.encode(pcm.astype(np.int16), sr, "pcm_s16le")
+        rows.append((cid, bytearray(blob), sr, 100, "pcm_s16le", "qc", "pcm_s16le"))
+    return spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string, part string",
+    )
+
+
+def _q_audio_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio signal-QC profile (rules.audio_rules decode_facts
+    with_qc=True + AudioQcRule thresholds): clipping / dead-air /
+    DC-offset stats computed on the SAME decoded PCM pass as every
+    other audio fact (decode-once-check-many), flagged rows only.
+    Planted defect clips ride along a synthetic corpus, so the result
+    is the planted set plus the datagen's SNR-distorted clips (their
+    distortion genuinely clips ~2% of samples — the QC gate catches
+    them without needing the reference waveform). No DuckDB oracle
+    (binary decode); pinned by the pure-numpy twin in
+    tests/test_audio.py::test_qc_stats_twin."""
+    from nadeefiler_spark.rules.audio_rules import decode_facts
+
+    cfg = datagen.GenConfig(n_rows=2000, seed=11, dur_min_ms=40, dur_max_ms=200)
+    clips = datagen.clips_df(spark, cfg).unionByName(_qc_planted_clips(spark))
+    facts = decode_facts(clips, with_snr=False, with_qc=True)
+    return (
+        facts.where(
+            F.col("decode_error").isNull()
+            & (
+                (F.col("clip_ratio") > 0.01)
+                | (F.col("silence_ratio") > 0.9)
+                | (F.abs(F.col("dc_offset")) > 0.05)
+            )
+        )
+        .select(
+            "clip_id",
+            "part",
+            F.round("clip_ratio", 6).alias("clip_ratio"),
+            F.round("silence_ratio", 6).alias("silence_ratio"),
+            F.round("dc_offset", 6).alias("dc_offset"),
+        )
+        .orderBy("clip_id")
+    )
 
 
 def _q_fd_repairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2286,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dc_violations": _q_dc_violations,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "fd_repairs": _q_fd_repairs,
+        "audio_qc": _q_audio_qc,
         "numeric_quantiles": _q_numeric_quantiles,
         "audio_fp_dups": _q_audio_fp_dups,
         "audio_feature_ann": _q_audio_feature_ann,

@@ -87,6 +87,7 @@ HEADLINE_QUERIES = (
     "dc_violations",
     "fuzzy_name_pairs",
     "fd_repairs",
+    "audio_qc",
     "numeric_quantiles",
     "audio_fp_dups",
     "audio_feature_ann",

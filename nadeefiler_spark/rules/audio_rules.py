@@ -43,7 +43,8 @@ SNR_PASS_DB = 30.0  # input_hint: decoded-PCM allclose asserted as SNR>=30dB
 
 
 def decode_facts(
-    clips: DataFrame, with_snr: bool = True, with_fp: bool = False
+    clips: DataFrame, with_snr: bool = True, with_fp: bool = False,
+    with_qc: bool = False,
 ) -> DataFrame:
     """One narrow mapInPandas pass: bytes -> decoded facts per clip.
 
@@ -56,6 +57,12 @@ def decode_facts(
     decoded PCM — content dedup then costs one extra rFFT per clip on
     the shared scan instead of a second full-table binary decode pass
     (the decode-once-check-many invariant, engine binary-scan fusion).
+
+    ``with_qc`` appends signal-quality stats from the SAME decoded PCM
+    (same fusion rationale): ``clip_ratio`` (fraction of samples at or
+    above 32000 of int16 full scale — digital clipping), ``silence_ratio``
+    (fraction within 1% of full scale of zero — dead air), and
+    ``dc_offset`` (mean sample / 32768 — a miswired capture chain).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -71,6 +78,10 @@ def decode_facts(
             )}
             if with_fp:
                 out["fp"] = []
+            if with_qc:
+                out["clip_ratio"] = []
+                out["silence_ratio"] = []
+                out["dc_offset"] = []
             for part, cid, sr, dur, codec, blob in zip(
                 pdf["part"], pdf["clip_id"], pdf["sr_hz"], pdf["dur_ms"],
                 pdf["codec"], pdf["bytes"],
@@ -104,6 +115,16 @@ def decode_facts(
                     out["decode_error"].append(None)
                     if with_fp:
                         out["fp"].append(pcm_fingerprint64(pcm, int(dec_sr)))
+                    if with_qc:
+                        if len(pcm):
+                            ax = np.abs(pcm.astype(np.int32))
+                            out["clip_ratio"].append(float(np.mean(ax >= 32000)))
+                            out["silence_ratio"].append(float(np.mean(ax <= 327)))
+                            out["dc_offset"].append(float(pcm.mean()) / 32768.0)
+                        else:
+                            out["clip_ratio"].append(0.0)
+                            out["silence_ratio"].append(1.0)
+                            out["dc_offset"].append(0.0)
                 except Exception as exc:  # garbage container
                     out["dec_codec"].append(None)
                     out["dec_sr"].append(None)
@@ -113,12 +134,18 @@ def decode_facts(
                     out["decode_error"].append(str(exc)[:200])
                     if with_fp:
                         out["fp"].append(None)
+                    if with_qc:
+                        out["clip_ratio"].append(None)
+                        out["silence_ratio"].append(None)
+                        out["dc_offset"].append(None)
             if with_fp:
                 out["fp"] = pd.array(out["fp"], dtype="Int64")
             yield pd.DataFrame(out)
 
     cols = ["part", "clip_id", "sr_hz", "dur_ms", "codec", "bytes"]
     schema = DECODED_SCHEMA + (", fp bigint" if with_fp else "")
+    if with_qc:
+        schema += ", clip_ratio double, silence_ratio double, dc_offset double"
     return clips.select(*cols).mapInPandas(run, schema)
 
 
@@ -201,6 +228,47 @@ class SnrRule(_AudioRule):
             bad, ctx, self.name,
             F.concat(F.lit("snr_db="), F.round(F.col("snr_db"), 2)),
         )
+
+
+@dataclass
+class AudioQcRule(_AudioRule):
+    """Signal-quality gate over the decoded PCM: flags digital clipping
+    (clip_ratio above ``max_clip_ratio``), dead air (silence_ratio above
+    ``max_silence_ratio``), and DC offset (|dc_offset| above
+    ``max_abs_dc``) — the capture-chain defects a transcription corpus
+    must catch before training. Reads the QC columns when the shared
+    decode pass carried them (``decode_facts(with_qc=True)``), else runs
+    its own narrow QC-only decode (no SNR render — the cheap shape).
+
+    NOT in default_audio_rules: the deterministic datagen renders a
+    clean 0.8-of-half-scale waveform (audio.render_wave_f32), so no
+    synthetic clip can trip these thresholds and the default engine run
+    would measure nothing — same reasoning as SpeakingRateRule in
+    presets.py. Wire it explicitly for corpora with real capture
+    defects."""
+
+    name: str = "audio_qc"
+    max_clip_ratio: float = 0.01
+    max_silence_ratio: float = 0.9
+    max_abs_dc: float = 0.05
+
+    def violations(self, ctx: RuleContext) -> DataFrame:
+        d = ctx.decoded
+        if d is None or "clip_ratio" not in d.columns:
+            d = decode_facts(ctx.clips, with_snr=False, with_qc=True)
+        clipped = F.col("clip_ratio") > self.max_clip_ratio
+        silent = F.col("silence_ratio") > self.max_silence_ratio
+        dc = F.abs(F.col("dc_offset")) > self.max_abs_dc
+        bad = d.where(
+            F.col("decode_error").isNull() & (clipped | silent | dc)
+        )
+        detail = F.concat_ws(
+            ",",
+            F.when(clipped, F.concat(F.lit("clip_ratio="), F.round("clip_ratio", 4))),
+            F.when(silent, F.concat(F.lit("silence_ratio="), F.round("silence_ratio", 4))),
+            F.when(dc, F.concat(F.lit("dc_offset="), F.round("dc_offset", 4))),
+        )
+        return self.shape(bad, ctx, self.name, detail)
 
 
 def default_audio_rules() -> list[Rule]:

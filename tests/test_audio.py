@@ -105,3 +105,61 @@ def test_snr_f32_reference():
     a = audio.snr_db(ref16, noisy)
     b = audio.snr_db_f32(ref32, noisy)
     assert abs(a - b) < 0.1
+
+
+def test_qc_stats_twin(spark):
+    """Spark-side QC stats must equal an independent pure-numpy
+    recomputation on the same planted defect clips, and only the
+    planted clips may be flagged by the audio_qc contract query's
+    thresholds."""
+    import numpy as np
+
+    import __spark_entry__ as entry
+    from nadeefiler_spark.rules.audio_rules import decode_facts
+
+    clips = entry._qc_planted_clips(spark)
+    got = {
+        r["clip_id"]: r
+        for r in decode_facts(clips, with_snr=False, with_qc=True).collect()
+    }
+
+    sr, n = 16000, 1600
+    t = np.arange(n)
+    expected = {
+        "qc-clipped": np.where((t // 8) % 2 == 0, 32767, -32768),
+        "qc-silent": np.zeros(n),
+        "qc-dc": 3000.0 * np.sin(2 * np.pi * 440.0 * t / sr) + 8000.0,
+    }
+    for cid, pcm in expected.items():
+        x = pcm.astype(np.int16).astype(np.int32)
+        r = got[cid]
+        assert r["clip_ratio"] == float(np.mean(np.abs(x) >= 32000))
+        assert r["silence_ratio"] == float(np.mean(np.abs(x) <= 327))
+        assert r["dc_offset"] == float(x.astype(np.int16).mean()) / 32768.0
+    assert got["qc-clipped"]["clip_ratio"] == 1.0
+    assert got["qc-silent"]["silence_ratio"] == 1.0
+    assert abs(got["qc-dc"]["dc_offset"] - 8000.0 / 32768.0) < 0.01
+
+
+def test_qc_rule_flags_only_planted(spark):
+    import __spark_entry__ as entry
+    from nadeefiler_spark import datagen
+    from nadeefiler_spark.rules.audio_rules import AudioQcRule
+    from nadeefiler_spark.rules.base import RuleContext
+
+    cfg = datagen.GenConfig(n_rows=400, seed=11, dur_min_ms=40, dur_max_ms=200)
+    clips = datagen.clips_df(spark, cfg).unionByName(
+        entry._qc_planted_clips(spark)
+    )
+    rule = AudioQcRule()
+    got = rule.violations(RuleContext(spark, clips)).collect()
+    by_id = {r["clip_id"]: r["detail"] for r in got}
+    # the planted QC defects, plus the datagen's SNR-distorted clips —
+    # their distortion genuinely clips (~2% of samples), and catching
+    # them independently of the SNR reference is the point of a QC gate
+    assert set(by_id) == {"qc-clipped", "qc-silent", "qc-dc"} | set(
+        datagen.golden_violations(cfg)["audio_snr"]
+    )
+    assert "clip_ratio=" in by_id["qc-clipped"]
+    assert "silence_ratio=" in by_id["qc-silent"]
+    assert "dc_offset=" in by_id["qc-dc"]
