@@ -784,9 +784,10 @@ def _q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two stacked aggs instead of count+countDistinct in one groupBy:
     # the combined form Expands every match row once PER aggregate
     # (2x the 45M matches at sf0.1 into the shuffle), while stacking
-    # lets map-side combine collapse matches to (session, partner)
-    # grain first — no Expand, no distinct aggregate anywhere
-    # (measured 19.4s -> see BENCH/BASELINE.md)
+    # keeps every exchange combinable — 28.6 -> 21.6 s noop-forced at
+    # sf0.1; the remainder is the inherent 20M-group exact-distinct
+    # exchange
+    # (full decomposition + measurement trap: BENCH/BASELINE.md)
     per_partner = m.groupBy("user", "session_idx", "p_user").agg(
         F.count(F.lit(1)).alias("n_from_partner")
     )
