@@ -87,6 +87,12 @@ Operator → query map (SURVEY §2 ids in brackets):
 - fd_repairs             [constraints: NADEEF-style repair suggestions —
                           modal value per violating FD group, broadcast
                           of violating modes back to the scan]
+- cfd_mine               [profiling: constant conditional-FD tableau —
+                          per-value consensus/confidence from one
+                          (lhs,rhs) pair-count pass + a histogram window]
+- od_check               [profiling: lexicographic order dependencies —
+                          per-group [min,max] interval overlap over a
+                          NDV-bounded lag window, never a row sort]
 - audio_qc               [audio: clipping / dead-air / DC-offset stats
                           fused into the shared decode pass]
                           (no DuckDB oracle: binary decode — pure-numpy
@@ -2252,6 +2258,96 @@ def _sql_fd_mine_parts() -> str:
     """
 
 
+def _q_cfd_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-CFD discovery (fd.mine_constant_cfds — the NADEEF-family
+    rule type the reference's fdminer slot reserves): per nation, the
+    consensus market segment with support/confidence. The global FD
+    c_nationkey → c_mktsegment fails everywhere; the tableau shows by
+    how much, per condition."""
+    from nadeefiler_spark import fd
+
+    c = _t(spark, sf_dir, "customer")
+    return fd.mine_constant_cfds(
+        c, "c_nationkey", "c_mktsegment", min_support=2
+    )
+
+
+_SQL_CFD_MINE = """
+WITH c AS (
+  SELECT CAST(c_nationkey AS VARCHAR) AS lhs_value,
+         CAST(c_mktsegment AS VARCHAR) AS rhs_value,
+         count(*) AS cnt
+  FROM customer GROUP BY 1, 2
+), g AS (
+  SELECT lhs_value, rhs_value, cnt,
+         sum(cnt) OVER (PARTITION BY lhs_value) AS support,
+         row_number() OVER (
+           PARTITION BY lhs_value
+           ORDER BY cnt DESC, rhs_value ASC NULLS LAST) AS rn
+  FROM c
+)
+SELECT 'c_nationkey' AS lhs, lhs_value, 'c_mktsegment' AS rhs,
+       rhs_value AS consensus,
+       CAST(support AS BIGINT) AS support,
+       CAST(support - cnt AS BIGINT) AS n_violations,
+       round(cnt / support, 6) AS confidence,
+       cnt / support >= 1.0 AS holds
+FROM g WHERE rn = 1 AND support >= 2
+"""
+
+
+def _q_od_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-dependency check (od.check_order_dependencies): order date
+    lexicographically orders its year-month (holds by construction) but
+    not the customer key (interval overlap on nearly every adjacent
+    day)."""
+    from nadeefiler_spark import od
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        "o_custkey",
+    )
+    return od.check_order_dependencies(
+        o, [("o_orderdate", "ym"), ("o_orderdate", "o_custkey")]
+    )
+
+
+_SQL_OD_CHECK = """
+WITH t AS (
+  SELECT o_orderdate, strftime(o_orderdate, '%Y-%m') AS ym, o_custkey
+  FROM orders
+), g1 AS (
+  SELECT o_orderdate, min(ym) AS mn, max(ym) AS mx
+  FROM t GROUP BY 1
+), h1 AS (
+  SELECT mn, lag(mx) OVER (ORDER BY o_orderdate ASC NULLS LAST) AS prev_mx
+  FROM g1
+), r1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(coalesce(sum(CASE WHEN prev_mx > mn THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS violating_pairs
+  FROM h1
+), g2 AS (
+  SELECT o_orderdate, min(o_custkey) AS mn, max(o_custkey) AS mx
+  FROM t GROUP BY 1
+), h2 AS (
+  SELECT mn, lag(mx) OVER (ORDER BY o_orderdate ASC NULLS LAST) AS prev_mx
+  FROM g2
+), r2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(coalesce(sum(CASE WHEN prev_mx > mn THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS violating_pairs
+  FROM h2
+)
+SELECT 'o_orderdate' AS on_col, 'ym' AS ordered_col,
+       n_groups, violating_pairs, violating_pairs = 0 AS holds FROM r1
+UNION ALL
+SELECT 'o_orderdate' AS on_col, 'o_custkey' AS ordered_col,
+       n_groups, violating_pairs, violating_pairs = 0 AS holds FROM r2
+"""
+
+
 def _q_binary_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-gated twin of the multimodal metadata pass: the documents'
     UTF-8 bytes stand in for opaque blobs, so every column (octet count,
@@ -2383,6 +2479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": _q_shard_manifest,
         "fd_mine": _q_fd_mine,
         "fd_mine_parts": _q_fd_mine_parts,
+        "cfd_mine": _q_cfd_mine,
+        "od_check": _q_od_check,
         "binary_meta": _q_binary_meta,
         "binary_meta_docs": _q_binary_meta_docs,
         "audio_validate": _q_audio_validate,
@@ -2445,6 +2543,8 @@ def oracle_sql() -> dict[str, str]:
         "shard_manifest": _sql_shard_manifest(),
         "fd_mine": _sql_fd_mine(),
         "fd_mine_parts": _sql_fd_mine_parts(),
+        "cfd_mine": _SQL_CFD_MINE,
+        "od_check": _SQL_OD_CHECK,
         "binary_meta_docs": _SQL_BINARY_META_DOCS,
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py

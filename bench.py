@@ -74,6 +74,8 @@ HEADLINE_QUERIES = (
     "dup_clusters",
     "fd_mine",
     "fd_mine_parts",
+    "cfd_mine",
+    "od_check",
     "binary_meta_docs",
     "rollup_stats",
     "event_sessions",

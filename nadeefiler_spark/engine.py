@@ -522,6 +522,9 @@ class ValidationEngine:
         key_cols: list[str] | None = None,
         max_arity: int = 1,
         id_col: str = "clip_id",
+        od_pairs: list[tuple[str, str]] | None = None,
+        cfd_rules: list[tuple[str | list[str], str]] | None = None,
+        cfd_min_support: int = 2,
         resume: bool = True,
         run_id: str | None = None,
     ) -> DataFrame:
@@ -539,11 +542,18 @@ class ValidationEngine:
         normalized across kinds: (kind, lhs, rhs, n, n_bad, metric,
         holds) — for kind='ucc', n=rows, n_bad=dup+null rows blocking key
         status, metric=dup-free fraction; for kind='ind', n=LHS distinct
-        values, n_bad=uncontained ones, metric=containment. Candidates
+        values, n_bad=uncontained ones, metric=containment. Optional
+        ``od_pairs`` adds kind='od' rows (od.check_order_dependencies:
+        n=ordering groups, n_bad=overlapping adjacent intervals,
+        metric=clean boundary fraction) and ``cfd_rules`` — a list of
+        (lhs, rhs) specs — adds kind='cfd' tableau rows
+        (fd.mine_constant_cfds: lhs='col=value', n=support,
+        n_bad=non-consensus rows, metric=confidence). Candidates
         the HLL bound refutes cheaply carry no row (they were never
         plausibly keys); manifest lineage counts clips whose ``id_col``
         value is duplicated — the declared-key violation discovery found.
         """
+        from . import fd as fdm
         from . import ucc as uccm
         from .ind import IndCandidate, mine_inds
 
@@ -584,6 +594,37 @@ class ValidationEngine:
                     "holds",
                 )
                 out = out.unionByName(inds)
+            if od_pairs:
+                from .od import check_order_dependencies
+
+                ods = check_order_dependencies(clips, od_pairs).select(
+                    F.lit("od").alias("kind"),
+                    F.col("on_col").alias("lhs"),
+                    F.col("ordered_col").alias("rhs"),
+                    F.col("n_groups").alias("n"),
+                    F.col("violating_pairs").alias("n_bad"),
+                    # clean fraction of the adjacent-group boundary checks
+                    (
+                        F.lit(1.0)
+                        - F.col("violating_pairs")
+                        / F.greatest(F.col("n_groups") - 1, F.lit(1))
+                    ).alias("metric"),
+                    "holds",
+                )
+                out = out.unionByName(ods)
+            for lhs, rhs in cfd_rules or []:
+                cfds = fdm.mine_constant_cfds(
+                    clips, lhs, rhs, min_support=cfd_min_support
+                ).select(
+                    F.lit("cfd").alias("kind"),
+                    F.concat_ws("=", "lhs", "lhs_value").alias("lhs"),
+                    "rhs",
+                    F.col("support").alias("n"),
+                    F.col("n_violations").alias("n_bad"),
+                    F.col("confidence").alias("metric"),
+                    "holds",
+                )
+                out = out.unionByName(cfds)
             groups = out.withColumn("part", F.lit("*"))
             # lineage: clips carrying a duplicated declared-key value —
             # the dup-id set is tiny, broadcast it, never shuffle clips

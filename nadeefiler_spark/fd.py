@@ -24,7 +24,7 @@ the validation engine's violation-tolerant rules.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -116,4 +116,75 @@ def mine_fds(
         "holds",
         F.col("violating_groups")
         <= F.lit(max_violation_rate) * F.col("n_groups"),
+    )
+
+
+def mine_constant_cfds(
+    df: DataFrame,
+    lhs: str | list[str],
+    rhs: str,
+    min_support: int = 1,
+    min_confidence: float = 1.0,
+    part_col: str | None = None,
+) -> DataFrame:
+    """Discover constant conditional FDs: the pattern tableau of
+    ``(lhs = v) → (rhs = consensus_v)`` rules, one row per lhs value.
+
+    CFDs are the flagship rule type of the dependency line nadeefiler
+    descends from (NADEEF's rule catalog is FDs/CFDs/dedup; the
+    reference's fdminer slot, ``profilers/config.js:10-20``, stops at the
+    stub). Where :func:`mine_fds` answers "does X → Y hold?", this
+    answers the per-value question — which conditions DO determine the
+    RHS even when the global FD fails — and each emitted row doubles as
+    a repair tableau (``repair.suggest_fd_repairs`` applies the same
+    modal-consensus semantics row-wise).
+
+    Returns one row per lhs value with ``support >= min_support``:
+      (part?, lhs, lhs_value, rhs, consensus, support, n_violations,
+       confidence, holds)
+    where ``consensus`` is the modal rhs value (ties break to the
+    smallest string, NULLs last — deterministic, same rule as the
+    repair module), ``confidence = modal_count / support`` (rounded to
+    6 places), and ``holds`` iff the unrounded confidence ≥
+    ``min_confidence``. Values are surfaced as strings (multi-column
+    lhs joins values with '|'; a NULL component is skipped by
+    concat_ws — callers needing NULL-distinct multi-column patterns
+    should pre-encode).
+
+    Scale story (10^12 rows): shuffle #1 is a map-side-combinable
+    groupBy on (lhs, rhs) — volume ∝ distinct pairs, not rows; the
+    window runs over that pair table partitioned by lhs value (each
+    window partition is one value's rhs histogram — bounded by
+    NDV(rhs)). Nothing driver-side.
+    """
+    lhs_cols = [lhs] if isinstance(lhs, str) else list(lhs)
+    part_keys = [part_col] if part_col else []
+    lhs_val = F.concat_ws("|", *[F.col(c).cast("string") for c in lhs_cols])
+    counts = df.groupBy(
+        *part_keys,
+        lhs_val.alias("lhs_value"),
+        F.col(rhs).cast("string").alias("rhs_value"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(*part_keys, "lhs_value")
+    ranked = (
+        counts.withColumn("support", F.sum("cnt").over(w))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                w.orderBy(F.col("cnt").desc(), F.col("rhs_value").asc_nulls_last())
+            ),
+        )
+    )
+    return ranked.where(
+        (F.col("rn") == 1) & (F.col("support") >= min_support)
+    ).select(
+        *part_keys,
+        F.lit(",".join(lhs_cols)).alias("lhs"),
+        "lhs_value",
+        F.lit(rhs).alias("rhs"),
+        F.col("rhs_value").alias("consensus"),
+        F.col("support").cast("bigint").alias("support"),
+        (F.col("support") - F.col("cnt")).cast("bigint").alias("n_violations"),
+        F.round(F.col("cnt") / F.col("support"), 6).alias("confidence"),
+        (F.col("cnt") / F.col("support") >= F.lit(min_confidence)).alias("holds"),
     )

@@ -61,6 +61,34 @@ def test_discovery_resume_skips(spark, disc, clips_dir):
     assert again.count() == 0
 
 
+def test_discovery_od_and_cfd_kinds(spark, clips_dir, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("disc_odcfd"))
+    eng = ValidationEngine(spark, out, rules=[], profile_cfg=default_clips_config())
+    clips = spark.read.parquet(f"{clips_dir}/clips").withColumn(
+        "dur_bucket", (F.col("dur_ms") / 100).cast("int")
+    )
+    eng.run_discovery(
+        clips,
+        od_pairs=[("dur_ms", "dur_bucket"), ("dur_ms", "clip_id")],
+        cfd_rules=[("codec", "sr_hz")],
+        run_id="d1",
+    )
+    rows = eng.discovery_results().collect()
+    ods = {r["rhs"]: r for r in rows if r["kind"] == "od"}
+    # dur_bucket is a monotone function of the ordering column -> holds
+    assert ods["dur_bucket"]["holds"] is True and ods["dur_bucket"]["metric"] == 1.0
+    # clip_id strings are not duration-ordered -> violations counted
+    assert ods["clip_id"]["holds"] is False and ods["clip_id"]["n_bad"] > 0
+    cfds = [r for r in rows if r["kind"] == "cfd"]
+    assert cfds and all(
+        r["lhs"].startswith("codec=") and r["rhs"] == "sr_hz" for r in cfds
+    )
+    assert all(0.0 < r["metric"] <= 1.0 and r["n"] >= 2 for r in cfds)
+    assert all(r["holds"] == (r["n_bad"] == 0) for r in cfds)
+
+
 def test_job_cli_discover(spark, clips_dir, tmp_path_factory):
     from nadeefiler_spark import job
 
