@@ -93,6 +93,15 @@ Operator → query map (SURVEY §2 ids in brackets):
 - od_check               [profiling: lexicographic order dependencies —
                           per-group [min,max] interval overlap over a
                           NDV-bounded lag window, never a row sort]
+- sd_check               [profiling: sequential dependency — bounded
+                          inter-arrival gaps per event sequence, one
+                          reused hash exchange for window + groupBy]
+- pii_scan               [curation: regex PII audit (email/ssn/phone/
+                          ipv4/card) — expression-only, one map-side
+                          combinable scan; redaction + PiiRule sibling]
+- mi_profile             [profiling: mutual information / NMI per
+                          categorical pair — corr_profile's categorical
+                          sibling, shuffle ∝ distinct value pairs]
 - audio_qc               [audio: clipping / dead-air / DC-offset stats
                           fused into the shared decode pass]
                           (no DuckDB oracle: binary decode — pure-numpy
@@ -2348,6 +2357,175 @@ SELECT 'o_orderdate' AS on_col, 'o_custkey' AS ordered_col,
 """
 
 
+def _q_mi_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information profile (profiler.mutual_info — the
+    categorical sibling of corr_profile): segment vs nation-bucket is
+    near-independent (mi ≈ 0), nation → nation-bucket is a
+    deterministic function (nmi = 1)."""
+    from nadeefiler_spark.profiler import mutual_info
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        (F.col("c_nationkey") % 5).alias("nk_bucket"),
+    )
+    return mutual_info(
+        c, [("c_mktsegment", "nk_bucket"), ("c_nationkey", "nk_bucket")]
+    )
+
+
+def _sql_mi_profile() -> str:
+    parts = []
+    for x, y in (("c_mktsegment", "nk_bucket"), ("c_nationkey", "nk_bucket")):
+        parts.append(f"""
+        SELECT '{x}' AS col_x, '{y}' AS col_y, n_rows, ndv_x, ndv_y,
+               abs(round(h_x, 6)) AS h_x, abs(round(h_y, 6)) AS h_y,
+               abs(round(mi, 6)) AS mi,
+               abs(round(CASE WHEN least(h_x, h_y) > 0
+                              THEN mi / least(h_x, h_y) END, 6)) AS nmi
+        FROM (
+          SELECT CAST(max(n) AS BIGINT) AS n_rows,
+                 CAST(count(DISTINCT xv)
+                      + max(CASE WHEN xv IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ndv_x,
+                 CAST(count(DISTINCT yv)
+                      + max(CASE WHEN yv IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ndv_y,
+                 -sum((c / n) * ln(cx / n)) AS h_x,
+                 -sum((c / n) * ln(cy / n)) AS h_y,
+                 sum((c / n) * ln(c * n / (cx * cy))) AS mi
+          FROM (
+            SELECT xv, yv, c,
+                   sum(c) OVER (PARTITION BY xv) AS cx,
+                   sum(c) OVER (PARTITION BY yv) AS cy,
+                   sum(c) OVER () AS n
+            FROM (
+              SELECT CAST({x} AS VARCHAR) AS xv, CAST({y} AS VARCHAR) AS yv,
+                     count(*) AS c
+              FROM t GROUP BY 1, 2
+            )
+          )
+        )""")
+    u = " UNION ALL ".join(parts)
+    return f"""
+    WITH t AS (SELECT c_mktsegment, c_nationkey,
+                      c_nationkey % 5 AS nk_bucket FROM customer)
+    {u}
+    """
+
+
+def _q_sd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-dependency check (od.check_sequential): per user,
+    consecutive event timestamps must be 0..30 min apart — the
+    inter-arrival continuity rule of event-stream monitoring. Gaps in
+    exact integer microseconds (unix_micros / epoch_us on both sides)
+    so no float drift enters the compare."""
+    from nadeefiler_spark import od
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        # parquet ts is TIMESTAMP_NTZ; cast is identity under the
+        # session's UTC timezone and unix_micros requires TIMESTAMP
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    return od.check_sequential(
+        e, "user_id", "ts", "us", lo=0.0, hi=1800e6
+    )
+
+
+_SQL_SD_CHECK = """
+WITH t AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+g AS (
+  SELECT user_id,
+         CAST(us - lag(us) OVER (PARTITION BY user_id ORDER BY ts)
+              AS DOUBLE) AS gap
+  FROM t
+)
+SELECT user_id AS "group",
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(gap) AS BIGINT) AS n_gaps,
+       CAST(coalesce(sum(CASE WHEN gap < 0 OR gap > 1800000000
+                               THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS violating_gaps,
+       min(gap) AS min_gap,
+       max(gap) AS max_gap,
+       coalesce(sum(CASE WHEN gap < 0 OR gap > 1800000000
+                          THEN 1 ELSE 0 END), 0) = 0 AS holds
+FROM g GROUP BY user_id
+"""
+
+
+def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit (functions.pii.scan_pii): per-source counts of planted
+    emails/SSNs/phones/IPs/card numbers and the row-level PII rate —
+    the pre-ship redaction gate of a training-data pipeline. PII is
+    planted deterministically on doc_id residues so every detector has
+    positives; the same construction runs in the DuckDB oracle."""
+    from nadeefiler_spark.functions.pii import scan_pii
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.concat(
+            F.coalesce("text", F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" ssn 123-45-6789"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 17 == 0, F.lit(" call +1 (415) 555-0199"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 19 == 0, F.lit(" from 10.0.0.1"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 23 == 0, F.lit(" card 4111111111111111"))
+            .otherwise(F.lit("")),
+        ).alias("body"),
+    )
+    return scan_pii(d, "body", group_cols=["source"])
+
+
+_SQL_PII_SCAN = r"""
+WITH d AS (
+  SELECT source,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0 THEN ' call +1 (415) 555-0199' ELSE '' END
+         || CASE WHEN doc_id % 19 = 0 THEN ' from 10.0.0.1' ELSE '' END
+         || CASE WHEN doc_id % 23 = 0 THEN ' card 4111111111111111' ELSE '' END
+           AS body
+  FROM documents
+), m AS (
+  SELECT source,
+         len(regexp_extract_all(body, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c_email,
+         len(regexp_extract_all(body, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS c_ssn,
+         len(regexp_extract_all(body, '\+[0-9][0-9 ()-]{7,}[0-9]')) AS c_phone,
+         len(regexp_extract_all(body, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS c_ipv4,
+         len(regexp_extract_all(body, '\b[0-9]{13,16}\b')) AS c_card
+  FROM d
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(c_email) AS BIGINT) AS n_email,
+       CAST(sum(c_ssn) AS BIGINT) AS n_ssn,
+       CAST(sum(c_phone) AS BIGINT) AS n_phone,
+       CAST(sum(c_ipv4) AS BIGINT) AS n_ipv4,
+       CAST(sum(c_card) AS BIGINT) AS n_card,
+       CAST(sum(CASE WHEN c_email + c_ssn + c_phone + c_ipv4 + c_card > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS pii_rows,
+       round(sum(CASE WHEN c_email + c_ssn + c_phone + c_ipv4 + c_card > 0
+                      THEN 1 ELSE 0 END) / count(*), 6) AS pii_rate
+FROM m GROUP BY source
+"""
+
+
 def _q_binary_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-gated twin of the multimodal metadata pass: the documents'
     UTF-8 bytes stand in for opaque blobs, so every column (octet count,
@@ -2481,6 +2659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_mine_parts": _q_fd_mine_parts,
         "cfd_mine": _q_cfd_mine,
         "od_check": _q_od_check,
+        "pii_scan": _q_pii_scan,
+        "mi_profile": _q_mi_profile,
+        "sd_check": _q_sd_check,
         "binary_meta": _q_binary_meta,
         "binary_meta_docs": _q_binary_meta_docs,
         "audio_validate": _q_audio_validate,
@@ -2545,6 +2726,9 @@ def oracle_sql() -> dict[str, str]:
         "fd_mine_parts": _sql_fd_mine_parts(),
         "cfd_mine": _SQL_CFD_MINE,
         "od_check": _SQL_OD_CHECK,
+        "pii_scan": _SQL_PII_SCAN,
+        "mi_profile": _sql_mi_profile(),
+        "sd_check": _SQL_SD_CHECK,
         "binary_meta_docs": _SQL_BINARY_META_DOCS,
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py

@@ -76,6 +76,9 @@ HEADLINE_QUERIES = (
     "fd_mine_parts",
     "cfd_mine",
     "od_check",
+    "sd_check",
+    "pii_scan",
+    "mi_profile",
     "binary_meta_docs",
     "rollup_stats",
     "event_sessions",

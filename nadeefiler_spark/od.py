@@ -101,3 +101,59 @@ def check_order_dependencies(
     for b in branches[1:]:
         out = out.unionByName(b)
     return out
+
+
+def check_sequential(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Sequential-dependency check (Golab et al., "Sequential
+    Dependencies", VLDB 2009 — public): within each ``group_col``
+    sequence ordered by ``order_col``, the gap
+    ``value - previous value`` between consecutive rows must lie in
+    [lo, hi] (either bound may be None for one-sided checks). The
+    workhorse for event-stream sanity — heartbeat continuity, monotone
+    counters, bounded inter-arrival times — which pointwise rules and
+    global FDs can't see.
+
+    Returns one row per group:
+      (group, n_rows, n_gaps, violating_gaps, min_gap, max_gap, holds)
+    with gaps as doubles (NULL min/max for single-row groups) and
+    ``holds`` iff no gap violates. NULL values produce NULL gaps, which
+    never violate (required-ness is a different rule).
+
+    Scale story (10^12 rows): one window partitioned by the group key —
+    Spark sorts within hash partitions, no global sort — then a
+    map-side-combinable groupBy on the same key (the exchange is reused:
+    both steps hash-partition on ``group_col``). Output ∝ #groups.
+    Ties on ``order_col`` are safe only when the tied rows share a
+    value (true when value derives from the ordering column, e.g.
+    epoch(ts)); otherwise pass a tie-broken ordering column.
+    """
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    v = F.col(value_col).cast("double")
+    gap = v - F.lag(v).over(w)
+    viol = F.lit(False)
+    if lo is not None:
+        viol = viol | (gap < F.lit(float(lo)))
+    if hi is not None:
+        viol = viol | (gap > F.lit(float(hi)))
+    g = df.select(
+        F.col(group_col).alias("group"), gap.alias("gap"), viol.alias("viol")
+    )
+    return g.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("gap").alias("n_gaps"),
+        F.coalesce(
+            F.sum(F.col("viol").cast("bigint")), F.lit(0)
+        ).alias("violating_gaps"),
+        F.min("gap").alias("min_gap"),
+        F.max("gap").alias("max_gap"),
+        (
+            F.coalesce(F.sum(F.col("viol").cast("bigint")), F.lit(0)) == 0
+        ).alias("holds"),
+    )

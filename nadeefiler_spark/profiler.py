@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -336,3 +336,96 @@ def numeric_corr(
     return wide.select("part", F.explode(F.array(*structs)).alias("s")).select(
         "part", "s.*"
     )
+
+
+def mutual_info(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+    precision: int = 6,
+) -> DataFrame:
+    """Mutual information / normalized MI per categorical column pair —
+    the categorical sibling of :func:`numeric_corr` (Pearson only sees
+    numeric monotone dependence; MI measures ANY deterministic or
+    statistical mapping between code-like columns, which is what the
+    dependency miners' candidates look like before exact checks).
+
+    Returns one row per pair: (col_x, col_y, n_rows, ndv_x, ndv_y, h_x,
+    h_y, mi, nmi) — entropies in nats, ``nmi = mi / min(h_x, h_y)``
+    (NULL when either entropy is 0: a constant column carries no
+    information to normalize by). NULL values form a category like any
+    other. All doubles rounded to ``precision``.
+
+    Scale story (10^12 rows): per pair, ONE map-side-combinable groupBy
+    on (x, y) — shuffle ∝ distinct pairs, never rows; every sum after
+    that (marginals via windows, the final reduction) runs on the
+    pair-count table, bounded by NDV(x)·NDV(y). The marginal identities
+    Σ_y c_xy = c_x let H(X) come from the same table — no second scan.
+    All pairs union into one plan → one job.
+    """
+    branches: list[DataFrame] = []
+    for x, y in pairs:
+        c = df.groupBy(
+            F.col(x).cast("string").alias("xv"),
+            F.col(y).cast("string").alias("yv"),
+        ).agg(F.count(F.lit(1)).alias("c"))
+        wx = Window.partitionBy("xv")
+        wy = Window.partitionBy("yv")
+        wall = Window.partitionBy()
+        t = (
+            c.withColumn("cx", F.sum("c").over(wx))
+            .withColumn("cy", F.sum("c").over(wy))
+            .withColumn("n", F.sum("c").over(wall))
+        )
+        p = F.col("c") / F.col("n")
+        # count_distinct ignores NULL; the NULL category still counts as
+        # a distinct value here (it forms a real group in the histogram)
+        agg = t.agg(
+            F.max("n").alias("n_rows"),
+            (
+                F.count_distinct("xv")
+                + F.coalesce(F.max(F.col("xv").isNull().cast("bigint")), F.lit(0))
+            ).alias("ndv_x"),
+            (
+                F.count_distinct("yv")
+                + F.coalesce(F.max(F.col("yv").isNull().cast("bigint")), F.lit(0))
+            ).alias("ndv_y"),
+            (-F.sum(p * F.log(F.col("cx") / F.col("n")))).alias("h_x"),
+            (-F.sum(p * F.log(F.col("cy") / F.col("n")))).alias("h_y"),
+            F.sum(
+                p * F.log(F.col("c") * F.col("n") / (F.col("cx") * F.col("cy")))
+            ).alias("mi"),
+        )
+        # abs() after round(): the sums are mathematically non-negative,
+        # but float noise can land on -0.0 (and the noise's sign differs
+        # with summation order, i.e. between Spark and the oracle) —
+        # abs normalizes both to +0.0
+        b = agg.select(
+            F.lit(x).alias("col_x"),
+            F.lit(y).alias("col_y"),
+            F.coalesce(F.col("n_rows"), F.lit(0)).cast("bigint").alias("n_rows"),
+            F.col("ndv_x").cast("bigint").alias("ndv_x"),
+            F.col("ndv_y").cast("bigint").alias("ndv_y"),
+            F.abs(F.round("h_x", precision)).alias("h_x"),
+            F.abs(F.round("h_y", precision)).alias("h_y"),
+            F.abs(F.round("mi", precision)).alias("mi"),
+            F.abs(
+                F.round(
+                    F.when(
+                        F.least("h_x", "h_y") > 0,
+                        F.col("mi") / F.least("h_x", "h_y"),
+                    ),
+                    precision,
+                )
+            ).alias("nmi"),
+        )
+        branches.append(b)
+    if not branches:
+        return df.sparkSession.createDataFrame(
+            [],
+            "col_x string, col_y string, n_rows bigint, ndv_x bigint, "
+            "ndv_y bigint, h_x double, h_y double, mi double, nmi double",
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out

@@ -96,6 +96,44 @@ class RequiredRule(Rule):
 
 
 @dataclass
+class PiiRule(Rule):
+    """Text column must carry no personally identifiable information
+    (functions.pii regex detectors — emails, SSNs, +phones, IPv4s,
+    card-length digit runs). Predicate fast-path: folds into the
+    stage's single shared scan; detail names the kinds that matched."""
+
+    column: str = "transcript"
+    kinds: Sequence[str] = field(default_factory=tuple)
+
+    def __post_init__(self) -> None:
+        self.name = self.name or f"{self.column}_pii"
+        self.stage = "constraints"
+
+    def _kinds(self) -> list[str]:
+        from ..functions import pii
+
+        return list(self.kinds) or list(pii.PII_PATTERNS)
+
+    def violations(self, ctx: RuleContext) -> DataFrame:
+        pred, detail = self.predicate(ctx)
+        return self.shape(ctx.clips.where(pred), ctx, self.name, detail)
+
+    def predicate(self, ctx: RuleContext):
+        from ..functions import pii
+
+        ks = self._kinds()
+        pred = pii.has_pii(F.col(self.column), ks)
+        detail = F.concat_ws(
+            ",",
+            *[
+                F.when(pii.pii_count(self.column, k) > 0, F.lit(k))
+                for k in ks
+            ],
+        )
+        return pred, detail
+
+
+@dataclass
 class RangeRule(Rule):
     """Numeric column within [lo, hi]."""
 

@@ -131,3 +131,84 @@ def test_od_candidate_guard_excludes_high_ndv(spark):
         [(i, i % 3) for i in range(500)], "id int, code int"
     )
     assert od.candidate_on(df, ["id", "code"], max_ndv=50) == ["code"]
+
+
+# --------------------------------------------------------------------------
+# sequential dependencies
+
+
+def test_sequential_gap_bounds(spark):
+    rows = [("u1", 0, 0.0), ("u1", 1, 10.0), ("u1", 2, 20.0), ("u1", 3, 2020.0),
+            ("u2", 0, 5.0)]
+    df = spark.createDataFrame(rows, "u string, seq int, v double")
+    got = {
+        r["group"]: r
+        for r in od.check_sequential(df, "u", "seq", "v", lo=0, hi=1800).collect()
+    }
+    u1 = got["u1"]
+    assert (u1["n_rows"], u1["n_gaps"], u1["violating_gaps"]) == (4, 3, 1)
+    assert (u1["min_gap"], u1["max_gap"]) == (10.0, 2000.0)
+    assert u1["holds"] is False
+    u2 = got["u2"]  # single-row group: no gaps, trivially holds
+    assert (u2["n_gaps"], u2["min_gap"], u2["holds"]) == (0, None, True)
+
+
+def test_sequential_negative_gap_violates_lo(spark):
+    df = spark.createDataFrame(
+        [("u", 0, 100.0), ("u", 1, 50.0)], "u string, seq int, v double"
+    )
+    r = od.check_sequential(df, "u", "seq", "v", lo=0).collect()[0]
+    assert r["violating_gaps"] == 1 and r["min_gap"] == -50.0
+
+
+def test_sequential_null_values_never_violate(spark):
+    df = spark.createDataFrame(
+        [("u", 0, 1.0), ("u", 1, None), ("u", 2, 2.0)],
+        "u string, seq int, v double",
+    )
+    r = od.check_sequential(df, "u", "seq", "v", lo=0, hi=10).collect()[0]
+    # both gaps touching the NULL are NULL -> neither counted nor violating
+    assert r["n_gaps"] == 0 and r["violating_gaps"] == 0 and r["holds"] is True
+
+
+# --------------------------------------------------------------------------
+# mutual information
+
+
+def test_mutual_info_deterministic_and_independent(spark):
+    from nadeefiler_spark.profiler import mutual_info
+
+    import math
+
+    # y = x % 2 (deterministic); z independent of x by construction
+    rows = [(x, x % 2, z) for x in range(4) for z in range(2) for _ in range(3)]
+    df = spark.createDataFrame(rows, "x int, y int, z int")
+    got = {
+        (r["col_x"], r["col_y"]): r
+        for r in mutual_info(df, [("x", "y"), ("x", "z")]).collect()
+    }
+    dep = got[("x", "y")]
+    assert dep["nmi"] == 1.0
+    assert dep["mi"] == dep["h_y"] == round(math.log(2), 6)
+    assert (dep["ndv_x"], dep["ndv_y"], dep["n_rows"]) == (4, 2, 24)
+    ind = got[("x", "z")]
+    assert ind["mi"] == 0.0 and ind["nmi"] == 0.0
+    assert ind["h_x"] == round(math.log(4), 6)
+
+
+def test_mutual_info_constant_column_and_nulls(spark):
+    from nadeefiler_spark.profiler import mutual_info
+
+    df = spark.createDataFrame(
+        [(1, "k", None), (2, "k", "a"), (1, "k", None), (2, "k", "a")],
+        "x int, const string, y string",
+    )
+    got = {
+        (r["col_x"], r["col_y"]): r
+        for r in mutual_info(df, [("x", "const"), ("x", "y")]).collect()
+    }
+    c = got[("x", "const")]
+    assert c["h_y"] == 0.0 and c["nmi"] is None  # no entropy to normalize by
+    n = got[("x", "y")]
+    assert n["ndv_y"] == 2  # NULL forms a category
+    assert n["nmi"] == 1.0  # x=1 <-> NULL, x=2 <-> 'a': deterministic
