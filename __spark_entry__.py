@@ -102,6 +102,12 @@ Operator → query map (SURVEY §2 ids in brackets):
 - mi_profile             [profiling: mutual information / NMI per
                           categorical pair — corr_profile's categorical
                           sibling, shuffle ∝ distinct value pairs]
+- benford_profile        [profiling: first-significant-digit Benford
+                          screen — decimal-string digit extraction (no
+                          float log bucketing), one melted groupBy]
+- json_profile           [profiling: JSON key presence/null/type-shape
+                          stats via from_json map explode — oracle is
+                          an independent derivation, no JSON parse]
 - audio_qc               [audio: clipping / dead-air / DC-offset stats
                           fused into the shared decode pass]
                           (no DuckDB oracle: binary decode — pure-numpy
@@ -2414,6 +2420,94 @@ def _sql_mi_profile() -> str:
     """
 
 
+def _q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit profile (outliers.benford): order totals
+    follow Benford closely (multiplicative spread), order keys do not
+    (near-uniform sequence) — the shape contrast the screen exists to
+    surface."""
+    from nadeefiler_spark.outliers import benford
+
+    o = _t(spark, sf_dir, "orders")
+    return benford(o, ["o_totalprice", "o_orderkey"])
+
+
+_SQL_BENFORD_PROFILE = """
+WITH m AS (
+  SELECT 'o_totalprice' AS col,
+         regexp_extract(CAST(CAST(abs(o_totalprice) AS DECIMAL(38,6))
+                             AS VARCHAR), '[1-9]') AS d
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderkey',
+         regexp_extract(CAST(CAST(abs(o_orderkey) AS DECIMAL(38,6))
+                             AS VARCHAR), '[1-9]')
+  FROM orders
+), c AS (
+  SELECT col, CAST(d AS INTEGER) AS digit, count(*) AS n
+  FROM m WHERE d <> '' GROUP BY 1, 2
+)
+SELECT col, digit, CAST(n AS BIGINT) AS n,
+       round(n / sum(n) OVER (PARTITION BY col), 6) AS p_obs,
+       round(log10(1 + 1.0 / digit), 6) AS p_benford
+FROM c
+"""
+
+
+def _q_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured profiling (profiler.json_profile): top-level-key
+    presence/null/type-shape stats over a JSON column built
+    deterministically from event fields (integer id always, string tag
+    on 1/3 of rows, boolean flag on 1/5, JSON null note on 1/7). The
+    oracle derives the same stats directly from the construction — an
+    independent derivation, no JSON parser on the oracle side."""
+    from nadeefiler_spark.profiler import json_profile
+
+    e = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit('{"id": '),
+            F.col("event_id").cast("string"),
+            F.when(
+                F.col("event_id") % 3 == 0,
+                F.concat(F.lit(', "t": "'), F.col("event_type"), F.lit('"')),
+            ).otherwise(F.lit("")),
+            F.when(F.col("event_id") % 5 == 0, F.lit(', "flag": true'))
+            .otherwise(F.lit("")),
+            F.when(F.col("event_id") % 7 == 0, F.lit(', "note": null'))
+            .otherwise(F.lit("")),
+            F.lit("}"),
+        ).alias("body"),
+    )
+    return json_profile(e, "body")
+
+
+_SQL_JSON_PROFILE = """
+WITH base AS (SELECT event_id, event_type FROM events)
+SELECT 'id' AS key, CAST(count(*) AS BIGINT) AS n_entries,
+       CAST(0 AS BIGINT) AS n_null,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS ndv,
+       CAST(count(*) AS BIGINT) AS n_int, CAST(0 AS BIGINT) AS n_num,
+       CAST(0 AS BIGINT) AS n_bool,
+       CAST(max(length(CAST(event_id AS VARCHAR))) AS INTEGER) AS max_len
+FROM base
+UNION ALL
+SELECT 't', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT), CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(max(length(event_type)) AS INTEGER)
+FROM base WHERE event_id % 3 = 0
+UNION ALL
+SELECT 'flag', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+       CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(count(*) AS BIGINT), CAST(4 AS INTEGER)
+FROM base WHERE event_id % 5 = 0
+UNION ALL
+SELECT 'note', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT), CAST(NULL AS INTEGER)
+FROM base WHERE event_id % 7 = 0
+"""
+
+
 def _q_sd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-dependency check (od.check_sequential): per user,
     consecutive event timestamps must be 0..30 min apart — the
@@ -2662,6 +2756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": _q_pii_scan,
         "mi_profile": _q_mi_profile,
         "sd_check": _q_sd_check,
+        "benford_profile": _q_benford_profile,
+        "json_profile": _q_json_profile,
         "binary_meta": _q_binary_meta,
         "binary_meta_docs": _q_binary_meta_docs,
         "audio_validate": _q_audio_validate,
@@ -2729,6 +2825,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan": _SQL_PII_SCAN,
         "mi_profile": _sql_mi_profile(),
         "sd_check": _SQL_SD_CHECK,
+        "benford_profile": _SQL_BENFORD_PROFILE,
+        "json_profile": _SQL_JSON_PROFILE,
         "binary_meta_docs": _SQL_BINARY_META_DOCS,
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py

@@ -79,6 +79,8 @@ HEADLINE_QUERIES = (
     "sd_check",
     "pii_scan",
     "mi_profile",
+    "benford_profile",
+    "json_profile",
     "binary_meta_docs",
     "rollup_stats",
     "event_sessions",

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .rules.base import Rule, RuleContext
@@ -157,4 +157,60 @@ def group_stat_outliers(
         F.coalesce(
             F.abs(z) > threshold, F.col("stat") != F.col("__med")
         ).alias("is_outlier"),
+    )
+
+
+def benford(
+    df: DataFrame,
+    cols: list[str],
+    precision: int = 6,
+) -> DataFrame:
+    """First-significant-digit (Benford's law) profile per numeric
+    column — the classic fabricated-/corrupted-numbers screen of the
+    data-quality literature (public: Benford 1938; dBoost-adjacent in
+    spirit — a distribution-shape check no pointwise rule can express).
+
+    Returns one row per (column, digit 1..9):
+      (col, digit, n, p_obs, p_benford)
+    where p_obs is the digit's share among rows with a nonzero finite
+    value and p_benford = log10(1 + 1/digit). NULLs and zeros carry no
+    leading digit and are excluded (their count is visible as
+    sum(n) vs the table's row count).
+
+    Digit extraction is string-based on a DECIMAL(38,6) cast — decimals
+    render in plain notation on every engine (a double cast can fall
+    into scientific notation, where the first character lies), and the
+    first [1-9] character IS the first significant digit, for values
+    ≥ 1 and < 1 alike. No float log10 bucketing — a ULP disagreement
+    between libm implementations would flip boundary digits.
+
+    Scale: one scan, one map-side-combinable groupBy per column (all
+    columns melted into a single groupBy via explode), shuffle ∝ 9 ×
+    #cols.
+    """
+    structs = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.regexp_extract(
+                F.abs(F.col(c)).cast("decimal(38,6)").cast("string"),
+                "[1-9]",
+                0,
+            ).alias("digit_s"),
+        )
+        for c in cols
+    ]
+    melted = df.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+    digits = melted.where(F.col("digit_s") != "").select(
+        "col", F.col("digit_s").cast("int").alias("digit")
+    )
+    counts = digits.groupBy("col", "digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("col")
+    return counts.select(
+        "col",
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(tot), precision).alias("p_obs"),
+        F.round(
+            F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), precision
+        ).alias("p_benford"),
     )

@@ -429,3 +429,47 @@ def mutual_info(
     for b in branches[1:]:
         out = out.unionByName(b)
     return out
+
+
+def json_profile(df: DataFrame, col: str) -> DataFrame:
+    """Semi-structured profiling of a JSON-object string column: one
+    row per top-level key with presence, null, distinct and type-shape
+    counts — the schema-on-read half of the profiler (the reference
+    profiles flat CSV uploads; event `props`-style JSON columns are
+    what the same questions look like on a modern event table).
+
+    Parsing is ``from_json`` to ``map<string,string>`` (JVM-side, no
+    UDF): scalar values normalize to their JSON text (numbers → "69",
+    booleans → "true"), JSON ``null`` becomes SQL NULL, malformed
+    documents parse to NULL maps and simply contribute no entries.
+    Type shapes are regex classes on the normalized text — integer,
+    decimal, boolean — so a key's value-type histogram falls out of
+    counting matches.
+
+    Returns (key, n_entries, n_null, ndv, n_int, n_num, n_bool,
+    max_len); ``ndv`` ignores NULLs (count_distinct semantics),
+    ``max_len`` is NULL for keys whose values are all NULL.
+
+    Scale: explode(map) is a narrow per-row transform; the single
+    groupBy on key is map-side combinable — shuffle ∝ #keys, not rows.
+    """
+    m = F.from_json(F.col(col), "map<string,string>")
+    kv = df.select(F.explode(m).alias("key", "value"))
+    v = F.col("value")
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.sum(v.isNull().cast("bigint")).alias("n_null"),
+        F.count_distinct(v).alias("ndv"),
+        # rlike/isin are NULL (not false) on NULL values — coalesce so
+        # an all-NULL key reports 0 matches, not NULL
+        F.coalesce(
+            F.sum(v.rlike("^-?[0-9]+$").cast("bigint")), F.lit(0)
+        ).alias("n_int"),
+        F.coalesce(
+            F.sum(v.rlike("^-?[0-9]+\\.[0-9]+$").cast("bigint")), F.lit(0)
+        ).alias("n_num"),
+        F.coalesce(
+            F.sum(v.isin("true", "false").cast("bigint")), F.lit(0)
+        ).alias("n_bool"),
+        F.max(F.length(v)).alias("max_len"),
+    )
