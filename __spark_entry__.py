@@ -108,6 +108,13 @@ Operator → query map (SURVEY §2 ids in brackets):
 - json_profile           [profiling: JSON key presence/null/type-shape
                           stats via from_json map explode — oracle is
                           an independent derivation, no JSON parse]
+- md_violations          [constraints: matching dependency — similar
+                          antecedent (blocked edit-distance pairs) must
+                          agree on the consequent; null-safe compare]
+- profile_diff           [drift: run-over-run profile table diff —
+                          added/dropped columns, null-rate and ndv
+                          movement, standardized mean shift; joins
+                          profile tables only, never data rows]
 - audio_qc               [audio: clipping / dead-air / DC-offset stats
                           fused into the shared decode pass]
                           (no DuckDB oracle: binary decode — pure-numpy
@@ -2420,6 +2427,126 @@ def _sql_mi_profile() -> str:
     """
 
 
+def _q_profile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-over-run profile diff (drift.profile_diff — the structural
+    half of drift, next to PSI/KS): orders ≤1995 profiled as the 'old'
+    run (with o_orderstatus), >1995 as the 'new' run (without it) —
+    exercising dropped columns, ndv/null-rate movement, and a
+    standardized mean shift, all from profile tables only."""
+    from nadeefiler_spark.drift import profile_diff
+    from nadeefiler_spark.profiler import ProfileConfig, profile_summary
+
+    o = _t(spark, sf_dir, "orders").withColumn("part", F.lit("*"))
+    cfg = ProfileConfig(exact_ndv=True, part_col="part")
+    old = profile_summary(
+        o.where(F.year("o_orderdate") <= 1995).select(
+            "part", "o_totalprice", "o_orderpriority", "o_orderstatus"
+        ),
+        cfg,
+    )
+    new = profile_summary(
+        o.where(F.year("o_orderdate") > 1995).select(
+            "part", "o_totalprice", "o_orderpriority"
+        ),
+        cfg,
+    )
+    return profile_diff(old, new)
+
+
+_SQL_PROFILE_DIFF = """
+WITH oldr AS (SELECT * FROM orders WHERE year(o_orderdate) <= 1995),
+newr AS (SELECT * FROM orders WHERE year(o_orderdate) > 1995),
+po AS (
+  SELECT 'o_totalprice' AS key, count(*) AS n_rows,
+         sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         count(DISTINCT o_totalprice) AS ndv,
+         CAST(min(o_totalprice) AS VARCHAR) AS mn,
+         CAST(max(o_totalprice) AS VARCHAR) AS mx,
+         avg(o_totalprice) AS mean, stddev_pop(o_totalprice) AS sd
+  FROM oldr
+  UNION ALL
+  SELECT 'o_orderpriority', count(*),
+         sum(CASE WHEN o_orderpriority IS NULL OR o_orderpriority = ''
+                  THEN 1 ELSE 0 END),
+         count(DISTINCT o_orderpriority),
+         min(o_orderpriority), max(o_orderpriority), NULL, NULL
+  FROM oldr
+  UNION ALL
+  SELECT 'o_orderstatus', count(*),
+         sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus = ''
+                  THEN 1 ELSE 0 END),
+         count(DISTINCT o_orderstatus),
+         min(o_orderstatus), max(o_orderstatus), NULL, NULL
+  FROM oldr
+), pn AS (
+  SELECT 'o_totalprice' AS key, count(*) AS n_rows,
+         sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         count(DISTINCT o_totalprice) AS ndv,
+         CAST(min(o_totalprice) AS VARCHAR) AS mn,
+         CAST(max(o_totalprice) AS VARCHAR) AS mx,
+         avg(o_totalprice) AS mean, stddev_pop(o_totalprice) AS sd
+  FROM newr
+  UNION ALL
+  SELECT 'o_orderpriority', count(*),
+         sum(CASE WHEN o_orderpriority IS NULL OR o_orderpriority = ''
+                  THEN 1 ELSE 0 END),
+         count(DISTINCT o_orderpriority),
+         min(o_orderpriority), max(o_orderpriority), NULL, NULL
+  FROM newr
+)
+SELECT '*' AS part, coalesce(po.key, pn.key) AS key,
+       CASE WHEN po.key IS NULL THEN 'added'
+            WHEN pn.key IS NULL THEN 'dropped'
+            ELSE 'common' END AS status,
+       CAST(po.n_rows AS BIGINT) AS n_rows_old,
+       CAST(pn.n_rows AS BIGINT) AS n_rows_new,
+       round(CASE WHEN po.n_rows > 0 AND pn.n_rows > 0
+                  THEN pn.n_nulls / pn.n_rows - po.n_nulls / po.n_rows END,
+             6) AS null_rate_delta,
+       round(CASE WHEN po.ndv > 0 THEN pn.ndv / po.ndv END, 6) AS ndv_ratio,
+       round(CASE WHEN po.sd > 0 THEN (pn.mean - po.mean) / po.sd END, 6)
+         AS mean_shift,
+       CASE WHEN po.key IS NOT NULL AND pn.key IS NOT NULL
+            THEN (po.mn IS DISTINCT FROM pn.mn)
+                 OR (po.mx IS DISTINCT FROM pn.mx)
+            ELSE FALSE END AS minmax_changed
+FROM po FULL OUTER JOIN pn ON po.key = pn.key
+"""
+
+
+def _q_md_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matching-dependency check (rules.matching.md_violation_pairs —
+    the NADEEF-family rule on NEARLY-equal keys): part pairs whose
+    names are within Levenshtein 2 but that disagree on brand or type.
+    Same blocked-join exactness conditions as fuzzy_name_pairs."""
+    from nadeefiler_spark.rules.matching import md_violation_pairs
+
+    return md_violation_pairs(
+        _t(spark, sf_dir, "part"),
+        "p_partkey",
+        "p_name",
+        ["p_brand", "p_type"],
+        max_dist=2,
+    )
+
+
+_SQL_MD_VIOLATIONS = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+       concat_ws(',',
+         CASE WHEN a.p_brand IS DISTINCT FROM b.p_brand
+              THEN 'p_brand' END,
+         CASE WHEN a.p_type IS DISTINCT FROM b.p_type
+              THEN 'p_type' END) AS mismatched
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= 2
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+  AND (a.p_brand IS DISTINCT FROM b.p_brand
+       OR a.p_type IS DISTINCT FROM b.p_type)
+"""
+
+
 def _q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-significant-digit profile (outliers.benford): order totals
     follow Benford closely (multiplicative spread), order keys do not
@@ -2758,6 +2885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sd_check": _q_sd_check,
         "benford_profile": _q_benford_profile,
         "json_profile": _q_json_profile,
+        "md_violations": _q_md_violations,
+        "profile_diff": _q_profile_diff,
         "binary_meta": _q_binary_meta,
         "binary_meta_docs": _q_binary_meta_docs,
         "audio_validate": _q_audio_validate,
@@ -2827,6 +2956,8 @@ def oracle_sql() -> dict[str, str]:
         "sd_check": _SQL_SD_CHECK,
         "benford_profile": _SQL_BENFORD_PROFILE,
         "json_profile": _SQL_JSON_PROFILE,
+        "md_violations": _SQL_MD_VIOLATIONS,
+        "profile_diff": _SQL_PROFILE_DIFF,
         "binary_meta_docs": _SQL_BINARY_META_DOCS,
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py

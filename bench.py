@@ -81,6 +81,8 @@ HEADLINE_QUERIES = (
     "mi_profile",
     "benford_profile",
     "json_profile",
+    "md_violations",
+    "profile_diff",
     "binary_meta_docs",
     "rollup_stats",
     "event_sessions",

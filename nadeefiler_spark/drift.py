@@ -130,3 +130,78 @@ class DriftRule(Rule):
             F.lit("*").alias("clip_id"),
             detail.alias("detail"),
         )
+
+
+def profile_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema- and stat-level diff between two profile_summary tables
+    (SUMMARY_SCHEMA long format) — the structural half of drift.
+    PSI/KS above compare value DISTRIBUTIONS of columns both runs
+    share; this catches what they cannot: columns appearing or
+    vanishing, null-rate movement, cardinality blowups, and
+    standardized mean shifts — the run-over-run schema-evolution
+    questions a 10^12-row pipeline asks before trusting a new drop.
+
+    Returns one row per (part, key) present in either side:
+      (part, key, status, n_rows_old, n_rows_new, null_rate_delta,
+       ndv_ratio, mean_shift, minmax_changed)
+    with status in {'added','dropped','common'};
+    null_rate_delta = new n_nulls/n_rows − old (NULL unless both sides
+    have rows); ndv_ratio = new ndv / old ndv (NULL when old ndv = 0);
+    mean_shift = (mean_new − mean_old) / stddev_old in old-σ units
+    (NULL for non-numeric columns or zero σ); minmax_changed flags a
+    null-safe min or max string change (false — not NULL — for
+    added/dropped rows: there is nothing to compare). Doubles rounded
+    to 6.
+
+    Scale: both inputs are profile tables (rows ∝ #parts × #cols) —
+    one full-outer hash join on (part, key), nothing touches data rows.
+    """
+    sides = []
+    for name, side in (("o", old), ("n", new)):
+        sides.append(
+            side.select(
+                "part",
+                "key",
+                *[
+                    F.col(c).alias(f"{name}_{c}")
+                    for c in (
+                        "n_rows", "n_nulls", "ndv", "min", "max",
+                        "mean", "stddev",
+                    )
+                ],
+            )
+        )
+    j = sides[0].join(sides[1], ["part", "key"], "full_outer")
+    in_old = F.col("o_n_rows").isNotNull()
+    in_new = F.col("n_n_rows").isNotNull()
+    null_rate = lambda p: F.when(  # noqa: E731
+        F.col(f"{p}_n_rows") > 0, F.col(f"{p}_n_nulls") / F.col(f"{p}_n_rows")
+    )
+    return j.select(
+        "part",
+        "key",
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("dropped"))
+        .otherwise(F.lit("common"))
+        .alias("status"),
+        F.col("o_n_rows").alias("n_rows_old"),
+        F.col("n_n_rows").alias("n_rows_new"),
+        F.round(null_rate("n") - null_rate("o"), 6).alias("null_rate_delta"),
+        F.round(
+            F.when(F.col("o_ndv") > 0, F.col("n_ndv") / F.col("o_ndv")), 6
+        ).alias("ndv_ratio"),
+        F.round(
+            F.when(
+                F.col("o_stddev") > 0,
+                (F.col("n_mean") - F.col("o_mean")) / F.col("o_stddev"),
+            ),
+            6,
+        ).alias("mean_shift"),
+        F.when(
+            in_old & in_new,
+            ~F.col("o_min").eqNullSafe(F.col("n_min"))
+            | ~F.col("o_max").eqNullSafe(F.col("n_max")),
+        )
+        .otherwise(F.lit(False))
+        .alias("minmax_changed"),
+    )

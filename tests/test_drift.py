@@ -93,3 +93,39 @@ def test_drift_rule_with_external_baseline(spark):
     ctx = RuleContext(spark=spark, clips=hist, profile_hist=hist, baseline_hist=base)
     v = rule.violations(ctx).toPandas()
     assert list(v["part"]) == ["a"]  # 50/50 vs 100/0 drifts hard
+
+
+def test_profile_diff_statuses_and_metrics(spark):
+    from nadeefiler_spark.drift import profile_diff
+    from nadeefiler_spark.profiler import SUMMARY_SCHEMA
+
+    old = spark.createDataFrame(
+        [
+            ("*", "num", 100, 10, 50, "1.0", "9.0", 5.0, 2.0, None),
+            ("*", "gone", 100, 0, 3, "a", "c", None, None, 1.0),
+            ("*", "const", 100, 0, 1, "k", "k", 7.0, 0.0, None),
+        ],
+        SUMMARY_SCHEMA,
+    )
+    new = spark.createDataFrame(
+        [
+            ("*", "num", 200, 40, 150, "1.0", "12.0", 6.0, 3.0, None),
+            ("*", "fresh", 200, 0, 2, "x", "y", None, None, 1.0),
+            ("*", "const", 200, 0, 1, "k", "k", 9.0, 0.0, None),
+        ],
+        SUMMARY_SCHEMA,
+    )
+    got = {r["key"]: r for r in profile_diff(old, new).collect()}
+    num = got["num"]
+    assert num["status"] == "common"
+    assert num["null_rate_delta"] == 0.1          # 0.2 - 0.1
+    assert num["ndv_ratio"] == 3.0
+    assert num["mean_shift"] == 0.5               # (6-5)/2
+    assert num["minmax_changed"] is True          # max 9.0 -> 12.0
+    assert got["gone"]["status"] == "dropped"
+    assert got["gone"]["n_rows_new"] is None
+    assert got["gone"]["minmax_changed"] is False  # nothing to compare
+    assert got["fresh"]["status"] == "added"
+    # zero old sigma -> mean shift undefined, not infinite
+    const = got["const"]
+    assert const["mean_shift"] is None and const["minmax_changed"] is False
