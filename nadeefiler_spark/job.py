@@ -34,6 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ignore the checkpoint manifest and recompute")
     p.add_argument("--no-audio", action="store_true", help="skip audio rules")
     p.add_argument("--no-drift", action="store_true", help="skip drift rules")
+    p.add_argument("--pii", action="store_true",
+                   help="add the transcript PII rule to the constraints scan")
     p.add_argument("--semantic-kb", default=None,
                    help="KB table path (subject string, objects array<string>); "
                         "runs the semantic cascade stage over the profile "
@@ -86,6 +88,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
             with_refs=refs is not None,
             with_audio=not args.no_audio,
             with_drift=not args.no_drift,
+            with_pii=args.pii,
         ),
         profile_cfg=default_clips_config(),
     )

@@ -16,7 +16,10 @@ from .rules.constraints import (
 
 
 def default_clip_rules(
-    with_refs: bool = True, with_audio: bool = True, with_drift: bool = True
+    with_refs: bool = True,
+    with_audio: bool = True,
+    with_drift: bool = True,
+    with_pii: bool = False,
 ) -> list[Rule]:
     rules: list[Rule] = [
         UniquenessRule(keys=("clip_id",)),
@@ -28,6 +31,13 @@ def default_clip_rules(
         # correctly flag nearly every row. On real speech data add
         # SpeakingRateRule() here — it folds into the same shared scan.
     ]
+    if with_pii:
+        # opt-in: folds into the same shared constraints scan via the
+        # predicate fast-path; off by default because the synthetic
+        # transcripts carry no PII to find
+        from .rules.constraints import PiiRule
+
+        rules.append(PiiRule(column="transcript"))
     if with_refs:
         rules.append(ReferentialRule(name="ref_integrity", key="clip_id"))
         rules.append(MatchRule(name="transcript_equality", key="clip_id", column="transcript"))

@@ -94,3 +94,37 @@ def test_pii_rule_predicate_and_detail(spark):
     assert out[0]["detail"] == "email,ssn"
     # predicate fast-path exists -> engine folds it into the shared scan
     assert rule.predicate(ctx) is not None
+
+
+def test_job_cli_pii_flag(spark, clips_dir, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from nadeefiler_spark import job
+
+    # plant PII into one clip's transcript, keep everything else intact
+    src = spark.read.parquet(f"{clips_dir}/clips")
+    first = src.select("clip_id").orderBy("clip_id").first()["clip_id"]
+    data = str(tmp_path_factory.mktemp("pii_clips"))
+    src.withColumn(
+        "transcript",
+        F.when(
+            F.col("clip_id") == first,
+            F.concat(F.col("transcript"), F.lit(" mail me: leak@example.com")),
+        ).otherwise(F.col("transcript")),
+    ).write.mode("overwrite").parquet(f"{data}/clips")
+
+    out = str(tmp_path_factory.mktemp("pii_out"))
+    job.main(
+        ["--clips", f"{data}/clips", "--out", out,
+         "--no-audio", "--no-drift", "--pii"],
+        spark=spark,
+    )
+    v = (
+        spark.read.parquet(f"{out}/violations")
+        .where("rule = 'transcript_pii'")
+        .collect()
+    )
+    # the first clip_id may be one of datagen's planted duplicate ids,
+    # so several rows (all with that id) can carry the planted PII
+    assert v and {r["clip_id"] for r in v} == {first}
+    assert all(r["detail"] == "email" for r in v)
