@@ -115,6 +115,9 @@ Operator → query map (SURVEY §2 ids in brackets):
                           added/dropped columns, null-rate and ndv
                           movement, standardized mean shift; joins
                           profile tables only, never data rows]
+- profile_merge          [profiling: mergeable-profile fold — pooled
+                          moments, numeric-aware min/max, NDV upper
+                          bound; incremental profiling without rescan]
 - audio_qc               [audio: clipping / dead-air / DC-offset stats
                           fused into the shared decode pass]
                           (no DuckDB oracle: binary decode — pure-numpy
@@ -2514,6 +2517,102 @@ FROM po FULL OUTER JOIN pn ON po.key = pn.key
 """
 
 
+def _q_profile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-profile combination (profiler.merge_profiles — the
+    incremental-profiling primitive: fold new partitions' summaries
+    into running totals without rescanning). Orders split pre/post-1996
+    profiled separately, merged, doubles rounded for the compare; the
+    oracle computes the pooled-moment formulas from per-half SQL
+    aggregates independently."""
+    from nadeefiler_spark.profiler import (
+        ProfileConfig, merge_profiles, profile_summary,
+    )
+
+    o = _t(spark, sf_dir, "orders").withColumn("part", F.lit("*"))
+    cfg = ProfileConfig(exact_ndv=True, part_col="part")
+    halves = [
+        profile_summary(
+            o.where(pred).select("part", "o_totalprice", "o_orderpriority"),
+            cfg,
+        )
+        for pred in (
+            F.year("o_orderdate") <= 1995,
+            F.year("o_orderdate") > 1995,
+        )
+    ]
+    m = merge_profiles(halves[0], halves[1])
+    return m.select(
+        "part", "key", "n_rows", "n_nulls", "ndv_ub", "min", "max",
+        F.round("mean", 6).alias("mean"),
+        F.round("stddev", 6).alias("stddev"),
+        F.round("avg_len", 6).alias("avg_len"),
+    )
+
+
+_SQL_PROFILE_MERGE = """
+WITH oldr AS (SELECT * FROM orders WHERE year(o_orderdate) <= 1995),
+newr AS (SELECT * FROM orders WHERE year(o_orderdate) > 1995),
+t1 AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nulls,
+         count(DISTINCT o_totalprice) AS ndv,
+         min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+         avg(o_totalprice) AS m, stddev_pop(o_totalprice) AS sd
+  FROM oldr
+), t2 AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nulls,
+         count(DISTINCT o_totalprice) AS ndv,
+         min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+         avg(o_totalprice) AS m, stddev_pop(o_totalprice) AS sd
+  FROM newr
+), p1 AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN o_orderpriority IS NULL OR o_orderpriority = ''
+                  THEN 1 ELSE 0 END) AS nulls,
+         count(DISTINCT o_orderpriority) AS ndv,
+         min(o_orderpriority) AS mn, max(o_orderpriority) AS mx,
+         avg(length(o_orderpriority)) AS al
+  FROM oldr
+), p2 AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN o_orderpriority IS NULL OR o_orderpriority = ''
+                  THEN 1 ELSE 0 END) AS nulls,
+         count(DISTINCT o_orderpriority) AS ndv,
+         min(o_orderpriority) AS mn, max(o_orderpriority) AS mx,
+         avg(length(o_orderpriority)) AS al
+  FROM newr
+)
+SELECT '*' AS part, 'o_totalprice' AS key,
+       CAST(t1.n + t2.n AS BIGINT) AS n_rows,
+       CAST(t1.nulls + t2.nulls AS BIGINT) AS n_nulls,
+       CAST(t1.ndv + t2.ndv AS BIGINT) AS ndv_ub,
+       CAST(least(t1.mn, t2.mn) AS VARCHAR) AS min,
+       CAST(greatest(t1.mx, t2.mx) AS VARCHAR) AS max,
+       round(((t1.n - t1.nulls) * t1.m + (t2.n - t2.nulls) * t2.m)
+             / ((t1.n - t1.nulls) + (t2.n - t2.nulls)), 6) AS mean,
+       round(sqrt(greatest(
+         ((t1.n - t1.nulls) * (t1.sd * t1.sd + t1.m * t1.m)
+          + (t2.n - t2.nulls) * (t2.sd * t2.sd + t2.m * t2.m))
+         / ((t1.n - t1.nulls) + (t2.n - t2.nulls))
+         - pow(((t1.n - t1.nulls) * t1.m + (t2.n - t2.nulls) * t2.m)
+               / ((t1.n - t1.nulls) + (t2.n - t2.nulls)), 2), 0)), 6)
+         AS stddev,
+       CAST(NULL AS DOUBLE) AS avg_len
+FROM t1, t2
+UNION ALL
+SELECT '*', 'o_orderpriority',
+       CAST(p1.n + p2.n AS BIGINT),
+       CAST(p1.nulls + p2.nulls AS BIGINT),
+       CAST(p1.ndv + p2.ndv AS BIGINT),
+       least(p1.mn, p2.mn), greatest(p1.mx, p2.mx),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       round(((p1.n - p1.nulls) * p1.al + (p2.n - p2.nulls) * p2.al)
+             / ((p1.n - p1.nulls) + (p2.n - p2.nulls)), 6)
+FROM p1, p2
+"""
+
+
 def _q_md_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matching-dependency check (rules.matching.md_violation_pairs —
     the NADEEF-family rule on NEARLY-equal keys): part pairs whose
@@ -2887,6 +2986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_profile": _q_json_profile,
         "md_violations": _q_md_violations,
         "profile_diff": _q_profile_diff,
+        "profile_merge": _q_profile_merge,
         "binary_meta": _q_binary_meta,
         "binary_meta_docs": _q_binary_meta_docs,
         "audio_validate": _q_audio_validate,
@@ -2958,6 +3058,7 @@ def oracle_sql() -> dict[str, str]:
         "json_profile": _SQL_JSON_PROFILE,
         "md_violations": _SQL_MD_VIOLATIONS,
         "profile_diff": _SQL_PROFILE_DIFF,
+        "profile_merge": _SQL_PROFILE_MERGE,
         "binary_meta_docs": _SQL_BINARY_META_DOCS,
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py

@@ -83,6 +83,7 @@ HEADLINE_QUERIES = (
     "json_profile",
     "md_violations",
     "profile_diff",
+    "profile_merge",
     "binary_meta_docs",
     "rollup_stats",
     "event_sessions",

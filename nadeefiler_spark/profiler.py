@@ -473,3 +473,112 @@ def json_profile(df: DataFrame, col: str) -> DataFrame:
         ).alias("n_bool"),
         F.max(F.length(v)).alias("max_len"),
     )
+
+
+def merge_profiles(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two profile_summary tables (SUMMARY_SCHEMA long format)
+    into the profile of the union WITHOUT rescanning data — the
+    incremental-profiling primitive: at 10^12 rows a re-profile of
+    unchanged partitions is the cost, so profile only the new
+    partitions and fold their summaries into the running totals.
+
+    Exactly mergeable and merged exactly: n_rows and n_nulls (sums),
+    mean and stddev (pooled population moments over the non-null
+    weights), avg_len (same pooling), min/max (numeric comparison when
+    both rendered values parse as doubles — exact for numeric columns —
+    else lexicographic, exact for string columns whose values don't
+    parse as numbers). NDV is NOT mergeable from counts alone; the
+    merged column is ``ndv_ub`` = ndv_a + ndv_b, a documented upper
+    bound (exact when the sides share no values, e.g. disjoint time
+    ranges of a monotone column). Keys present on one side only pass
+    through unchanged.
+
+    Weight caveat: the non-null weight is (n_rows − n_nulls), which for
+    string columns counts '' as null (profiler convention) while
+    avg/len aggregates exclude only true NULLs — pooled means are exact
+    whenever empty strings are absent (or counted consistently on both
+    sides).
+
+    Scale: inputs are profile tables — one full-outer hash join on
+    (part, key); no data row is touched.
+    """
+    stats = ("n_rows", "n_nulls", "ndv", "min", "max", "mean", "stddev", "avg_len")
+    sa = a.select(
+        "part", "key", *[F.col(c).alias(f"a_{c}") for c in stats]
+    )
+    sb = b.select(
+        "part", "key", *[F.col(c).alias(f"b_{c}") for c in stats]
+    )
+    j = sa.join(sb, ["part", "key"], "full_outer")
+    in_a = F.col("a_n_rows").isNotNull()
+    in_b = F.col("b_n_rows").isNotNull()
+
+    def pooled(value_col: str):
+        wa = F.when(
+            F.col(f"a_{value_col}").isNotNull(),
+            F.col("a_n_rows") - F.col("a_n_nulls"),
+        ).otherwise(F.lit(0))
+        wb = F.when(
+            F.col(f"b_{value_col}").isNotNull(),
+            F.col("b_n_rows") - F.col("b_n_nulls"),
+        ).otherwise(F.lit(0))
+        wt = wa + wb
+        m = F.when(
+            wt > 0,
+            (
+                wa * F.coalesce(F.col(f"a_{value_col}"), F.lit(0.0))
+                + wb * F.coalesce(F.col(f"b_{value_col}"), F.lit(0.0))
+            )
+            / wt,
+        )
+        return wa, wb, wt, m
+
+    wa, wb, wt, mean = pooled("mean")
+    # pooled population variance: E[x^2] - mean^2, with per-side
+    # E[x^2] = var + mean^2 (stddev_pop semantics)
+    e2 = F.when(
+        wt > 0,
+        (
+            wa
+            * (
+                F.coalesce(F.col("a_stddev"), F.lit(0.0)) ** 2
+                + F.coalesce(F.col("a_mean"), F.lit(0.0)) ** 2
+            )
+            + wb
+            * (
+                F.coalesce(F.col("b_stddev"), F.lit(0.0)) ** 2
+                + F.coalesce(F.col("b_mean"), F.lit(0.0)) ** 2
+            )
+        )
+        / wt,
+    )
+    stddev = F.sqrt(F.greatest(e2 - mean ** 2, F.lit(0.0)))
+    _, _, _, avg_len = pooled("avg_len")
+
+    def extreme(col: str, pick_low: bool):
+        a_v, b_v = F.col(f"a_{col}"), F.col(f"b_{col}")
+        # try_cast: ANSI mode makes plain cast THROW on non-numeric
+        # strings; NULL here just routes to the lexicographic branch
+        da, db = a_v.try_cast("double"), b_v.try_cast("double")
+        num_cmp = (da <= db) if pick_low else (da >= db)
+        str_cmp = (a_v <= b_v) if pick_low else (a_v >= b_v)
+        return (
+            F.when(~in_b | b_v.isNull(), a_v)
+            .when(~in_a | a_v.isNull(), b_v)
+            .when(da.isNotNull() & db.isNotNull(), F.when(num_cmp, a_v).otherwise(b_v))
+            .otherwise(F.when(str_cmp, a_v).otherwise(b_v))
+        )
+
+    z = F.lit(0).cast("bigint")
+    return j.select(
+        "part",
+        "key",
+        (F.coalesce("a_n_rows", z) + F.coalesce("b_n_rows", z)).alias("n_rows"),
+        (F.coalesce("a_n_nulls", z) + F.coalesce("b_n_nulls", z)).alias("n_nulls"),
+        (F.coalesce("a_ndv", z) + F.coalesce("b_ndv", z)).alias("ndv_ub"),
+        extreme("min", True).alias("min"),
+        extreme("max", False).alias("max"),
+        mean.alias("mean"),
+        F.when(mean.isNotNull(), stddev).alias("stddev"),
+        avg_len.alias("avg_len"),
+    )

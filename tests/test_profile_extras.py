@@ -57,3 +57,45 @@ def test_json_profile_all_null_key(spark):
     assert (r["n_entries"], r["n_null"], r["ndv"]) == (2, 2, 0)
     assert (r["n_int"], r["n_num"], r["n_bool"]) == (0, 0, 0)
     assert r["max_len"] is None
+
+
+def test_merge_profiles_equals_direct_union_profile(spark):
+    from pyspark.sql import functions as F
+
+    from nadeefiler_spark.profiler import (
+        ProfileConfig, merge_profiles, profile_summary,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i * i) if i % 5 else None, f"s{i % 7}") for i in range(40)],
+        "id int, x double, s string",
+    ).withColumn("part", F.lit("*"))
+    cfg = ProfileConfig(exact_ndv=True, part_col="part")
+    a = profile_summary(df.where("id < 15"), cfg)
+    b = profile_summary(df.where("id >= 15"), cfg)
+    merged = {r["key"]: r for r in merge_profiles(a, b).collect()}
+    direct = {r["key"]: r for r in profile_summary(df, cfg).collect()}
+    for key in ("id", "x", "s"):
+        m, d = merged[key], direct[key]
+        assert (m["n_rows"], m["n_nulls"]) == (d["n_rows"], d["n_nulls"])
+        assert (m["min"], m["max"]) == (d["min"], d["max"])
+        for stat in ("mean", "stddev", "avg_len"):
+            if d[stat] is None:
+                assert m[stat] is None
+            else:
+                assert abs(m[stat] - d[stat]) < 1e-9
+        # ndv_ub is an upper bound, tight when sides are disjoint
+        assert m["ndv_ub"] >= d["ndv"]
+    assert merged["id"]["ndv_ub"] == direct["id"]["ndv"]  # ids disjoint
+
+
+def test_merge_profiles_one_sided_key_passes_through(spark):
+    from nadeefiler_spark.profiler import SUMMARY_SCHEMA, merge_profiles
+
+    a = spark.createDataFrame(
+        [("*", "only_a", 10, 1, 5, "1", "9", 4.0, 2.0, None)], SUMMARY_SCHEMA
+    )
+    b = spark.createDataFrame([], SUMMARY_SCHEMA)
+    r = merge_profiles(a, b).collect()[0]
+    assert (r["n_rows"], r["ndv_ub"], r["min"], r["max"]) == (10, 5, "1", "9")
+    assert r["mean"] == 4.0 and r["stddev"] == 2.0
