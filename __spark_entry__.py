@@ -118,6 +118,10 @@ Operator → query map (SURVEY §2 ids in brackets):
 - profile_merge          [profiling: mergeable-profile fold — pooled
                           moments, numeric-aware min/max, NDV upper
                           bound; incremental profiling without rescan]
+- golden_records         [pipeline: survivorship election per near-dup
+                          cluster — quality argmax, deterministic ties,
+                          (id → keeper) redirect map; corpus never
+                          shuffled]
 - audio_qc               [audio: clipping / dead-air / DC-offset stats
                           fused into the shared decode pass]
                           (no DuckDB oracle: binary decode — pure-numpy
@@ -1687,6 +1691,51 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship election (components.golden_records): per near-dup
+    cluster, the longest document (n_chars, ties to smallest id) wins;
+    every member carries its keeper in a redirect map — the
+    record-linkage step after clustering."""
+    from nadeefiler_spark.operators import components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+    return components.golden_records(d, "doc_id", pairs, "n_chars")
+
+
+_SQL_GOLDEN_RECORDS = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM jpairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM jpairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         FROM reach GROUP BY u),
+m AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars AS q
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+),
+r AS (
+  SELECT doc_id, cluster_id, q,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY q DESC NULLS LAST, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY cluster_id) AS sz
+  FROM m
+),
+k AS (SELECT cluster_id, doc_id AS keeper_id FROM r WHERE rk = 1)
+SELECT r.cluster_id, r.doc_id AS id, k.keeper_id,
+       r.doc_id = k.keeper_id AS is_keeper,
+       CAST(r.sz AS BIGINT) AS cluster_size
+FROM r JOIN k ON r.cluster_id = k.cluster_id
+"""
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no oracle: signatures use Spark's xxhash64 (not available in DuckDB);
     # recall vs ngram_jaccard is pytest-validated instead
@@ -2987,6 +3036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md_violations": _q_md_violations,
         "profile_diff": _q_profile_diff,
         "profile_merge": _q_profile_merge,
+        "golden_records": _q_golden_records,
         "binary_meta": _q_binary_meta,
         "binary_meta_docs": _q_binary_meta_docs,
         "audio_validate": _q_audio_validate,
@@ -3059,6 +3109,7 @@ def oracle_sql() -> dict[str, str]:
         "md_violations": _SQL_MD_VIOLATIONS,
         "profile_diff": _SQL_PROFILE_DIFF,
         "profile_merge": _SQL_PROFILE_MERGE,
+        "golden_records": _SQL_GOLDEN_RECORDS,
         "binary_meta_docs": _SQL_BINARY_META_DOCS,
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py

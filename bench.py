@@ -72,6 +72,7 @@ HEADLINE_QUERIES = (
     "corpus_sample",
     "shard_manifest",
     "dup_clusters",
+    "golden_records",
     "fd_mine",
     "fd_mine_parts",
     "cfd_mine",

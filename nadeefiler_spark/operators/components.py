@@ -177,3 +177,56 @@ def near_dedup(
     return df.join(
         victims, df[id_col] == victims.id, "left_anti"
     )
+
+
+def golden_records(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    quality_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Survivorship: per duplicate cluster, elect the canonical
+    ("golden") record by QUALITY instead of the min-id convention —
+    highest ``quality_col`` wins, ties (and NULL quality, sorted last)
+    break to the smallest id so election stays deterministic. The
+    record-linkage completion of the dedup arc: pairs → clusters →
+    one keeper, with a redirect map for everything else.
+
+    Returns one row per cluster MEMBER:
+      (cluster_id, id, keeper_id, is_keeper, cluster_size)
+    — the (id → keeper_id) mapping is exactly the rewrite table a
+    downstream pipeline needs to repoint references before dropping
+    victims (``near_dedup`` drops by min-id; this generalizes the
+    election and keeps the map).
+
+    Scale story: components run on the (duplicates-only) edge list; the
+    quality join touches only cluster members — broadcast when dup
+    clusters are the usual minority — and the election window
+    partitions by cluster (each partition is one cluster's member
+    list). The corpus is never shuffled.
+    """
+    from pyspark.sql import Window
+
+    clusters = dup_clusters(pairs, src, dst)
+    members = clusters.join(
+        df.select(
+            F.col(id_col).alias("id"), F.col(quality_col).alias("__q")
+        ),
+        "id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__q").desc_nulls_last(), F.col("id").asc()
+    )
+    ranked = members.withColumn("__rk", F.row_number().over(w))
+    keepers = ranked.where(F.col("__rk") == 1).select(
+        "cluster_id", F.col("id").alias("keeper_id")
+    )
+    return ranked.join(keepers, "cluster_id").select(
+        "cluster_id",
+        "id",
+        "keeper_id",
+        (F.col("id") == F.col("keeper_id")).alias("is_keeper"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+    )

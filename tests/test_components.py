@@ -121,3 +121,25 @@ def test_transitive_closure_over_real_pairs(spark):
         for r in components.connected_components(pairs).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0}
+
+
+def test_golden_records_quality_election(spark):
+    from nadeefiler_spark.operators.components import golden_records
+
+    # chain a-b, b-c plus isolated pair (d,e): two clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a int, id_b int"
+    )
+    df = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, None), (11, 4), (99, 100)],
+        "id int, q int",
+    )
+    out = {r["id"]: r for r in golden_records(df, "id", pairs, "q").collect()}
+    assert set(out) == {1, 2, 3, 10, 11}  # non-members never appear
+    # cluster {1,2,3}: q tie 9 between ids 2 and 3 -> smallest id wins
+    assert all(out[i]["keeper_id"] == 2 for i in (1, 2, 3))
+    assert out[2]["is_keeper"] is True and out[1]["is_keeper"] is False
+    assert out[1]["cluster_size"] == 3
+    # cluster {10,11}: NULL quality sorts last -> 11 wins
+    assert out[10]["keeper_id"] == 11 and out[11]["is_keeper"] is True
+    assert out[10]["cluster_size"] == 2
