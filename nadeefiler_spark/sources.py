@@ -62,12 +62,64 @@ def clean_column_names(df: DataFrame) -> DataFrame:
     return df.toDF(*out)
 
 
+def sniff_header(
+    spark: SparkSession,
+    path: str,
+    delimiter: str = ",",
+    sample_rows: int = 100,
+    margin: float = 0.4,
+) -> bool:
+    """Header-row detection — the messytables ``headers_guess`` analog
+    (SURVEY §2 F5; the reference's profiler wrapper feeds messytables,
+    ``/root/reference/profilers/messytables/run.py``, whose
+    type_guess/headers_guess pair decides whether row 0 is data).
+
+    Heuristic, same spirit as messytables: run the engine's OWN type
+    detectors (``detect_type_py`` — the exact pure-Python twin of the
+    Catalyst cascade) over a small ordered sample; row 0 is a header
+    iff the rows below it are substantially more "typed" (numeric /
+    date / boolean / percent) than row 0 — ``margin`` defaults to 0.4.
+    An all-string table is genuinely ambiguous (both fractions 0) and
+    reports False — same failure mode as the reference's guesser.
+
+    Driver-side BY DESIGN: reads ``sample_rows + 1`` rows from the
+    file — the reference guesses headers on the upload buffer the same
+    way; never part of a distributed plan.
+    """
+    from .functions.detectors import detect_type_py
+
+    df = (
+        spark.read.option("header", False)
+        .option("delimiter", delimiter)
+        .option("inferSchema", False)
+        .option("multiLine", True)  # one task per file -> physical order
+        .csv(path)
+    )
+    rows = df.limit(sample_rows + 1).collect()
+    if len(rows) < 2:
+        return False
+
+    def typed_frac(row) -> float:
+        vals = list(row)
+        if not vals:
+            return 0.0
+        typed = sum(
+            1 for v in vals if detect_type_py(v) not in ("string", "null")
+        )
+        return typed / len(vals)
+
+    head = typed_frac(rows[0])
+    rest = sum(typed_frac(r) for r in rows[1:]) / (len(rows) - 1)
+    return rest - head >= margin
+
+
 def read_tuples_csv(
     spark: SparkSession,
     path: str,
     delimiter: str = ",",
     with_order: bool = False,
     clean_names: bool = True,
+    header: bool | str = True,
 ) -> DataFrame:
     """Schemaless (all-string) CSV scan with header-derived columns.
 
@@ -76,9 +128,14 @@ def read_tuples_csv(
     the reference. With with_order=True an `__order` column reproduces
     physical row order per input file (Tuple.js:8); the engine itself is
     order-insensitive, so default off (skips a window shuffle).
+    ``header`` may be ``"auto"`` to run :func:`sniff_header` first —
+    headerless files then get ``_c{i}`` names instead of having their
+    first data row eaten.
     """
+    if header == "auto":
+        header = sniff_header(spark, path, delimiter)
     reader = (
-        spark.read.option("header", True)
+        spark.read.option("header", bool(header))
         .option("delimiter", delimiter)
         .option("inferSchema", False)  # strings stay strings
     )

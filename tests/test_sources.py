@@ -70,3 +70,24 @@ def test_pretouch_opts_env_gated(monkeypatch):
     got = _pretouch_opts()
     assert "-Xms8g" in got and "-XX:+AlwaysPreTouch" in got
     assert "-XX:+UseTransparentHugePages" in got
+
+
+def test_sniff_header_detects_typed_body(spark, tmp_path):
+    from nadeefiler_spark.sources import read_tuples_csv, sniff_header
+
+    with_h = tmp_path / "with_header.csv"
+    with_h.write_text("name,price,qty\nwidget,9.99,3\ngadget,12.50,7\n")
+    no_h = tmp_path / "no_header.csv"
+    no_h.write_text("widget,9.99,3\ngadget,12.50,7\nsprocket,1.25,9\n")
+    all_str = tmp_path / "all_string.csv"
+    all_str.write_text("name,color\nwidget,red\ngadget,blue\n")
+
+    assert sniff_header(spark, str(with_h)) is True
+    assert sniff_header(spark, str(no_h)) is False
+    # all-string files are ambiguous -> conservative False
+    assert sniff_header(spark, str(all_str)) is False
+
+    auto = read_tuples_csv(spark, str(with_h), header="auto")
+    assert auto.columns == ["name", "price", "qty"] and auto.count() == 2
+    auto2 = read_tuples_csv(spark, str(no_h), header="auto")
+    assert auto2.columns == ["_c0", "_c1", "_c2"] and auto2.count() == 3
