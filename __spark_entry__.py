@@ -122,6 +122,11 @@ Operator → query map (SURVEY §2 ids in brackets):
                           cluster — quality argmax, deterministic ties,
                           (id → keeper) redirect map; corpus never
                           shuffled]
+- dedup_survivors        [pipeline: near-dup dedup end-to-end — corpus
+                          minus cluster victims, one left-anti join]
+- redacted_docs          [curation: PII redaction end-to-end — md5 of
+                          redacted text, byte-exact vs the oracle's
+                          regexp_replace chain]
 - audio_qc               [audio: clipping / dead-air / DC-offset stats
                           fused into the shared decode pass]
                           (no DuckDB oracle: binary decode — pure-numpy
@@ -1736,6 +1741,93 @@ FROM r JOIN k ON r.cluster_id = k.cluster_id
 """
 
 
+def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup end-to-end (components.near_dedup): drop every
+    non-keeper member of every near-dup cluster; survivors = corpus
+    minus victims via ONE left-anti broadcast join — the corpus is
+    never shuffled."""
+    from nadeefiler_spark.operators import components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+    return components.near_dedup(d, "doc_id", pairs).select("doc_id")
+
+
+_SQL_DEDUP_SURVIVORS = f"""
+WITH RECURSIVE {_NGRAM_CTES},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM jpairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM jpairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         FROM reach GROUP BY u)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM comp WHERE doc_id <> cluster_id
+)
+"""
+
+
+def _q_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction end-to-end (functions.pii.redact): the planted-PII
+    corpus from pii_scan, redacted; output is (doc_id, md5 of the
+    redacted text) so the oracle (same regexp_replace chain in DuckDB —
+    shared Java∩RE2 patterns) pins every byte."""
+    from nadeefiler_spark.functions.pii import redact
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce("text", F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" ssn 123-45-6789"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 17 == 0, F.lit(" call +1 (415) 555-0199"))
+            .otherwise(F.lit("")),
+        ).alias("body"),
+    )
+    return d.select(
+        "doc_id", F.md5(F.encode(redact(F.col("body")), "UTF-8")).alias("digest")
+    )
+
+
+_SQL_REDACTED_DOCS = r"""
+WITH d AS (
+  SELECT doc_id,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0 THEN ' call +1 (415) 555-0199' ELSE '' END
+           AS body
+  FROM documents
+)
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(body,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+           '\+[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g'),
+           '\b[0-9]{13,16}\b', '<CARD>', 'g')) AS digest
+FROM d
+"""
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no oracle: signatures use Spark's xxhash64 (not available in DuckDB);
     # recall vs ngram_jaccard is pytest-validated instead
@@ -3037,6 +3129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_diff": _q_profile_diff,
         "profile_merge": _q_profile_merge,
         "golden_records": _q_golden_records,
+        "dedup_survivors": _q_dedup_survivors,
+        "redacted_docs": _q_redacted_docs,
         "binary_meta": _q_binary_meta,
         "binary_meta_docs": _q_binary_meta_docs,
         "audio_validate": _q_audio_validate,
@@ -3110,6 +3204,8 @@ def oracle_sql() -> dict[str, str]:
         "profile_diff": _SQL_PROFILE_DIFF,
         "profile_merge": _SQL_PROFILE_MERGE,
         "golden_records": _SQL_GOLDEN_RECORDS,
+        "dedup_survivors": _SQL_DEDUP_SURVIVORS,
+        "redacted_docs": _SQL_REDACTED_DOCS,
         "binary_meta_docs": _SQL_BINARY_META_DOCS,
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py

@@ -73,6 +73,8 @@ HEADLINE_QUERIES = (
     "shard_manifest",
     "dup_clusters",
     "golden_records",
+    "dedup_survivors",
+    "redacted_docs",
     "fd_mine",
     "fd_mine_parts",
     "cfd_mine",
