@@ -127,6 +127,9 @@ Operator → query map (SURVEY §2 ids in brackets):
 - redacted_docs          [curation: PII redaction end-to-end — md5 of
                           redacted text, byte-exact vs the oracle's
                           regexp_replace chain]
+- lang_profile           [text: language-ID audit — detected-vs-declared
+                          agreement matrix, marker-word voting with a
+                          deterministic tie cascade]
 - audio_qc               [audio: clipping / dead-air / DC-offset stats
                           fused into the shared decode pass]
                           (no DuckDB oracle: binary decode — pure-numpy
@@ -1741,6 +1744,55 @@ FROM r JOIN k ON r.cluster_id = k.cluster_id
 """
 
 
+def _q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID audit (functions.text.lang_id): detected-vs-declared
+    agreement matrix over documents — marker-word voting with the
+    deterministic en,de,fr,es tie cascade, mirrored exactly in the
+    DuckDB oracle via list_intersect."""
+    from nadeefiler_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id("text").alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _sql_lang_profile() -> str:
+    from nadeefiler_spark.functions.text import LANG_MARKERS
+
+    hit_exprs = []
+    for lang, words in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        hit_exprs.append(
+            f"len(list_intersect(toks, [{lst}])) AS h_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    g = "greatest(" + ", ".join(f"h_{x}" for x in langs) + ")"
+    cascade = " ".join(
+        f"WHEN h_{x} = {g} THEN '{x}'" for x in langs
+    )
+    return f"""
+    WITH t AS (
+      SELECT lang,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> ''
+             )) AS toks
+      FROM documents
+    ), h AS (
+      SELECT lang, {', '.join(hit_exprs)} FROM t
+    ), d AS (
+      SELECT lang,
+             CASE WHEN {g} <= 0 THEN 'und' {cascade} ELSE 'und' END
+               AS detected
+      FROM h
+    )
+    SELECT lang, detected, CAST(count(*) AS BIGINT) AS n
+    FROM d GROUP BY 1, 2
+    """
+
+
 def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus dedup end-to-end (components.near_dedup): drop every
     non-keeper member of every near-dup cluster; survivors = corpus
@@ -3131,6 +3183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_records": _q_golden_records,
         "dedup_survivors": _q_dedup_survivors,
         "redacted_docs": _q_redacted_docs,
+        "lang_profile": _q_lang_profile,
         "binary_meta": _q_binary_meta,
         "binary_meta_docs": _q_binary_meta_docs,
         "audio_validate": _q_audio_validate,
@@ -3206,6 +3259,7 @@ def oracle_sql() -> dict[str, str]:
         "golden_records": _SQL_GOLDEN_RECORDS,
         "dedup_survivors": _SQL_DEDUP_SURVIVORS,
         "redacted_docs": _SQL_REDACTED_DOCS,
+        "lang_profile": _sql_lang_profile(),
         "binary_meta_docs": _SQL_BINARY_META_DOCS,
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py

@@ -66,6 +66,7 @@ HEADLINE_QUERIES = (
     "ivf_topk",
     "ivf_topk_indexed",
     "text_quality",
+    "lang_profile",
     "doc_chunks",
     "curation_disposition",
     "contamination",
