@@ -130,6 +130,10 @@ Operator → query map (SURVEY §2 ids in brackets):
 - lang_profile           [text: language-ID audit — detected-vs-declared
                           agreement matrix, marker-word voting with a
                           deterministic tie cascade]
+- windowed_text_quality  [streaming: continuous corpus-quality monitor
+                          (quality/PII/token stats per event-time
+                          window) — ONE plan runs batch (this oracle)
+                          and streaming (watermarked, state-bounded)]
 - audio_qc               [audio: clipping / dead-air / DC-offset stats
                           fused into the shared decode pass]
                           (no DuckDB oracle: binary decode — pure-numpy
@@ -1744,6 +1748,72 @@ FROM r JOIN k ON r.cluster_id = k.cluster_id
 """
 
 
+def _q_windowed_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous corpus-quality monitor, batch twin
+    (streaming.windowed_text_quality — same plan runs streaming with a
+    watermark): hourly windows over documents with synthesized arrival
+    times (doc_id × 7 min) and planted PII on every 7th doc."""
+    from nadeefiler_spark.streaming import windowed_text_quality
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("doc_id") * 420
+        ).alias("ts"),
+        F.concat(
+            F.coalesce("text", F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("body"),
+    )
+    return windowed_text_quality(d, "ts", "body")
+
+
+_SQL_WINDOWED_TEXT_QUALITY = r"""
+WITH d AS (
+  SELECT TIMESTAMP '2024-01-01 00:00:00'
+           + CAST(doc_id * 420 AS BIGINT) * INTERVAL 1 SECOND AS ts,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END AS body
+  FROM documents
+), m AS (
+  SELECT date_trunc('hour', ts) AS ws, body,
+         list_filter(string_split_regex(body, '\s+'), t -> t <> '') AS toks,
+         length(regexp_replace(body, '[^\.,;:!\?]', '', 'g')) * 1.0
+           / greatest(length(body), 1) AS praw,
+         (len(regexp_extract_all(body,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+          OR len(regexp_extract_all(body, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) > 0
+          OR len(regexp_extract_all(body, '\+[0-9][0-9 ()-]{7,}[0-9]')) > 0
+          OR len(regexp_extract_all(body,
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) > 0
+          OR len(regexp_extract_all(body, '\b[0-9]{13,16}\b')) > 0) AS flag
+  FROM d
+), q AS (
+  SELECT ws, flag, len(toks) AS ntok, length(body) AS n_chars, praw,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+           / greatest(len(toks), 1) AS mwl
+  FROM m
+)
+SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
+       round(avg(round(
+         0.4 * (CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
+         + 0.3 * (CASE WHEN mwl >= 3.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END)
+         + 0.3 * (1.0 - least(praw * 5.0, 1.0)), 6)), 6) AS avg_quality,
+       round(avg(CAST(ntok AS DOUBLE)), 6) AS avg_tokens
+FROM q GROUP BY ws
+"""
+
+
 def _q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID audit (functions.text.lang_id): detected-vs-declared
     agreement matrix over documents — marker-word voting with the
@@ -3184,6 +3254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": _q_dedup_survivors,
         "redacted_docs": _q_redacted_docs,
         "lang_profile": _q_lang_profile,
+        "windowed_text_quality": _q_windowed_text_quality,
         "binary_meta": _q_binary_meta,
         "binary_meta_docs": _q_binary_meta_docs,
         "audio_validate": _q_audio_validate,
@@ -3260,6 +3331,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_survivors": _SQL_DEDUP_SURVIVORS,
         "redacted_docs": _SQL_REDACTED_DOCS,
         "lang_profile": _sql_lang_profile(),
+        "windowed_text_quality": _SQL_WINDOWED_TEXT_QUALITY,
         "binary_meta_docs": _SQL_BINARY_META_DOCS,
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py

@@ -67,6 +67,7 @@ HEADLINE_QUERIES = (
     "ivf_topk_indexed",
     "text_quality",
     "lang_profile",
+    "windowed_text_quality",
     "doc_chunks",
     "curation_disposition",
     "contamination",

@@ -159,6 +159,52 @@ def windowed_event_stats(
     )
 
 
+def windowed_text_quality(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time corpus-quality monitor: per window,
+    (window_start, window_end, n_docs, pii_docs, avg_quality,
+    avg_tokens) — the ingestion gate a continuously-fed training
+    corpus needs: is this hour's crawl suddenly shorter, dirtier, or
+    leaking PII?
+
+    Same dual-mode contract as :func:`windowed_event_stats`: ONE
+    definition — batch (watermark is identity, exact full-input answer,
+    oracled by the ``windowed_text_quality`` contract query) and
+    streaming (append mode, state bounded to open windows by the
+    watermark). All metrics are expression-only (functions.text +
+    functions.pii), so the streaming aggregate is a plain built-in
+    windowed agg — no foreachBatch math, no custom state.
+    """
+    from .functions.pii import has_pii
+    from .functions.text import quality_score, token_count
+
+    src = docs.withWatermark(ts_col, watermark) if docs.isStreaming else docs
+    return (
+        src.groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(has_pii(text_col).cast("bigint")).alias("pii_docs"),
+            F.round(F.avg(quality_score(text_col)), 6).alias("avg_quality"),
+            F.round(
+                F.avg(token_count(text_col).cast("double")), 6
+            ).alias("avg_tokens"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_docs",
+            "pii_docs",
+            "avg_quality",
+            "avg_tokens",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stateful streaming dedup (applyInPandasWithState)
 # ---------------------------------------------------------------------------

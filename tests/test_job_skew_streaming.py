@@ -591,3 +591,58 @@ def test_drift_monitor_with_engine_baseline(spark, tmp_path):
     assert not got[str(h(0))]["drifted"]
     assert got[str(h(1))]["drifted"]
     base.unpersist()
+
+
+def test_windowed_text_quality_stream_equals_batch(spark, tmp_path):
+    import datetime as dt
+
+    from nadeefiler_spark.streaming import windowed_text_quality
+
+    def h(hour, minute=0):
+        return dt.datetime(2026, 1, 1, hour, minute)
+
+    src = str(tmp_path / "docs")
+    f1 = [
+        (h(0, 5), "a perfectly normal document with plenty of words " * 3),
+        (h(0, 40), "short"),
+        (h(1, 10), "contact me at leak@example.com for the real data"),
+    ]
+    f2 = [
+        (h(1, 30), "another ordinary body of text that goes on a bit " * 2),
+        (h(2, 15), "!!! ??? ... ;;; :::"),
+    ]
+    schema = "ts timestamp, text string"
+    for rows in (f1, f2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        windowed_text_quality(stream)
+        .writeStream.format("memory")
+        .queryName("wtq_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def canon(df):
+        return sorted(
+            (str(r["window_start"]), r["n_docs"], r["pii_docs"],
+             r["avg_quality"], r["avg_tokens"])
+            for r in df.collect()
+        )
+
+    batch = windowed_text_quality(spark.read.parquet(src))
+    got = canon(spark.table("wtq_complete"))
+    assert got == canon(batch)
+    assert len(got) == 3  # hours 0, 1, 2
+    by_hour = {g[0]: g for g in got}
+    assert by_hour[str(h(1))][2] == 1  # the email doc's window flags PII
+    assert by_hour[str(h(0))][2] == 0
