@@ -134,6 +134,10 @@ Operator → query map (SURVEY §2 ids in brackets):
                           (quality/PII/token stats per event-time
                           window) — ONE plan runs batch (this oracle)
                           and streaming (watermarked, state-bounded)]
+- embedding_qc           [profiling: vector-column quality gate —
+                          dimension mode/violations, zero-norm and
+                          non-finite counts, expression-only array
+                          math, dim histogram ∝ distinct dims]
 - audio_qc               [audio: clipping / dead-air / DC-offset stats
                           fused into the shared decode pass]
                           (no DuckDB oracle: binary decode — pure-numpy
@@ -1814,6 +1818,89 @@ FROM q GROUP BY ws
 """
 
 
+def _q_embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column quality gate (profiler.embedding_qc): per
+    label, dimension consistency + zero-norm + non-finite counts, with
+    violations planted on vec_id residues (truncated dim on %37, zero
+    vector on %41, NaN vector on %43, NULL on %47)."""
+    from nadeefiler_spark.profiler import embedding_qc
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "label",
+        F.when(
+            F.col("vec_id") % 37 == 0,
+            F.slice("embedding", 1, F.size("embedding") - 1),
+        )
+        .when(
+            F.col("vec_id") % 41 == 0,
+            F.transform(
+                "embedding", lambda x: F.lit(0.0).cast("float")
+            ),
+        )
+        .when(
+            F.col("vec_id") % 43 == 0,
+            F.transform(
+                "embedding", lambda x: F.lit(float("nan")).cast("float")
+            ),
+        )
+        .when(F.col("vec_id") % 47 == 0, F.lit(None).cast("array<float>"))
+        .otherwise(F.col("embedding"))
+        .alias("v"),
+    )
+    return embedding_qc(e, "v", group_col="label")
+
+
+_SQL_EMBEDDING_QC = """
+WITH v AS (
+  SELECT label,
+         CASE WHEN vec_id % 37 = 0 THEN embedding[1:len(embedding)-1]
+              WHEN vec_id % 41 = 0
+                THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+              WHEN vec_id % 43 = 0
+                THEN list_transform(embedding, x -> CAST('NaN' AS FLOAT))
+              WHEN vec_id % 47 = 0 THEN NULL
+              ELSE embedding END AS emb
+  FROM embeddings
+), r AS (
+  SELECT label, emb IS NULL AS is_null, len(emb) AS d,
+         CASE WHEN emb IS NULL THEN NULL
+              ELSE coalesce(list_max(list_transform(emb,
+                     x -> CASE WHEN isnan(x) OR NOT isfinite(x)
+                               THEN 1 ELSE 0 END)), 0) = 1 END AS bad,
+         CASE WHEN emb IS NULL THEN NULL
+              ELSE coalesce(list_sum(list_transform(emb,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0)
+                   = 0.0 END AS zero
+  FROM v
+), s AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         CAST(coalesce(sum(CASE WHEN zero THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS zero_norm_vecs,
+         CAST(coalesce(sum(CASE WHEN bad THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS nonfinite_vecs
+  FROM r GROUP BY label
+), c AS (
+  SELECT label, d, count(*) AS cnt FROM r WHERE NOT is_null GROUP BY 1, 2
+), m AS (
+  SELECT label, d, cnt,
+         first_value(d) OVER (PARTITION BY label
+                              ORDER BY cnt DESC, d ASC) AS dim_mode
+  FROM c
+), dv AS (
+  SELECT label, CAST(max(dim_mode) AS INTEGER) AS dim_mode,
+         CAST(coalesce(sum(CASE WHEN d <> dim_mode THEN cnt END), 0)
+              AS BIGINT) AS dim_violations
+  FROM m GROUP BY label
+)
+SELECT s.label, s.n_vecs, s.n_null, dv.dim_mode, dv.dim_violations,
+       s.zero_norm_vecs, s.nonfinite_vecs,
+       dv.dim_violations = 0 AND s.zero_norm_vecs = 0
+         AND s.nonfinite_vecs = 0 AS holds
+FROM s JOIN dv USING (label)
+"""
+
+
 def _q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID audit (functions.text.lang_id): detected-vs-declared
     agreement matrix over documents — marker-word voting with the
@@ -3255,6 +3342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redacted_docs": _q_redacted_docs,
         "lang_profile": _q_lang_profile,
         "windowed_text_quality": _q_windowed_text_quality,
+        "embedding_qc": _q_embedding_qc,
         "binary_meta": _q_binary_meta,
         "binary_meta_docs": _q_binary_meta_docs,
         "audio_validate": _q_audio_validate,
@@ -3332,6 +3420,7 @@ def oracle_sql() -> dict[str, str]:
         "redacted_docs": _SQL_REDACTED_DOCS,
         "lang_profile": _sql_lang_profile(),
         "windowed_text_quality": _SQL_WINDOWED_TEXT_QUALITY,
+        "embedding_qc": _SQL_EMBEDDING_QC,
         "binary_meta_docs": _SQL_BINARY_META_DOCS,
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py

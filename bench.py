@@ -62,6 +62,7 @@ HEADLINE_QUERIES = (
     "simhash_pairs",
     "embedding_cosine_dups_blocked",
     "ann_topk",
+    "embedding_qc",
     "lsh_topk",
     "ivf_topk",
     "ivf_topk_indexed",

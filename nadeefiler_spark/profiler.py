@@ -582,3 +582,111 @@ def merge_profiles(a: DataFrame, b: DataFrame) -> DataFrame:
         F.when(mean.isNotNull(), stddev).alias("stddev"),
         avg_len.alias("avg_len"),
     )
+
+
+def embedding_qc(
+    df: DataFrame,
+    vec_col: str,
+    group_col: str | None = None,
+    expected_dim: int | None = None,
+) -> DataFrame:
+    """Embedding-column quality gate: dimension consistency, zero-norm
+    and non-finite detection — the checks an embedding pipeline needs
+    before ANN/dedup stages consume the vectors (a single wrong-dim or
+    NaN vector poisons every cosine downstream; the scalar validators
+    never look inside arrays).
+
+    Returns one row per group (or one global row):
+      (group?, n_vecs, n_null, dim_mode, dim_violations,
+       zero_norm_vecs, nonfinite_vecs, holds)
+    where ``dim_mode`` is the expected dimension (``expected_dim`` when
+    given, else the modal observed dimension, ties to the smallest —
+    the same deterministic election as the CFD miner),
+    ``dim_violations`` counts non-null vectors of any other dimension,
+    and ``holds`` iff nothing violates (NULL vectors are counted but do
+    not violate — required-ness is a separate rule).
+
+    Scale: one narrow pass computes per-row dim/norm/finiteness
+    (expression-only — F.aggregate / F.exists, no UDF) feeding a
+    map-side-combinable agg; the dimension histogram is a second
+    groupBy on (group, dim) whose shuffle is ∝ distinct dimensions
+    (tiny), and the mode/violation math runs on that histogram — no
+    per-row state is ever collected.
+    """
+    keys = [group_col] if group_col else []
+    v = F.col(vec_col)
+    nonfinite = F.exists(
+        v, lambda x: F.isnan(x) | (F.abs(x.cast("double")) > F.lit(3.0e38))
+    )
+    sq = F.aggregate(
+        v, F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    base = df.select(
+        *keys,
+        v.isNull().alias("__null"),
+        F.size(v).alias("__d"),
+        F.when(v.isNotNull(), nonfinite).alias("__bad"),
+        F.when(v.isNotNull(), sq == 0.0).alias("__zero"),
+    )
+    stats = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("__null").cast("bigint")).alias("n_null"),
+        F.coalesce(
+            F.sum(F.col("__zero").cast("bigint")), F.lit(0)
+        ).alias("zero_norm_vecs"),
+        F.coalesce(
+            F.sum(F.col("__bad").cast("bigint")), F.lit(0)
+        ).alias("nonfinite_vecs"),
+    )
+    counts = (
+        base.where(~F.col("__null"))
+        .groupBy(*keys, "__d")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    if expected_dim is not None:
+        dimmed = counts.withColumn("dim_mode", F.lit(expected_dim))
+    else:
+        w = Window.partitionBy(*keys) if keys else Window.partitionBy()
+        dimmed = counts.withColumn(
+            "dim_mode",
+            F.first("__d").over(
+                w.orderBy(F.col("__c").desc(), F.col("__d").asc())
+            ),
+        )
+    dims = dimmed.groupBy(*keys).agg(
+        F.max("dim_mode").alias("dim_mode"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__d") != F.col("dim_mode"), F.col("__c"))
+            ),
+            F.lit(0),
+        ).alias("dim_violations"),
+    )
+    # left join (synthetic key when global) so an all-NULL group still
+    # yields its stats row — a crossJoin against an empty dims table
+    # would silently drop it
+    if keys:
+        joined = stats.join(dims, keys, "left")
+    else:
+        joined = (
+            stats.withColumn("__g", F.lit(1))
+            .join(dims.withColumn("__g", F.lit(1)), "__g", "left")
+            .drop("__g")
+        )
+    return joined.select(
+        *keys,
+        "n_vecs",
+        "n_null",
+        F.col("dim_mode").cast("int").alias("dim_mode"),
+        F.coalesce("dim_violations", F.lit(0))
+        .cast("bigint")
+        .alias("dim_violations"),
+        "zero_norm_vecs",
+        "nonfinite_vecs",
+        (
+            (F.coalesce("dim_violations", F.lit(0)) == 0)
+            & (F.col("zero_norm_vecs") == 0)
+            & (F.col("nonfinite_vecs") == 0)
+        ).alias("holds"),
+    )

@@ -99,3 +99,44 @@ def test_merge_profiles_one_sided_key_passes_through(spark):
     r = merge_profiles(a, b).collect()[0]
     assert (r["n_rows"], r["ndv_ub"], r["min"], r["max"]) == (10, 5, "1", "9")
     assert r["mean"] == 4.0 and r["stddev"] == 2.0
+
+
+def test_embedding_qc_counts_and_mode(spark):
+    from nadeefiler_spark.profiler import embedding_qc
+
+    nan = float("nan")
+    rows = [
+        ("a", [1.0, 2.0]), ("a", [3.0, 4.0]), ("a", [5.0]),      # short dim
+        ("a", [0.0, 0.0]),                                        # zero norm
+        ("b", [nan, 1.0]), ("b", [2.0, 2.0]), ("b", None),        # nan + null
+    ]
+    df = spark.createDataFrame(rows, "g string, v array<double>")
+    got = {r["g"]: r for r in embedding_qc(df, "v", group_col="g").collect()}
+    a = got["a"]
+    assert (a["n_vecs"], a["n_null"], a["dim_mode"]) == (4, 0, 2)
+    assert a["dim_violations"] == 1 and a["zero_norm_vecs"] == 1
+    assert a["holds"] is False
+    b = got["b"]
+    assert (b["n_null"], b["nonfinite_vecs"], b["dim_violations"]) == (1, 1, 0)
+    assert b["holds"] is False
+
+
+def test_embedding_qc_expected_dim_and_clean_global(spark):
+    from nadeefiler_spark.profiler import embedding_qc
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0],), ([4.0, 5.0, 6.0],)], "v array<double>"
+    )
+    clean = embedding_qc(df, "v").collect()[0]
+    assert clean["holds"] is True and clean["dim_mode"] == 3
+    strict = embedding_qc(df, "v", expected_dim=4).collect()[0]
+    assert strict["dim_violations"] == 2 and strict["holds"] is False
+
+
+def test_embedding_qc_all_null_group_survives(spark):
+    from nadeefiler_spark.profiler import embedding_qc
+
+    df = spark.createDataFrame([(None,), (None,)], "v array<double>")
+    r = embedding_qc(df, "v").collect()[0]
+    assert (r["n_vecs"], r["n_null"], r["dim_violations"]) == (2, 2, 0)
+    assert r["dim_mode"] is None and r["holds"] is True
