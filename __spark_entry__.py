@@ -50,6 +50,8 @@ Operator → query map (SURVEY §2 ids in brackets):
                           deterministic hash sharding + checksums]
 - dup_clusters           [pipeline: near-dup clustering — connected
                           components (large-star/small-star) over pairs]
+- incremental_dedup      [pipeline: batch-vs-corpus admission — exact
+                          digest tiers + inverted-index near tier]
 - numeric_quantiles      [A9-adjacent profile] per-partition quantiles —
                           mergeable percentile_approx sketch in production,
                           exact percentile_cont for the oracle
@@ -1707,6 +1709,125 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental admission (operators/incremental.py): classify a new
+    batch against the existing corpus — the steady-state dedup shape of
+    a training pipeline. The batch is derived deterministically from the
+    corpus so every disposition is exercised: doc_id%12==0 rows re-enter
+    verbatim (exact_corpus), %12==4 rows carry three appended tokens
+    (near_corpus), %12==8 rows become batch-only filler emitted twice
+    (the min-id keeper accepts; the copy is exact_batch). NULLs of the
+    accept rows are coalesced to -1 here in the contract projection only
+    (NULL-free oracle compare); the library returns real NULLs."""
+    from nadeefiler_spark.operators import incremental
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.where(F.col("doc_id") % 4 == 0)
+    filler = F.concat(
+        F.lit("batch-only filler text "), F.col("doc_id").cast("string")
+    )
+    batch = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 12 == 0, F.col("text"))
+        .when(F.col("doc_id") % 12 == 4, F.concat(F.col("text"), F.lit(" zz qx vv")))
+        .otherwise(filler)
+        .alias("text"),
+    ).unionByName(
+        base.where(F.col("doc_id") % 12 == 8).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), filler.alias("text")
+        )
+    )
+    out = incremental.incremental_dedup(
+        d, batch, "doc_id", "text", n=3, threshold=0.5
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "disposition",
+        F.coalesce("match_id", F.lit(-1)).alias("match_id"),
+        F.round(F.coalesce("similarity", F.lit(-1.0)), 6).alias("similarity"),
+    )
+
+
+# Twin of incremental.incremental_dedup over the same derived batch:
+# exact tier on md5 digests, near tier = the _NGRAM_CTES shingle/guard
+# semantics rebuilt batch-vs-corpus (guard df measured on the CORPUS).
+_SQL_INCREMENTAL_DEDUP = """
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+batch AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN doc_id % 12 = 0 THEN text
+              WHEN doc_id % 12 = 4 THEN text || ' zz qx vv'
+              ELSE 'batch-only filler text ' || CAST(doc_id AS VARCHAR)
+         END AS text
+  FROM base
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         'batch-only filler text ' || CAST(doc_id AS VARCHAR) AS text
+  FROM base WHERE doc_id % 12 = 8
+),
+bd AS (SELECT doc_id, text, md5(text) AS digest FROM batch),
+cd AS (SELECT doc_id AS cid, md5(text) AS digest FROM documents),
+ec AS (SELECT digest, min(cid) AS match_id
+       FROM cd WHERE digest IN (SELECT digest FROM bd) GROUP BY 1),
+rem1 AS (SELECT * FROM bd WHERE digest NOT IN (SELECT digest FROM ec)),
+keep AS (SELECT digest, min(doc_id) AS keeper_id FROM rem1 GROUP BY 1),
+rem2 AS (SELECT r.doc_id, r.text FROM rem1 r JOIN keep k USING (digest)
+         WHERE r.doc_id = k.keeper_id),
+btoks AS (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+          FROM rem2),
+bsh AS (SELECT DISTINCT doc_id, unnest(
+          CASE WHEN len(tk) >= 3
+               THEN list_transform(range(1, len(tk) - 1),
+                                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+               ELSE CAST([] AS VARCHAR[]) END) AS shingle
+        FROM btoks),
+ctoks AS (SELECT doc_id AS cid,
+                 list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+          FROM documents),
+csh AS (SELECT DISTINCT cid, unnest(
+          CASE WHEN len(tk) >= 3
+               THEN list_transform(range(1, len(tk) - 1),
+                                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+               ELSE CAST([] AS VARCHAR[]) END) AS shingle
+        FROM ctoks),
+guard AS (SELECT greatest(5, CAST(floor(0.01 * count(*)) AS BIGINT)) AS mx
+          FROM documents),
+hot AS (SELECT shingle FROM csh CROSS JOIN guard
+        GROUP BY shingle, mx HAVING count(*) > mx),
+csr AS (SELECT * FROM csh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+bsr AS (SELECT * FROM bsh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sc AS (SELECT cid, count(*) AS n_c FROM csr GROUP BY 1),
+sb AS (SELECT doc_id, count(*) AS n_b FROM bsr GROUP BY 1),
+common AS (SELECT b.doc_id, c.cid, count(*) AS n_common
+           FROM bsr b JOIN csr c USING (shingle) GROUP BY 1, 2),
+jac AS (SELECT m.doc_id, m.cid,
+               m.n_common * 1.0 / (sb.n_b + sc.n_c - m.n_common) AS j
+        FROM common m JOIN sb USING (doc_id) JOIN sc USING (cid)
+        WHERE m.n_common * 1.0 / (sb.n_b + sc.n_c - m.n_common) >= 0.5),
+near AS (SELECT doc_id, cid AS match_id, j FROM (
+           SELECT doc_id, cid, j,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY j DESC, cid ASC) AS rk
+           FROM jac) WHERE rk = 1),
+sel AS (
+  SELECT bd.doc_id AS doc_id, 'exact_corpus' AS disposition,
+         ec.match_id AS match_id, CAST(1.0 AS DOUBLE) AS similarity
+  FROM bd JOIN ec USING (digest)
+  UNION ALL
+  SELECT r.doc_id, 'exact_batch', k.keeper_id, CAST(1.0 AS DOUBLE)
+  FROM rem1 r JOIN keep k USING (digest) WHERE r.doc_id <> k.keeper_id
+  UNION ALL
+  SELECT doc_id, 'near_corpus', match_id, CAST(j AS DOUBLE) FROM near
+  UNION ALL
+  SELECT doc_id, 'accept', CAST(-1 AS BIGINT), CAST(-1.0 AS DOUBLE)
+  FROM rem2 WHERE doc_id NOT IN (SELECT doc_id FROM near)
+)
+SELECT doc_id, disposition, match_id, round(similarity, 6) AS similarity
+FROM sel
+"""
+
+
 def _q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivorship election (components.golden_records): per near-dup
     cluster, the longest document (n_chars, ties to smallest id) wins;
@@ -3311,6 +3432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": _q_exact_dup_groups,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
+        "incremental_dedup": _q_incremental_dedup,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_cosine_dups": _q_embedding_cosine_dups,
@@ -3391,6 +3513,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_groups": _SQL_EXACT_DUP_GROUPS,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "dup_clusters": _SQL_DUP_CLUSTERS,
+        "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "embedding_cosine_dups": _SQL_EMBEDDING_COSINE_DUPS,
         "embedding_cosine_dups_blocked": _sql_embedding_cosine_dups_blocked(),
         "ann_topk": _SQL_ANN_TOPK,

@@ -75,6 +75,7 @@ HEADLINE_QUERIES = (
     "corpus_sample",
     "shard_manifest",
     "dup_clusters",
+    "incremental_dedup",
     "golden_records",
     "dedup_survivors",
     "redacted_docs",
