@@ -101,6 +101,9 @@ Operator → query map (SURVEY §2 ids in brackets):
 - pii_scan               [curation: regex PII audit (email/ssn/phone/
                           ipv4/card) — expression-only, one map-side
                           combinable scan; redaction + PiiRule sibling]
+- k_anonymity            [curation: k-anonymity / l-diversity release
+                          audit over quasi-identifier groups, one
+                          groupBy + distinct-sensitive count]
 - mi_profile             [profiling: mutual information / NMI per
                           categorical pair — corr_profile's categorical
                           sibling, shuffle ∝ distinct value pairs]
@@ -3317,6 +3320,36 @@ FROM m GROUP BY source
 """
 
 
+def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-risk audit (functions.pii.k_anonymity): quasi-identifier
+    groups on customer (nation x market segment) that are either
+    re-identifiable (fewer than k=10 members) or attribute-disclosing
+    (fewer than l=8 distinct account balances) — the structured-column
+    complement of the free-text PII scan."""
+    from nadeefiler_spark.functions.pii import k_anonymity
+
+    c = _t(spark, sf_dir, "customer")
+    return k_anonymity(
+        c,
+        ["c_nationkey", "c_mktsegment"],
+        k=10,
+        sensitive_col="c_acctbal",
+        l=8,
+    )
+
+
+_SQL_K_ANONYMITY = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS group_size,
+       CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_sensitive,
+       count(*) < 10 AS at_risk_k,
+       count(DISTINCT c_acctbal) < 8 AS at_risk_l
+FROM customer
+GROUP BY 1, 2
+HAVING count(*) < 10 OR count(DISTINCT c_acctbal) < 8
+"""
+
+
 def _q_binary_meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-gated twin of the multimodal metadata pass: the documents'
     UTF-8 bytes stand in for opaque blobs, so every column (octet count,
@@ -3452,6 +3485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cfd_mine": _q_cfd_mine,
         "od_check": _q_od_check,
         "pii_scan": _q_pii_scan,
+        "k_anonymity": _q_k_anonymity,
         "mi_profile": _q_mi_profile,
         "sd_check": _q_sd_check,
         "benford_profile": _q_benford_profile,
@@ -3531,6 +3565,7 @@ def oracle_sql() -> dict[str, str]:
         "cfd_mine": _SQL_CFD_MINE,
         "od_check": _SQL_OD_CHECK,
         "pii_scan": _SQL_PII_SCAN,
+        "k_anonymity": _SQL_K_ANONYMITY,
         "mi_profile": _sql_mi_profile(),
         "sd_check": _SQL_SD_CHECK,
         "benford_profile": _SQL_BENFORD_PROFILE,

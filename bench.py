@@ -85,6 +85,7 @@ HEADLINE_QUERIES = (
     "od_check",
     "sd_check",
     "pii_scan",
+    "k_anonymity",
     "mi_profile",
     "benford_profile",
     "json_profile",

@@ -90,3 +90,52 @@ def scan_pii(
             F.sum(flag.cast("bigint")) / F.count(F.lit(1)), 6
         ).alias("pii_rate"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+    l: int = 2,
+) -> DataFrame:
+    """Release-risk audit: the quasi-identifier groups that would leak.
+
+    One row per QI combination that is at risk, with
+    (qi_cols..., group_size, at_risk_k[, n_sensitive, at_risk_l]):
+
+    - k-anonymity: ``group_size < k`` — fewer than k rows share this QI
+      combination, so any one of them is re-identifiable by joining the
+      QI columns against an external dataset.
+    - l-diversity (only when ``sensitive_col`` is given): fewer than
+      ``l`` DISTINCT sensitive values in the group — even a k-anonymous
+      group discloses the sensitive attribute when everyone in it
+      shares the same value.
+
+    Rows that are in NO risky group are not returned; an empty result
+    means the projection (df limited to qi_cols + sensitive_col) is
+    safe to release at the chosen k/l. NULL is a QI value like any
+    other (NULL-keyed groups risk-audit the same way — Spark and ANSI
+    SQL agree on groupBy NULL semantics).
+
+    Scale story (10^12 rows): one groupBy on the QI columns — partial
+    aggregation map-side, shuffle ∝ #groups; the distinct-sensitive
+    count is Spark's standard two-phase distinct rewrite on the same
+    key. No joins, no window, nothing driver-side. Complements
+    scan_pii/redact (free-text PII) with structured-column risk — the
+    k-anonymity / l-diversity definitions are the published ones
+    (Sweeney 2002; Machanavajjhala et al. 2007).
+    """
+    size = F.count(F.lit(1))
+    aggs = [size.alias("group_size")]
+    risk = F.col("group_size") < F.lit(k)
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).alias("n_sensitive")
+        )
+    out = df.groupBy(*[F.col(c) for c in qi_cols]).agg(*aggs)
+    out = out.withColumn("at_risk_k", risk)
+    if sensitive_col is not None:
+        out = out.withColumn("at_risk_l", F.col("n_sensitive") < F.lit(l))
+        return out.where(F.col("at_risk_k") | F.col("at_risk_l"))
+    return out.where(F.col("at_risk_k"))

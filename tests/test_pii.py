@@ -128,3 +128,44 @@ def test_job_cli_pii_flag(spark, clips_dir, tmp_path_factory):
     # so several rows (all with that id) can carry the planted PII
     assert v and {r["clip_id"] for r in v} == {first}
     assert all(r["detail"] == "email" for r in v)
+
+
+def test_k_anonymity_flags_small_and_uniform_groups(spark):
+    from nadeefiler_spark.functions.pii import k_anonymity
+
+    rows = (
+        # (zip, age) QI groups: g1 has 3 members (k-risky at k=4) with
+        # diverse salaries; g2 has 5 members all sharing one salary
+        # (l-risky at l=2); g3 has 5 members, 3 distinct salaries (safe)
+        [("94110", 30, 100.0 + i) for i in range(3)]
+        + [("94110", 40, 200.0) for _ in range(5)]
+        + [("10001", 40, 300.0 + (i % 3)) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, ["zip", "age", "salary"])
+    got = {
+        (r["zip"], r["age"]): (
+            r["group_size"], r["n_sensitive"], r["at_risk_k"], r["at_risk_l"]
+        )
+        for r in k_anonymity(
+            df, ["zip", "age"], k=4, sensitive_col="salary", l=2
+        ).collect()
+    }
+    assert got == {
+        ("94110", 30): (3, 3, True, False),
+        ("94110", 40): (5, 1, False, True),
+    }
+
+
+def test_k_anonymity_without_sensitive_and_null_qi(spark):
+    from nadeefiler_spark.functions.pii import k_anonymity
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), (None,)], ["qi"]
+    )
+    got = {
+        r["qi"]: r["group_size"]
+        for r in k_anonymity(df, ["qi"], k=3).collect()
+    }
+    # NULL is a QI group like any other; 'a' (3 rows) is safe at k=3
+    assert got == {"b": 1, None: 1}
+    assert "at_risk_l" not in k_anonymity(df, ["qi"], k=3).columns
