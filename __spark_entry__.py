@@ -151,6 +151,10 @@ Operator → query map (SURVEY §2 ids in brackets):
                           Haitsma–Kalker fingerprints, codec-robust]
                           (no DuckDB oracle: binary decode — independent
                           pure-numpy twin, tests/test_audio_fp.py)
+- clip_admission         [pipeline: incremental clip admission — byte,
+                          content-fingerprint, and hamming tiers vs the
+                          existing corpus] (no DuckDB oracle: binary
+                          decode — planted-outcome pytests)
 - audio_feature_ann      [pipeline: audio -> band-energy embedding ->
                           existing ANN toolchain] (no DuckDB oracle:
                           binary decode — invariance + twin-retrieval
@@ -1314,6 +1318,84 @@ def _q_audio_fp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_content_dup_groups(clips).select(
         "fp", "n_clips", "keeper_id", F.to_json("clip_ids").alias("clip_ids")
     ).orderBy("fp")
+
+
+def _q_clip_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental clip admission (operators.audio_fp
+    .incremental_clip_admission): a derived delivery batch classified
+    against the deterministic synthetic corpus. Batch rows are planted
+    by clip-index residue — byte copies (exact_corpus), cross-codec
+    re-encodes (content_corpus), lightly noised re-encodes
+    (near_corpus), duplicated fresh content (accept + exact_batch), and
+    junk blobs (undecodable). No DuckDB oracle (binary decode); the
+    operator is pinned by planted-outcome pytests
+    (tests/test_audio_fp.py)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from nadeefiler_spark.operators.audio_fp import incremental_clip_admission
+
+    cfg = datagen.GenConfig(n_rows=1200, seed=11, dur_min_ms=60, dur_max_ms=200)
+    corpus = datagen.clips_df(spark, cfg).persist()
+
+    def make_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from nadeefiler_spark import audio  # import on executor
+
+        codecs = ("pcm_s16le", "flac", "opus")
+        for pdf in batches:
+            ids: list[str] = []
+            blobs: list[bytes] = []
+            for cid, blob in zip(pdf["clip_id"], pdf["bytes"]):
+                i = int(cid.rsplit("-", 1)[1])
+                r = i % 32
+                if r == 0:
+                    ids.append(f"new-{i:012d}")
+                    blobs.append(bytes(blob))  # byte copy -> exact_corpus
+                    continue
+                if r == 24:
+                    pcm = audio.render_pcm(f"new-content-{i}", 16000, 120)
+                    fresh = audio.encode(pcm, 16000, "pcm_s16le")
+                    ids += [f"new-{i:012d}-a", f"new-{i:012d}-b",
+                            f"new-{i:012d}-junk"]
+                    blobs += [fresh, fresh, b"\x00bad-" + str(i).encode()]
+                    continue
+                try:
+                    codec, sr, pcm = audio.decode(bytes(blob))
+                except Exception:
+                    continue  # planted-corrupt corpus rows: skip
+                if r == 8:  # same PCM, next container -> content_corpus
+                    other = codecs[(codecs.index(codec) + 1) % len(codecs)
+                                   ] if codec in codecs else "flac"
+                    ids.append(f"new-{i:012d}")
+                    blobs.append(audio.encode(pcm, int(sr), other))
+                else:  # r == 16: light noise -> near_corpus (usually)
+                    rng = np.random.default_rng([11, i])
+                    noise = (rng.standard_normal(len(pcm)) * 50).astype("int16")
+                    p2 = np.clip(
+                        pcm.astype("int32") + noise, -32768, 32767
+                    ).astype("int16")
+                    ids.append(f"new-{i:012d}")
+                    blobs.append(audio.encode(p2, int(sr), "flac"))
+            yield pd.DataFrame({"clip_id": ids, "bytes": blobs})
+
+    batch = (
+        corpus.where(F.expr("cast(split(clip_id, '-')[1] as bigint) % 8 = 0"))
+        .select("clip_id", "bytes")
+        .mapInPandas(make_batch, "clip_id string, bytes binary")
+    )
+    # the operator's eager finalize has materialized its result, so the
+    # render cache can be released before returning
+    out = incremental_clip_admission(corpus, batch)
+    corpus.unpersist()
+    return out.select(
+        F.col("id").alias("clip_id"),
+        "disposition",
+        F.coalesce("match_id", F.lit("-")).alias("match_id"),
+        F.coalesce("hamming", F.lit(-1)).alias("hamming"),
+    )
 
 
 def _q_audio_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3453,6 +3535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_qc": _q_audio_qc,
         "numeric_quantiles": _q_numeric_quantiles,
         "audio_fp_dups": _q_audio_fp_dups,
+        "clip_admission": _q_clip_admission,
         "audio_feature_ann": _q_audio_feature_ann,
         "audio_embedding_dups": _q_audio_embedding_dups,
         "percent_histogram": _q_percent_histogram,

@@ -108,6 +108,7 @@ HEADLINE_QUERIES = (
     "audio_qc",
     "numeric_quantiles",
     "audio_fp_dups",
+    "clip_admission",
     "audio_feature_ann",
     "audio_embedding_dups",
 )

@@ -197,3 +197,159 @@ def dup_groups_from_facts(decoded: DataFrame, id_col: str = "clip_id") -> DataFr
         )
         .where(F.col("n_clips") > 1)
     )
+
+
+def incremental_clip_admission(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    corpus_fps: DataFrame | None = None,
+    eager: bool = True,
+) -> DataFrame:
+    """Admit a new clip delivery against the existing corpus.
+
+    The audio-native sibling of ``operators.incremental.incremental_dedup``:
+    one row per batch clip with (id, disposition, match_id, hamming),
+    precedence top to bottom —
+
+      - ``exact_corpus``:   byte-identical (md5 of ``bytes``) to a corpus
+        clip; match_id = smallest matching corpus id, hamming 0.
+      - ``exact_batch``:    byte-identical to a smaller-id batch clip that
+        is itself not an exact corpus dup; the keeper continues on.
+      - ``content_corpus``: decoded-PCM fingerprint EQUAL to a corpus
+        fingerprint — the same recording re-encoded in another
+        container/codec, invisible to the byte hash; hamming 0.
+      - ``near_corpus``:    fingerprint within ``max_hamming`` bits of a
+        corpus fingerprint (perturbed/re-mastered copy); match_id = the
+        closest corpus clip (ties to the smallest id).
+      - ``undecodable``:    the batch blob failed to decode — a rule
+        violation to route to validation, not an admission.
+      - ``accept``:         genuinely new audio content.
+
+    Scale story: the exact tier joins corpus digests against the (small)
+    batch digest set — AQE broadcasts the batch side, the corpus is never
+    shuffled. The content/near tiers need corpus FINGERPRINTS, not bytes:
+    pass ``corpus_fps`` (id, fp) from the engine's shared decode pass
+    (``rules.audio_rules.decode_facts(with_fp=True)`` — the maintained
+    fingerprint index of a production corpus) to skip re-decoding; when
+    omitted they are computed here with the one-pass narrow scan. The
+    near tier blocks on 16-bit fingerprint chunks (pigeonhole: full
+    recall for hamming < n_chunks), so candidate fan-out is bounded by
+    chunk-bucket sizes — never all-pairs. Only the batch is decoded per
+    delivery.
+    """
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"pigeonhole recall needs max_hamming < n_chunks "
+            f"(got {max_hamming} >= {n_chunks})"
+        )
+    id_type = batch.schema[id_col].dataType
+    bd = batch.select(
+        F.col(id_col).alias("id"), F.md5(F.col(bytes_col)).alias("digest")
+    ).persist()
+    cd = corpus.select(
+        F.col(id_col).alias("cid"), F.md5(F.col(bytes_col)).alias("digest")
+    )
+    ec = (
+        cd.join(bd.select("digest").distinct(), "digest")
+        .groupBy("digest")
+        .agg(F.min("cid").alias("match_id"))
+    )
+    exact_corpus = bd.join(ec, "digest").select(
+        "id",
+        F.lit("exact_corpus").alias("disposition"),
+        "match_id",
+        F.lit(0).alias("hamming"),
+    )
+    rem1 = bd.join(ec.select("digest"), "digest", "left_anti")
+    keep = rem1.groupBy("digest").agg(F.min("id").alias("keeper_id"))
+    rem1k = rem1.join(keep, "digest")
+    exact_batch = rem1k.where(F.col("id") != F.col("keeper_id")).select(
+        "id",
+        F.lit("exact_batch").alias("disposition"),
+        F.col("keeper_id").alias("match_id"),
+        F.lit(0).alias("hamming"),
+    )
+    rem2_ids = rem1k.where(F.col("id") == F.col("keeper_id")).select("id")
+
+    # --- fingerprint tiers (exact-tier survivors only) ---------------
+    b2 = batch.select(F.col(id_col).alias(id_col), bytes_col).join(
+        rem2_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
+    )
+    bfp = audio_fingerprints(b2, id_col, bytes_col).persist()
+    undecodable = bfp.where(F.col("fp").isNull()).select(
+        "id",
+        F.lit("undecodable").alias("disposition"),
+        F.lit(None).cast(id_type).alias("match_id"),
+        F.lit(None).cast("int").alias("hamming"),
+    )
+    bok = bfp.where(F.col("fp").isNotNull()).select("id", "fp")
+    if corpus_fps is None:
+        cfp = (
+            audio_fingerprints(corpus, id_col, bytes_col)
+            .where(F.col("fp").isNotNull())
+            .select(F.col("id").alias("cid"), "fp")
+        )
+    else:
+        cfp = corpus_fps.select(
+            F.col(id_col).alias("cid") if id_col in corpus_fps.columns
+            else F.col("id").alias("cid"),
+            "fp",
+        ).where(F.col("fp").isNotNull())
+    cfp = cfp.persist()
+    cc = cfp.groupBy("fp").agg(F.min("cid").alias("match_id"))
+    content_corpus = bok.join(cc, "fp").select(
+        "id",
+        F.lit("content_corpus").alias("disposition"),
+        "match_id",
+        F.lit(0).alias("hamming"),
+    )
+    rem3 = bok.join(cc.select("fp"), "fp", "left_anti")
+
+    bch = rem3.select(
+        "id", "fp", F.explode(S.simhash_chunks(F.col("fp"), n_chunks)).alias("c")
+    ).select("id", "fp", "c.chunk", "c.key")
+    cch = cfp.select(
+        "cid", F.col("fp").alias("cfp"),
+        F.explode(S.simhash_chunks(F.col("fp"), n_chunks)).alias("c"),
+    ).select("cid", "cfp", "c.chunk", "c.key")
+    cand = (
+        bch.join(cch, ["chunk", "key"])
+        .select("id", "fp", "cid", "cfp")
+        .distinct()
+        .withColumn("hamming", S.hamming64(F.col("fp"), F.col("cfp")))
+        .where(F.col("hamming") <= max_hamming)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(
+        F.col("hamming").asc(), F.col("cid").asc()
+    )
+    near = (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(
+            "id",
+            F.lit("near_corpus").alias("disposition"),
+            F.col("cid").alias("match_id"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )
+    accept = rem3.join(near.select("id"), "id", "left_anti").select(
+        "id",
+        F.lit("accept").alias("disposition"),
+        F.lit(None).cast(id_type).alias("match_id"),
+        F.lit(None).cast("int").alias("hamming"),
+    )
+    out = (
+        exact_corpus.unionByName(exact_batch)
+        .unionByName(content_corpus)
+        .unionByName(near)
+        .unionByName(undecodable)
+        .unionByName(accept)
+        .select("id", "disposition", "match_id", F.col("hamming").cast("int").alias("hamming"))
+    )
+    return _finalize(out, bd, bfp, cfp, eager=eager)

@@ -257,3 +257,78 @@ def test_near_pairs_wider_recall_knob(spark):
     assert got == {("noisy", "orig", 7)}
     with pytest.raises(ValueError, match="pigeonhole"):
         audio_fp.audio_near_dup_pairs(df, max_hamming=4, n_chunks=4)
+
+
+def test_incremental_clip_admission_all_tiers(spark):
+    """Every disposition planted with a certain outcome; near tier's
+    hamming is pre-verified against the pure fingerprint kernel so the
+    assertion cannot drift with the perturbation constant."""
+    pcm_a = audio.render_pcm("content-A", 16000, 500)
+    pcm_b = audio.render_pcm("content-B", 16000, 500)
+    pcm_c = audio.render_pcm("content-C", 16000, 500)
+    rng = np.random.default_rng(123)
+    noise = (rng.standard_normal(len(pcm_a)) * 50).astype(np.int16)
+    pcm_a2 = np.clip(
+        pcm_a.astype(np.int32) + noise, -32768, 32767
+    ).astype(np.int16)
+    h_expect = bin(
+        (audio_fp.pcm_fingerprint64(pcm_a2, 16000)
+         ^ audio_fp.pcm_fingerprint64(pcm_a, 16000)) & (2**64 - 1)
+    ).count("1")
+    assert 1 <= h_expect <= 3  # test precondition, not the assertion
+
+    wav_a = audio.encode(pcm_a, 16000, "pcm_s16le")
+    wav_c = audio.encode(pcm_c, 16000, "pcm_s16le")
+    corpus = spark.createDataFrame(
+        [("c1", wav_a), ("c2", audio.encode(pcm_b, 16000, "flac"))],
+        "clip_id string, bytes binary",
+    )
+    batch = spark.createDataFrame(
+        [
+            ("n1", wav_a),                                # exact_corpus -> c1
+            ("n2", audio.encode(pcm_b, 16000, "opus")),   # content_corpus -> c2
+            ("n3", audio.encode(pcm_a2, 16000, "flac")),  # near_corpus -> c1
+            ("n4", wav_c),                                # accept (keeper)
+            ("n5", wav_c),                                # exact_batch -> n4
+            ("n6", b"\x00not audio"),                     # undecodable
+        ],
+        "clip_id string, bytes binary",
+    )
+    got = {
+        r["id"]: (r["disposition"], r["match_id"], r["hamming"])
+        for r in audio_fp.incremental_clip_admission(corpus, batch).collect()
+    }
+    assert got == {
+        "n1": ("exact_corpus", "c1", 0),
+        "n2": ("content_corpus", "c2", 0),
+        "n3": ("near_corpus", "c1", h_expect),
+        "n4": ("accept", None, None),
+        "n5": ("exact_batch", "n4", 0),
+        "n6": ("undecodable", None, None),
+    }
+
+
+def test_incremental_clip_admission_corpus_fps_index(spark):
+    """Passing the maintained (id, fp) index must skip corpus decode and
+    produce identical dispositions."""
+    pcm_a = audio.render_pcm("content-A", 16000, 500)
+    corpus = spark.createDataFrame(
+        [("c1", audio.encode(pcm_a, 16000, "pcm_s16le"))],
+        "clip_id string, bytes binary",
+    )
+    batch = spark.createDataFrame(
+        [("n1", audio.encode(pcm_a, 16000, "opus"))],
+        "clip_id string, bytes binary",
+    )
+    idx = audio_fp.audio_fingerprints(corpus).select("id", "fp")
+    # corpus bytes deliberately poisoned: if the index path re-decoded
+    # the corpus this would classify differently / error
+    poisoned = corpus.select(
+        "clip_id", F.lit(b"\x00junk").alias("bytes")
+    )
+    got = audio_fp.incremental_clip_admission(
+        poisoned, batch, corpus_fps=idx
+    ).collect()
+    assert [(r["disposition"], r["match_id"]) for r in got] == [
+        ("content_corpus", "c1")
+    ]
