@@ -463,6 +463,70 @@ class ValidationEngine:
             clips, "embedding_dedup", "embedding_dups", compute, resume, run_id
         )
 
+    def run_admission(
+        self,
+        clips: DataFrame,
+        batch: DataFrame,
+        batch_id: str,
+        max_hamming: int = 3,
+        corpus_fps: DataFrame | None = None,
+        resume: bool = True,
+        run_id: str | None = None,
+    ) -> DataFrame:
+        """Cascade stage: incremental admission of a delivery batch.
+
+        ``operators.audio_fp.incremental_clip_admission`` as an engine
+        stage: each batch clip's disposition lands in the ``admissions``
+        table partitioned by the delivery (part=batch_id) — re-running a
+        batch replaces exactly its rows, and with ``resume`` a batch id
+        already in the manifest is skipped (stage='admission',
+        part=batch_id, n_violations = batch clips NOT accepted).
+
+        Unlike the corpus-keyed global stages, the resume unit here is
+        the DELIVERY: a new batch id always runs, the same batch id
+        never re-runs. The corpus fingerprint index defaults to the
+        shared decode pass over ``clips`` (decode_facts with_fp, no SNR
+        render); pass ``corpus_fps`` to reuse a maintained index — on a
+        production corpus the index is written at ingest and only the
+        batch is decoded per delivery.
+        """
+        from .operators.audio_fp import incremental_clip_admission
+
+        run_id = run_id or uuid.uuid4().hex[:12]
+        if resume and not self.manifest().where(
+            (F.col("stage") == "admission") & (F.col("part") == batch_id)
+        ).isEmpty():
+            return self.verdicts().where(
+                (F.col("stage") == "admission") & (F.col("run_id") == run_id)
+            )
+        t0 = time.monotonic()
+        if corpus_fps is None:
+            corpus_fps = decode_facts(
+                clips, with_snr=False, with_fp=True
+            ).select("clip_id", "fp")
+        raw = incremental_clip_admission(
+            clips, batch, max_hamming=max_hamming, corpus_fps=corpus_fps
+        )
+        adm = raw.withColumn("part", F.lit(batch_id))
+        try:
+            self.io.replace_partitions(adm, "admissions", "part", [batch_id])
+            agg = raw.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    (F.col("disposition") != "accept").cast("bigint")
+                ).alias("v"),
+            ).collect()[0]
+        finally:
+            raw.unpersist()
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        self._commit(
+            run_id, "admission", [batch_id],
+            {batch_id: int(agg["n"])}, {batch_id: int(agg["v"] or 0)}, wall_ms,
+        )
+        return self.verdicts().where(
+            (F.col("stage") == "admission") & (F.col("run_id") == run_id)
+        )
+
     def _run_global_stage(
         self,
         clips: DataFrame,
@@ -661,6 +725,13 @@ class ValidationEngine:
         return self.io.read(
             "embedding_dups",
             "id string, cluster_id string, cluster_size bigint, part string",
+        )
+
+    def admissions(self) -> DataFrame:
+        return self.io.read(
+            "admissions",
+            "id string, disposition string, match_id string, hamming int, "
+            "part string",
         )
 
     # --- stage bodies -----------------------------------------------------

@@ -58,6 +58,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(LSH-blocked embedding-cosine clusters -> "
                         "embedding_dups table); optional cosine threshold, "
                         "default 0.98")
+    p.add_argument("--admit", default=None, metavar="BATCH_PATH",
+                   help="incremental admission: classify the clip batch at "
+                        "this parquet path against the corpus (byte / "
+                        "content-fingerprint / hamming tiers) into the "
+                        "admissions table")
+    p.add_argument("--admit-id", default=None,
+                   help="delivery id for --admit (default: batch path "
+                        "basename); the resume/idempotency unit")
     p.add_argument("--run-id", default=None)
     return p
 
@@ -114,6 +122,14 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
             clips, resume=not args.no_resume, run_id=args.run_id
         )
         verdicts = verdicts.unionByName(cd_v)
+    if args.admit:
+        batch = spark.read.parquet(args.admit)
+        batch_id = args.admit_id or args.admit.rstrip("/").rsplit("/", 1)[-1]
+        adm_v = eng.run_admission(
+            clips, batch, batch_id=batch_id,
+            resume=not args.no_resume, run_id=args.run_id,
+        )
+        verdicts = verdicts.unionByName(adm_v)
     if args.embedding_dedup is not None:
         ed_v = eng.run_embedding_dedup(
             clips, threshold=args.embedding_dedup,

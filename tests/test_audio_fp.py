@@ -332,3 +332,38 @@ def test_incremental_clip_admission_corpus_fps_index(spark):
     assert [(r["disposition"], r["match_id"]) for r in got] == [
         ("content_corpus", "c1")
     ]
+
+
+def test_engine_admission_stage(spark, tiny_cfg, clips_dir, tmp_path_factory):
+    """Engine cascade stage: admissions table partitioned by delivery,
+    manifest lineage, per-batch resume idempotency."""
+    from nadeefiler_spark.engine import ValidationEngine
+
+    out = str(tmp_path_factory.mktemp("engine_adm"))
+    eng = ValidationEngine(spark, out, rules=[])
+    clips = spark.read.parquet(f"{clips_dir}/clips")
+
+    row = clips.limit(1).collect()[0]
+    pcm_new = audio.render_pcm("admission-new", 16000, 120)
+    batch = spark.createDataFrame(
+        [
+            ("adm-copy", bytes(row["bytes"])),          # exact_corpus
+            ("adm-new", audio.encode(pcm_new, 16000, "flac")),  # accept
+        ],
+        "clip_id string, bytes binary",
+    )
+    v = eng.run_admission(clips, batch, batch_id="b1", run_id="a1").toPandas()
+    assert set(v["stage"]) == {"admission"} and list(v["part"]) == ["b1"]
+    assert int(v["n_rows"].sum()) == 2 and int(v["n_violations"].sum()) == 1
+    adm = eng.admissions().toPandas()
+    got = dict(zip(adm["id"], adm["disposition"]))
+    assert got == {"adm-copy": "exact_corpus", "adm-new": "accept"}
+    assert set(adm["part"]) == {"b1"}
+
+    # same batch id resumes as a no-op; a new id runs and appends its rows
+    assert eng.run_admission(clips, batch, batch_id="b1", run_id="a2").isEmpty()
+    m = eng.manifest().toPandas()
+    assert set(m[m["stage"] == "admission"]["run_id"]) == {"a1"}
+    eng.run_admission(clips, batch, batch_id="b2", run_id="a3")
+    adm2 = eng.admissions().toPandas()
+    assert sorted(set(adm2["part"])) == ["b1", "b2"] and len(adm2) == 4

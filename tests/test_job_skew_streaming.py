@@ -646,3 +646,33 @@ def test_windowed_text_quality_stream_equals_batch(spark, tmp_path):
     by_hour = {g[0]: g for g in got}
     assert by_hour[str(h(1))][2] == 1  # the email doc's window flags PII
     assert by_hour[str(h(0))][2] == 0
+
+
+def test_job_admit_flag(spark, clips_dirs, tmp_path):
+    out = str(tmp_path / "out_adm")
+    # delivery batch: one byte copy of a corpus clip + one fresh clip
+    from nadeefiler_spark import audio
+
+    clips = spark.read.parquet(f"{clips_dirs}/clips")
+    row = clips.limit(1).collect()[0]
+    pcm = audio.render_pcm("cli-admit-new", 16000, 120)
+    batch_path = str(tmp_path / "delivery-0042")
+    spark.createDataFrame(
+        [("adm-copy", bytes(row["bytes"])),
+         ("adm-new", audio.encode(pcm, 16000, "pcm_s16le"))],
+        "clip_id string, bytes binary",
+    ).write.parquet(batch_path)
+
+    summary = job.main(
+        ["--clips", f"{clips_dirs}/clips", "--out", out,
+         "--no-audio", "--no-drift", "--admit", batch_path],
+        spark=spark,
+    )
+    assert "admission" in summary["stages"]
+    assert "delivery-0042" in summary["partitions"]  # batch id = basename
+    from nadeefiler_spark.engine import ValidationEngine
+
+    eng = ValidationEngine(spark, out, rules=[])
+    adm = eng.admissions().toPandas()
+    got = dict(zip(adm["id"], adm["disposition"]))
+    assert got == {"adm-copy": "exact_corpus", "adm-new": "accept"}
