@@ -100,6 +100,97 @@ class StreamingValidator:
         return writer.start()
 
 
+DELIVERY_SCHEMA = "clip_id string, bytes binary"
+
+
+@dataclass
+class AdmissionMonitor:
+    """Continuously admit clip deliveries as they land in a directory.
+
+    Layout: ``deliveries_dir/batch=<delivery_id>/*.parquet`` with
+    (clip_id, bytes) rows — the ``batch=`` partition directory carries
+    the delivery id, exactly how an upstream crawler would stage
+    hand-offs. Each micro-batch re-reads the FULL current contents of
+    the touched deliveries (a delivery's files can arrive across
+    micro-batches — same reasoning as StreamingValidator) and runs
+    ``engine.run_admission`` with resume=False: the admissions table's
+    per-delivery replace makes replays and re-arrivals idempotent, and
+    each delivery converges to its complete classification whatever the
+    file->batch grouping.
+
+    The corpus fingerprint index is computed ONCE (lazily, persisted) —
+    or passed in via ``corpus_fps`` from the engine's shared decode
+    pass — so steady-state streaming cost per delivery is decoding the
+    DELIVERY only, never the corpus.
+    """
+
+    spark: SparkSession
+    corpus: DataFrame
+    deliveries_dir: str
+    checkpoint_dir: str
+    engine: ValidationEngine
+    corpus_fps: DataFrame | None = None
+    max_files_per_trigger: int | None = None
+
+    def _fps(self) -> DataFrame:
+        if self.corpus_fps is None:
+            from .rules.audio_rules import decode_facts
+
+            fps = decode_facts(
+                self.corpus, with_snr=False, with_fp=True
+            ).select("clip_id", "fp").persist()
+            fps.count()
+            self.corpus_fps = fps
+        return self.corpus_fps
+
+    def _read_stream(self) -> DataFrame:
+        reader = (
+            self.spark.readStream.schema(DELIVERY_SCHEMA)
+            .format("parquet")
+            .option("basePath", self.deliveries_dir)  # keep batch= column
+        )
+        if self.max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", self.max_files_per_trigger
+            )
+        return reader.load(self.deliveries_dir)
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        touched = [r[0] for r in batch_df.select("batch").distinct().collect()]
+        full = (
+            self.spark.read.schema(DELIVERY_SCHEMA)
+            .option("basePath", self.deliveries_dir)
+            .parquet(self.deliveries_dir)
+            .where(F.col("batch").isin(touched))
+        )
+        fps = self._fps()
+        for delivery in sorted(map(str, touched)):
+            self.engine.run_admission(
+                self.corpus,
+                full.where(F.col("batch") == delivery).select(
+                    "clip_id", "bytes"
+                ),
+                batch_id=delivery,
+                corpus_fps=fps,
+                resume=False,
+                run_id=f"stream-{batch_id}-{delivery}",
+            )
+
+    def start(self, available_now: bool = True):
+        """Start the stream. available_now=True drains what exists and
+        stops (test/batch-catchup mode); False runs continuously."""
+        writer = (
+            self._read_stream()
+            .writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
 # ---------------------------------------------------------------------------
 # Event-time windowed aggregation with a watermark
 # ---------------------------------------------------------------------------

@@ -676,3 +676,57 @@ def test_job_admit_flag(spark, clips_dirs, tmp_path):
     adm = eng.admissions().toPandas()
     got = dict(zip(adm["id"], adm["disposition"]))
     assert got == {"adm-copy": "exact_corpus", "adm-new": "accept"}
+
+
+def test_streaming_admission_monitor(spark, tmp_path):
+    """Deliveries landing as batch=<id> dirs are classified per delivery;
+    replays/new arrivals are idempotent through the per-delivery replace."""
+    from nadeefiler_spark import audio
+    from nadeefiler_spark.streaming import AdmissionMonitor
+
+    base = tmp_path / "adm_stream"
+    datagen.write_clips(
+        spark, str(base), datagen.GenConfig(n_rows=200, dur_min_ms=60)
+    )
+    corpus = spark.read.parquet(f"{base}/clips")
+    row = corpus.limit(1).collect()[0]
+    deliveries = str(base / "deliveries")
+
+    def write_delivery(did: str, rows):
+        spark.createDataFrame(rows, "clip_id string, bytes binary").coalesce(
+            1
+        ).write.parquet(f"{deliveries}/batch={did}")
+
+    pcm = audio.render_pcm("stream-new-1", 16000, 120)
+    write_delivery("d1", [("c-copy", bytes(row["bytes"]))])
+    write_delivery("d2", [("c-new", audio.encode(pcm, 16000, "flac"))])
+
+    eng = ValidationEngine(spark, str(base / "out"), rules=[])
+    mon = AdmissionMonitor(
+        spark=spark,
+        corpus=corpus,
+        deliveries_dir=deliveries,
+        checkpoint_dir=str(base / "ckpt"),
+        engine=eng,
+    )
+    q = mon.start(available_now=True)
+    q.awaitTermination(120)
+
+    adm = eng.admissions().toPandas()
+    got = {(r.part, r.id): r.disposition for r in adm.itertuples()}
+    assert got == {
+        ("d1", "c-copy"): "exact_corpus",
+        ("d2", "c-new"): "accept",
+    }
+
+    # a third delivery arrives: draining again admits ONLY the new one
+    # (checkpoint skips processed files) and earlier rows are unchanged
+    write_delivery("d3", [("c-copy2", bytes(row["bytes"]))])
+    q = mon.start(available_now=True)
+    q.awaitTermination(120)
+    adm2 = eng.admissions().toPandas()
+    got2 = {(r.part, r.id): r.disposition for r in adm2.itertuples()}
+    assert got2 == {**got, ("d3", "c-copy2"): "exact_corpus"}
+    # one manifest admission row per (delivery, drain-run) that ran
+    m = eng.manifest().where(F.col("stage") == "admission").toPandas()
+    assert sorted(m["part"]) == ["d1", "d2", "d3"]
