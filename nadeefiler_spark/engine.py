@@ -463,6 +463,68 @@ class ValidationEngine:
             clips, "embedding_dedup", "embedding_dups", compute, resume, run_id
         )
 
+    def run_fp_index(
+        self,
+        clips: DataFrame,
+        resume: bool = True,
+        run_id: str | None = None,
+    ) -> DataFrame:
+        """Cascade stage: materialize the corpus fingerprint index.
+
+        One (clip_id, fp, decode_error, part) row per corpus clip in
+        the ``fp_index`` table — the maintained index ``run_admission``
+        and ``streaming.AdmissionMonitor`` consume so deliveries never
+        re-decode the corpus. Unlike the global dedup stages the index
+        is a PER-PARTITION property: new corpus partitions index
+        incrementally (per-partition replace + manifest resume,
+        stage='fp_index') — the "maintained at ingest" shape; at 10^12
+        clips the full-corpus decode is paid once, then each ingest
+        pays only its own partitions. n_violations = undecodable clips
+        in the partition (they can never content-match an admission).
+        """
+        run_id = run_id or uuid.uuid4().hex[:12]
+        all_parts = [
+            r[0] for r in clips.select(self.part_col).distinct().collect()
+        ]
+        done: set[str] = set()
+        if resume:
+            done = {
+                r["part"]
+                for r in self.manifest().where(F.col("stage") == "fp_index")
+                .select("part").distinct().collect()
+            }
+        pending = [p for p in all_parts if str(p) not in done]
+        if not pending:
+            return self.verdicts().where(
+                (F.col("stage") == "fp_index") & (F.col("run_id") == run_id)
+            )
+        t0 = time.monotonic()
+        scoped = clips.where(F.col(self.part_col).isin(pending))
+        idx = decode_facts(scoped, with_snr=False, with_fp=True).select(
+            "clip_id", "fp", "decode_error", F.col("part").alias(self.part_col)
+        ).persist()
+        try:
+            self.io.replace_partitions(idx, "fp_index", self.part_col, pending)
+            stats = {
+                str(r[0]): (r["n"], r["bad"])
+                for r in idx.groupBy(self.part_col).agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("fp").isNull().cast("bigint")).alias("bad"),
+                ).collect()
+            }
+        finally:
+            idx.unpersist()
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        self._commit(
+            run_id, "fp_index", [str(p) for p in pending],
+            {p: int(stats.get(p, (0, 0))[0]) for p in map(str, pending)},
+            {p: int(stats.get(p, (0, 0))[1] or 0) for p in map(str, pending)},
+            wall_ms,
+        )
+        return self.verdicts().where(
+            (F.col("stage") == "fp_index") & (F.col("run_id") == run_id)
+        )
+
     def run_admission(
         self,
         clips: DataFrame,
@@ -501,9 +563,24 @@ class ValidationEngine:
             )
         t0 = time.monotonic()
         if corpus_fps is None:
-            corpus_fps = decode_facts(
-                clips, with_snr=False, with_fp=True
-            ).select("clip_id", "fp")
+            # prefer the maintained fp_index when it covers every current
+            # corpus partition (freshness is partition-granular — the
+            # engine's resume unit everywhere); otherwise decode inline
+            idx_parts = {
+                r[0]
+                for r in self.manifest().where(F.col("stage") == "fp_index")
+                .select("part").distinct().collect()
+            }
+            cur_parts = {
+                str(r[0])
+                for r in clips.select(self.part_col).distinct().collect()
+            }
+            if cur_parts and cur_parts <= idx_parts:
+                corpus_fps = self.fp_index().select("clip_id", "fp")
+            else:
+                corpus_fps = decode_facts(
+                    clips, with_snr=False, with_fp=True
+                ).select("clip_id", "fp")
         raw = incremental_clip_admission(
             clips, batch, max_hamming=max_hamming, corpus_fps=corpus_fps
         )
@@ -732,6 +809,12 @@ class ValidationEngine:
             "admissions",
             "id string, disposition string, match_id string, hamming int, "
             "part string",
+        )
+
+    def fp_index(self) -> DataFrame:
+        return self.io.read(
+            "fp_index",
+            "clip_id string, fp bigint, decode_error string, part string",
         )
 
     # --- stage bodies -----------------------------------------------------

@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(LSH-blocked embedding-cosine clusters -> "
                         "embedding_dups table); optional cosine threshold, "
                         "default 0.98")
+    p.add_argument("--index", action="store_true",
+                   help="build/refresh the corpus fingerprint index "
+                        "(fp_index table, per-partition resume); --admit "
+                        "then classifies against the index instead of "
+                        "re-decoding the corpus")
     p.add_argument("--admit", default=None, metavar="BATCH_PATH",
                    help="incremental admission: classify the clip batch at "
                         "this parquet path against the corpus (byte / "
@@ -122,6 +127,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
             clips, resume=not args.no_resume, run_id=args.run_id
         )
         verdicts = verdicts.unionByName(cd_v)
+    if args.index:
+        idx_v = eng.run_fp_index(
+            clips, resume=not args.no_resume, run_id=args.run_id
+        )
+        verdicts = verdicts.unionByName(idx_v)
     if args.admit:
         batch = spark.read.parquet(args.admit)
         batch_id = args.admit_id or args.admit.rstrip("/").rsplit("/", 1)[-1]

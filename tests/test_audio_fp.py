@@ -367,3 +367,63 @@ def test_engine_admission_stage(spark, tiny_cfg, clips_dir, tmp_path_factory):
     eng.run_admission(clips, batch, batch_id="b2", run_id="a3")
     adm2 = eng.admissions().toPandas()
     assert sorted(set(adm2["part"])) == ["b1", "b2"] and len(adm2) == 4
+
+
+def test_engine_fp_index_stage(spark, tiny_cfg, clips_dir, tmp_path_factory):
+    """fp_index builds per-partition, resumes incrementally, and matches
+    the direct fingerprint pass."""
+    from nadeefiler_spark.engine import ValidationEngine
+
+    out = str(tmp_path_factory.mktemp("engine_fpi"))
+    eng = ValidationEngine(spark, out, rules=[])
+    clips = spark.read.parquet(f"{clips_dir}/clips")
+    parts = sorted(r[0] for r in clips.select("part").distinct().collect())
+    first = clips.where(F.col("part") == parts[0])
+
+    eng.run_fp_index(first, run_id="i1")
+    idx1 = eng.fp_index().toPandas()
+    direct = audio_fp.audio_fingerprints(first).toPandas()
+    assert dict(zip(idx1["clip_id"], idx1["fp"])) == dict(
+        zip(direct["id"], direct["fp"])
+    )
+
+    # full corpus: only the remaining partitions are decoded/indexed
+    eng.run_fp_index(clips, run_id="i2")
+    m = eng.fp_index().toPandas()
+    assert len(m) == clips.count()
+    mf = eng.manifest().where(F.col("stage") == "fp_index").toPandas()
+    runs = dict(zip(mf["part"], mf["run_id"]))
+    assert runs[parts[0]] == "i1"  # not redone
+    assert all(runs[p] == "i2" for p in parts[1:])
+
+    # resume with nothing new: no-op
+    eng.run_fp_index(clips, run_id="i3")
+    assert "i3" not in set(
+        eng.manifest().where(F.col("stage") == "fp_index").toPandas()["run_id"]
+    )
+
+
+def test_admission_uses_fp_index_when_complete(spark, tiny_cfg, clips_dir,
+                                               tmp_path_factory):
+    """With a complete fp_index, run_admission must not decode corpus
+    bytes: poisoned corpus blobs still content-match via the index."""
+    from nadeefiler_spark.engine import ValidationEngine
+
+    out = str(tmp_path_factory.mktemp("engine_fpi_adm"))
+    eng = ValidationEngine(spark, out, rules=[])
+    clips = spark.read.parquet(f"{clips_dir}/clips")
+    eng.run_fp_index(clips, run_id="i1")
+
+    row = clips.limit(1).collect()[0]
+    _c, sr, pcm = audio.decode(bytes(row["bytes"]))
+    batch = spark.createDataFrame(
+        [("re-enc", audio.encode(pcm, int(sr), "opus"))],
+        "clip_id string, bytes binary",
+    )
+    poisoned = clips.withColumn(
+        "bytes", F.lit(b"\x00poisoned").cast("binary")
+    )
+    eng.run_admission(poisoned, batch, batch_id="bp", run_id="ap")
+    adm = eng.admissions().toPandas()
+    assert list(adm["disposition"]) == ["content_corpus"]
+    assert list(adm["match_id"]) == [row["clip_id"]]

@@ -730,3 +730,32 @@ def test_streaming_admission_monitor(spark, tmp_path):
     # one manifest admission row per (delivery, drain-run) that ran
     m = eng.manifest().where(F.col("stage") == "admission").toPandas()
     assert sorted(m["part"]) == ["d1", "d2", "d3"]
+
+
+def test_job_index_then_admit(spark, clips_dirs, tmp_path):
+    """--index builds the fp_index; --admit in the same invocation
+    classifies against it (content tier green without corpus re-decode)."""
+    from nadeefiler_spark import audio
+
+    out = str(tmp_path / "out_idx_adm")
+    clips = spark.read.parquet(f"{clips_dirs}/clips")
+    row = clips.limit(1).collect()[0]
+    _c, sr, pcm = audio.decode(bytes(row["bytes"]))
+    batch_path = str(tmp_path / "delivery-idx")
+    spark.createDataFrame(
+        [("re-enc", audio.encode(pcm, int(sr), "opus"))],
+        "clip_id string, bytes binary",
+    ).write.parquet(batch_path)
+
+    summary = job.main(
+        ["--clips", f"{clips_dirs}/clips", "--out", out,
+         "--no-audio", "--no-drift", "--index", "--admit", batch_path],
+        spark=spark,
+    )
+    assert {"fp_index", "admission"} <= set(summary["stages"])
+    from nadeefiler_spark.engine import ValidationEngine
+
+    eng = ValidationEngine(spark, out, rules=[])
+    assert eng.fp_index().count() == clips.count()
+    adm = eng.admissions().toPandas()
+    assert list(adm["disposition"]) == ["content_corpus"]
