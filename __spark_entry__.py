@@ -50,6 +50,12 @@ Operator → query map (SURVEY §2 ids in brackets):
                           deterministic hash sharding + checksums]
 - dup_clusters           [pipeline: near-dup clustering — connected
                           components (large-star/small-star) over pairs]
+- dup_label_conflicts    [validation: annotation consistency — near-dup
+                          pairs annotated with lang/source agreement]
+- transcript_conflicts   [validation: transcript agreement inside audio
+                          content-dup groups] (no DuckDB oracle: binary
+                          decode — planted conflict set pinned exactly,
+                          tests/test_consistency.py)
 - incremental_dedup      [pipeline: batch-vs-corpus admission — exact
                           digest tiers + inverted-index near tier]
 - numeric_quantiles      [A9-adjacent profile] per-partition quantiles —
@@ -1320,6 +1326,62 @@ def _q_audio_fp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("fp")
 
 
+def _q_transcript_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-consistency inside audio CONTENT dup groups
+    (operators/consistency.group_attr_conflicts over
+    operators/audio_fp fingerprints): the same recording carrying two
+    materially different transcripts is an annotation error the dedup
+    stage has already paid to expose. Planted on top of the synthetic
+    corpus: three byte-identical copies with rewritten transcripts
+    (MUST flag) and two copies whose transcript differs only in casing
+    and spacing (norm_text — must NOT flag). Datagen's own i%211 exact
+    duplicates copy the transcript verbatim, so they group consistent.
+    No DuckDB oracle (binary decode); the planted conflict set is
+    pinned exactly in tests/test_consistency.py."""
+    from nadeefiler_spark.operators import consistency
+    from nadeefiler_spark.operators.audio_fp import audio_fingerprints
+
+    cfg = datagen.GenConfig(n_rows=1000, seed=23, dur_min_ms=60, dur_max_ms=200)
+    base = datagen.clips_df(spark, cfg)
+    # residues avoid empty/NULL transcripts (i%61==7, i%67==8) and the
+    # datagen copy rows (i%211==1) — see row_spec
+    conflict_ids = [f"clip-{i:012d}" for i in (12, 345, 679)]
+    benign_ids = [f"clip-{i:012d}" for i in (23, 310)]
+    alt = base.where(F.col("clip_id").isin(conflict_ids)).select(
+        F.concat(F.col("clip_id"), F.lit("-alt")).alias("clip_id"),
+        "bytes", "sr_hz", "dur_ms", "codec",
+        F.concat(F.lit("mislabeled "), F.col("clip_id")).alias("transcript"),
+        "part",
+    )
+    benign = base.where(F.col("clip_id").isin(benign_ids)).select(
+        F.concat(F.col("clip_id"), F.lit("-copy")).alias("clip_id"),
+        "bytes", "sr_hz", "dur_ms", "codec",
+        F.concat(F.upper(F.col("transcript")), F.lit("  ")).alias("transcript"),
+        "part",
+    )
+    clips = base.unionByName(alt).unionByName(benign)
+    fps = audio_fingerprints(clips).where(F.col("fp").isNotNull())
+    # datagen's i%211 copy rows repeat clip_id verbatim (uniqueness-rule
+    # bait) — dropDuplicates keeps the transcript join 1:1 so n_members
+    # counts fingerprint rows, not join fanout
+    labeled = fps.join(
+        clips.select(F.col("clip_id").alias("id"), "transcript")
+        .dropDuplicates(["id"]),
+        "id",
+    )
+    return (
+        consistency.group_attr_conflicts(
+            labeled, "fp", "id",
+            {"transcript": consistency.norm_text("transcript")},
+        )
+        .select(
+            F.col("group_key").alias("fp"),
+            "n_members", "keeper_id", "n_transcript", "consistent",
+        )
+        .orderBy("fp")
+    )
+
+
 def _q_clip_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental clip admission (operators.audio_fp
     .incremental_clip_admission): a derived delivery batch classified
@@ -1792,6 +1854,40 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.col("cluster_size").cast("bigint").alias("cluster_size"),
     )
+
+
+def _q_dup_label_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation-consistency over near-dup pairs
+    (operators/consistency.pair_attr_conflicts): the ngram-Jaccard pair
+    list annotated with lang/source agreement flags — near-identical
+    documents tagged with two different languages are probable labeling
+    errors, the cross-row check the reference's per-document profilers
+    cannot see (verdict-row shape per profilers/worker.js:84-100). The
+    pair list is tiny vs the corpus, so AQE broadcasts it into the two
+    attribute joins — no extra shuffle of the base table."""
+    from nadeefiler_spark.operators import consistency
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+    return consistency.pair_attr_conflicts(
+        pairs, d, "doc_id", ["lang", "source"]
+    )
+
+
+# Twin: jpairs (the shared ngram CTE body) joined back to documents on
+# each side; IS NOT DISTINCT FROM mirrors eqNullSafe (never-NULL
+# booleans — the oracle hash compare chokes on nullable bools).
+_SQL_DUP_LABEL_CONFLICTS = f"""
+WITH {_NGRAM_CTES}
+SELECT j.id_a, j.id_b, j.jaccard,
+       da.lang AS lang_a, db.lang AS lang_b,
+       da.source AS source_a, db.source AS source_b,
+       (da.lang IS NOT DISTINCT FROM db.lang) AS lang_match,
+       (da.source IS NOT DISTINCT FROM db.source) AS source_match
+FROM jpairs j
+LEFT JOIN documents da ON da.doc_id = j.id_a
+LEFT JOIN documents db ON db.doc_id = j.id_b
+"""
 
 
 def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3548,6 +3644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": _q_exact_dup_groups,
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
+        "dup_label_conflicts": _q_dup_label_conflicts,
+        "transcript_conflicts": _q_transcript_conflicts,
         "incremental_dedup": _q_incremental_dedup,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -3630,6 +3728,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_groups": _SQL_EXACT_DUP_GROUPS,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "dup_clusters": _SQL_DUP_CLUSTERS,
+        "dup_label_conflicts": _SQL_DUP_LABEL_CONFLICTS,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "embedding_cosine_dups": _SQL_EMBEDDING_COSINE_DUPS,
         "embedding_cosine_dups_blocked": _sql_embedding_cosine_dups_blocked(),

@@ -75,6 +75,8 @@ HEADLINE_QUERIES = (
     "corpus_sample",
     "shard_manifest",
     "dup_clusters",
+    "dup_label_conflicts",
+    "transcript_conflicts",
     "incremental_dedup",
     "golden_records",
     "dedup_survivors",

@@ -58,7 +58,7 @@ def test_queries_and_oracles_align():
     assert set(qs) - set(oracles) == {
         "minhash_pairs", "simhash_pairs", "audio_validate", "binary_meta",
         "audio_fp_dups", "audio_feature_ann", "audio_embedding_dups",
-        "audio_qc", "clip_admission",
+        "audio_qc", "clip_admission", "transcript_conflicts",
     }
 
 
