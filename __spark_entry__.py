@@ -52,6 +52,9 @@ Operator → query map (SURVEY §2 ids in brackets):
                           components (large-star/small-star) over pairs]
 - dup_label_conflicts    [validation: annotation consistency — near-dup
                           pairs annotated with lang/source agreement]
+- expectation_suite      [validation: declarative expectation suite —
+                          N dataset-contract checks in ONE aggregate
+                          scan, per-partition verdict rows]
 - transcript_conflicts   [validation: transcript agreement inside audio
                           content-dup groups] (no DuckDB oracle: binary
                           decode — planted conflict set pinned exactly,
@@ -1856,6 +1859,92 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite (expectations.verify): eight
+    dataset-contract checks over orders, grouped by o_orderstatus —
+    the per-partition pass/fail verdict shape of the north rule,
+    compiled to ONE aggregate scan (every check is an aggregate
+    expression in the same groupBy().agg(); the verdict table is
+    unpivoted JVM-side via inline_outer). max_at_most(400k) is
+    deliberately violated so the failing path is oracle-covered."""
+    from nadeefiler_spark import expectations as E
+
+    o = _t(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    suite = [
+        E.size_between(1000),
+        E.completeness("o_custkey", 1.0),
+        E.uniqueness("o_orderkey", 1.0),
+        E.mean_between("o_totalprice", 200000.0, 300000.0),
+        E.min_at_least("o_totalprice", 0.0),
+        E.max_at_most("o_totalprice", 400000.0),
+        E.values_in("o_orderpriority", prios, 1.0),
+        E.matches_regex("o_orderpriority", "^[1-5]-[A-Z ]+$", 1.0),
+    ]
+    out = E.verify(o, suite, by=["o_orderstatus"])
+    return out.select(
+        "o_orderstatus", "check", "column",
+        F.round("value", 6).alias("value"), "lo", "hi", "passed",
+    )
+
+
+# Twin: one grouped aggregate CTE, one UNION ALL arm per check — the
+# same unpivot the Spark side does with inline_outer. Bounds mirror
+# the suite literally; +-infinity doubles keep single-sided checks on
+# the shared between() path.
+_SQL_EXPECTATION_SUITE = """
+WITH m AS (
+  SELECT o_orderstatus,
+    CAST(count(*) AS DOUBLE) AS m_size,
+    avg(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS m_compl,
+    count(DISTINCT o_orderkey) * 1.0
+      / greatest(count(o_orderkey), 1) AS m_uniq,
+    avg(o_totalprice) AS m_mean,
+    CAST(min(o_totalprice) AS DOUBLE) AS m_min,
+    CAST(max(o_totalprice) AS DOUBLE) AS m_max,
+    avg(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',
+      '4-NOT SPECIFIED','5-LOW') THEN 1 ELSE 0 END) AS m_in,
+    avg(CASE WHEN o_orderpriority IS NOT NULL AND
+      regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+      THEN 1 ELSE 0 END) AS m_re
+  FROM orders GROUP BY 1
+),
+inf AS (SELECT CAST('infinity' AS DOUBLE) AS p, CAST('-infinity' AS DOUBLE) AS n)
+SELECT o_orderstatus, 'size' AS "check", '*' AS "column",
+       round(m_size, 6) AS value, 1000.0 AS lo, inf.p AS hi,
+       coalesce(m_size >= 1000.0 AND m_size <= inf.p, false) AS passed
+FROM m, inf
+UNION ALL
+SELECT o_orderstatus, 'completeness(o_custkey)', 'o_custkey',
+       round(m_compl, 6), 1.0, inf.p,
+       coalesce(m_compl >= 1.0 AND m_compl <= inf.p, false) FROM m, inf
+UNION ALL
+SELECT o_orderstatus, 'uniqueness(o_orderkey)', 'o_orderkey',
+       round(m_uniq, 6), 1.0, inf.p,
+       coalesce(m_uniq >= 1.0 AND m_uniq <= inf.p, false) FROM m, inf
+UNION ALL
+SELECT o_orderstatus, 'mean(o_totalprice)', 'o_totalprice',
+       round(m_mean, 6), 200000.0, 300000.0,
+       coalesce(m_mean >= 200000.0 AND m_mean <= 300000.0, false) FROM m, inf
+UNION ALL
+SELECT o_orderstatus, 'min(o_totalprice)', 'o_totalprice',
+       round(m_min, 6), 0.0, inf.p,
+       coalesce(m_min >= 0.0 AND m_min <= inf.p, false) FROM m, inf
+UNION ALL
+SELECT o_orderstatus, 'max(o_totalprice)', 'o_totalprice',
+       round(m_max, 6), inf.n, 400000.0,
+       coalesce(m_max >= inf.n AND m_max <= 400000.0, false) FROM m, inf
+UNION ALL
+SELECT o_orderstatus, 'values_in(o_orderpriority)', 'o_orderpriority',
+       round(m_in, 6), 1.0, inf.p,
+       coalesce(m_in >= 1.0 AND m_in <= inf.p, false) FROM m, inf
+UNION ALL
+SELECT o_orderstatus, 'matches(o_orderpriority)', 'o_orderpriority',
+       round(m_re, 6), 1.0, inf.p,
+       coalesce(m_re >= 1.0 AND m_re <= inf.p, false) FROM m, inf
+"""
+
+
 def _q_dup_label_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Annotation-consistency over near-dup pairs
     (operators/consistency.pair_attr_conflicts): the ngram-Jaccard pair
@@ -3645,6 +3734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
         "dup_label_conflicts": _q_dup_label_conflicts,
+        "expectation_suite": _q_expectation_suite,
         "transcript_conflicts": _q_transcript_conflicts,
         "incremental_dedup": _q_incremental_dedup,
         "minhash_pairs": _q_minhash_pairs,
@@ -3729,6 +3819,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "dup_clusters": _SQL_DUP_CLUSTERS,
         "dup_label_conflicts": _SQL_DUP_LABEL_CONFLICTS,
+        "expectation_suite": _SQL_EXPECTATION_SUITE,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "embedding_cosine_dups": _SQL_EMBEDDING_COSINE_DUPS,
         "embedding_cosine_dups_blocked": _sql_embedding_cosine_dups_blocked(),

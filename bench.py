@@ -76,6 +76,7 @@ HEADLINE_QUERIES = (
     "shard_manifest",
     "dup_clusters",
     "dup_label_conflicts",
+    "expectation_suite",
     "transcript_conflicts",
     "incremental_dedup",
     "golden_records",

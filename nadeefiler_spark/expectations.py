@@ -1,0 +1,179 @@
+"""Declarative expectation suites compiled to ONE aggregate scan.
+
+The rule framework (rules/base.py) emits per-ROW violation rows; an
+expectation suite asserts DATASET-level invariants — "o_custkey is
+>=99.9% complete", "o_orderkey is unique", "mean price sits inside
+[lo, hi]" — the contract a downstream consumer actually signs. The
+design constraint at 10^12 rows is that N checks must cost ONE scan,
+not N: every check contributes one aggregate expression to a single
+``groupBy().agg()``, and the verdict table is unpivoted from the
+aggregate row JVM-side (inline_outer over a struct array — no Python
+in the loop, no second job).
+
+``verify(df, checks, by=["part"])`` yields the north-star per-partition
+pass/fail verdict shape: one row per (partition, check) with the
+measured value, the declared bounds, and a never-NULL ``passed``
+(a NULL metric — e.g. the mean of an all-NULL column — fails, it does
+not vanish).
+
+Reference analog: nadeefiler's per-profiler verdict rows stamped with
+dataset + profiler (/root/reference/profilers/worker.js:84-100); the
+declarative-suite shape follows the public Deequ/Great-Expectations
+model re-expressed as Catalyst aggregates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "Check",
+    "completeness",
+    "uniqueness",
+    "distinctness",
+    "mean_between",
+    "min_at_least",
+    "max_at_most",
+    "values_in",
+    "matches_regex",
+    "size_between",
+    "verify",
+]
+
+
+@dataclass(frozen=True)
+class Check:
+    """One expectation: an aggregate metric plus inclusive bounds.
+
+    ``metric`` is any Spark aggregate expression evaluating to a
+    numeric; ``passed`` is ``lo <= value <= hi`` with NULL -> False.
+    Open bounds are +-inf, so single-sided checks stay one code path.
+    """
+
+    name: str
+    column: str
+    metric: Column
+    lo: float = float("-inf")
+    hi: float = float("inf")
+
+
+def _ratio(pred: Column) -> Column:
+    # avg over an int flag; NULL-safe because the flag itself is 0/1
+    return F.avg(F.when(pred, 1).otherwise(0))
+
+
+def completeness(column: str, min_ratio: float = 1.0) -> Check:
+    return Check(
+        f"completeness({column})", column,
+        _ratio(F.col(column).isNotNull()), lo=min_ratio,
+    )
+
+
+def uniqueness(column: str, min_ratio: float = 1.0, exact: bool = True) -> Check:
+    """distinct/count over NON-NULL values. exact=False swaps in the
+    HLL sketch (approx_count_distinct) — at 10^12 rows the exact
+    variant's count-distinct Expand is the expensive path and the
+    sketch (~2% rsd) is the production default; the oracle-gated
+    contract uses exact."""
+    d = (
+        F.countDistinct(F.col(column))
+        if exact
+        else F.approx_count_distinct(F.col(column))
+    )
+    n = F.count(F.col(column))
+    return Check(
+        f"uniqueness({column})", column,
+        d / F.greatest(n, F.lit(1)), lo=min_ratio,
+    )
+
+
+def distinctness(column: str, lo: float = 0.0, hi: float = float("inf")) -> Check:
+    """Distinct non-null count inside [lo, hi] — the NDV envelope."""
+    return Check(
+        f"distinctness({column})", column,
+        F.countDistinct(F.col(column)).cast("double"), lo=lo, hi=hi,
+    )
+
+
+def mean_between(column: str, lo: float, hi: float) -> Check:
+    return Check(f"mean({column})", column, F.avg(F.col(column)), lo=lo, hi=hi)
+
+
+def min_at_least(column: str, lo: float) -> Check:
+    return Check(
+        f"min({column})", column, F.min(F.col(column)).cast("double"), lo=lo
+    )
+
+
+def max_at_most(column: str, hi: float) -> Check:
+    return Check(
+        f"max({column})", column, F.max(F.col(column)).cast("double"), hi=hi
+    )
+
+
+def values_in(column: str, allowed: Sequence[str], min_ratio: float = 1.0) -> Check:
+    return Check(
+        f"values_in({column})", column,
+        _ratio(F.col(column).isin(list(allowed))), lo=min_ratio,
+    )
+
+
+def matches_regex(column: str, pattern: str, min_ratio: float = 1.0) -> Check:
+    """Ratio of non-null values matching ``pattern`` (Java regex; keep
+    to the Java-and-RE2-compatible subset documented in functions/pii.py
+    if the suite needs a DuckDB twin)."""
+    return Check(
+        f"matches({column})", column,
+        _ratio(F.col(column).isNotNull() & F.col(column).rlike(pattern)),
+        lo=min_ratio,
+    )
+
+
+def size_between(lo: float, hi: float = float("inf")) -> Check:
+    return Check("size", "*", F.count(F.lit(1)).cast("double"), lo=lo, hi=hi)
+
+
+def verify(
+    df: DataFrame, checks: Sequence[Check], by: Sequence[str] | None = None
+) -> DataFrame:
+    """Evaluate a suite in one scan; one verdict row per (group, check).
+
+    Output: ``[*by, check, column, value, lo, hi, passed]`` with
+    ``value`` the measured metric (NULL when the group had no usable
+    input) and ``passed`` never NULL (NULL value fails). ``by=None``
+    verifies globally (one row per check); ``by=["part"]`` is the
+    per-partition verdict shape the engine's manifest model expects.
+
+    Plan: partial aggregation map-side into one final aggregate per
+    group, then ``inline_outer`` unpivots the metric row into verdict
+    rows — a narrow projection, no shuffle beyond the grouping key's.
+    """
+    if not checks:
+        raise ValueError("verify() needs at least one Check")
+    names = [f"__m_{i}" for i in range(len(checks))]
+    aggs = [c.metric.cast("double").alias(n) for c, n in zip(checks, names)]
+    grouped = df.groupBy(*[F.col(c) for c in by]) if by else df.groupBy()
+    agg = grouped.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c.name).alias("check"),
+                F.lit(c.column).alias("column"),
+                F.col(n).alias("value"),
+                F.lit(float(c.lo)).alias("lo"),
+                F.lit(float(c.hi)).alias("hi"),
+                F.coalesce(
+                    (F.col(n) >= F.lit(float(c.lo)))
+                    & (F.col(n) <= F.lit(float(c.hi))),
+                    F.lit(False),
+                ).alias("passed"),
+            )
+            for c, n in zip(checks, names)
+        ]
+    )
+    keep = list(by) if by else []
+    return agg.select(*keep, F.inline_outer(rows))
