@@ -791,6 +791,81 @@ class ValidationEngine:
             "metric double, holds boolean, part string",
         )
 
+    # --- cascade stage: expectation suites ----------------------------------
+    def run_expectations(
+        self,
+        clips: DataFrame,
+        checks=None,
+        resume: bool = True,
+        run_id: str | None = None,
+    ) -> DataFrame:
+        """Per-partition declarative expectation suite
+        (expectations.verify): the whole suite costs ONE aggregate scan
+        of the pending partitions, grouped by the partition column, and
+        writes one verdict row per (partition, check) to
+        ``expectation_results`` with per-partition replace + manifest
+        resume (stage='expectations'). Manifest ``n_violations`` counts
+        FAILED CHECKS per partition — dataset-contract breaches, the
+        coarse sibling of the per-row violation rows the rule stages
+        emit. ``checks`` defaults to presets.default_clip_expectations()
+        for the input_hint clips schema.
+        """
+        from . import expectations as ex
+
+        if checks is None:
+            from .presets import default_clip_expectations
+
+            checks = default_clip_expectations()
+        run_id = run_id or uuid.uuid4().hex[:12]
+        all_parts = [r[0] for r in clips.select(self.part_col).distinct().collect()]
+        done: set[str] = set()
+        if resume:
+            done = {
+                r["part"]
+                for r in self.manifest().where(F.col("stage") == "expectations")
+                .select("part").distinct().collect()
+            }
+        pending = [p for p in all_parts if str(p) not in done]
+        if not pending:
+            return self.verdicts().where(
+                (F.col("stage") == "expectations") & (F.col("run_id") == run_id)
+            )
+        t0 = time.monotonic()
+        scoped = clips.where(F.col(self.part_col).isin(pending))
+        out = ex.verify(scoped, checks, by=[self.part_col]).select(
+            F.col(self.part_col).cast("string").alias("part"),
+            "check", "column", "value", "lo", "hi", "passed",
+        )
+        self.io.replace_partitions(
+            out, "expectation_results", "part", [str(p) for p in pending]
+        )
+        # failed-check counts from the (tiny, #parts x #checks) result
+        # table — never a second scan of clips
+        res = self.expectation_results().where(
+            F.col("part").isin([str(p) for p in pending])
+        )
+        viol = {
+            r["part"]: int(r["c"])
+            for r in res.where(~F.col("passed"))
+            .groupBy("part").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        rows = self._rows_by_part(pending)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        self._commit(
+            run_id, "expectations", [str(p) for p in pending],
+            rows, {str(p): viol.get(str(p), 0) for p in pending}, wall_ms,
+        )
+        return self.verdicts().where(
+            (F.col("stage") == "expectations") & (F.col("run_id") == run_id)
+        )
+
+    def expectation_results(self) -> DataFrame:
+        return self.io.read(
+            "expectation_results",
+            "part string, check string, column string, value double, "
+            "lo double, hi double, passed boolean",
+        )
+
     def content_dups(self) -> DataFrame:
         return self.io.read(
             "content_dups",

@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the FD-mining cascade stage over these columns "
                         "(no values = every non-binary column); writes the "
                         "fd_results table and stage='fd' manifest rows")
+    p.add_argument("--expect", action="store_true",
+                   help="run the default expectation suite per partition "
+                        "(stage='expectations', expectation_results table)")
     p.add_argument("--discover", action="store_true",
                    help="mine candidate keys + clip<->transcript inclusion "
                         "dependencies into discovery_results")
@@ -116,6 +119,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
             resume=not args.no_resume, run_id=args.run_id,
         )
         verdicts = verdicts.unionByName(fd_v)
+    if args.expect:
+        exp_v = eng.run_expectations(
+            clips, resume=not args.no_resume, run_id=args.run_id
+        )
+        verdicts = verdicts.unionByName(exp_v)
     if args.discover:
         disc_v = eng.run_discovery(
             clips, refs=refs, max_arity=args.discover_arity,

@@ -47,3 +47,22 @@ def default_clip_rules(
         # clips partitioning is derived from codec -> exclude it
         rules.append(DriftRule(exclude_keys=("codec",)))
     return rules
+
+
+def default_clip_expectations() -> list:
+    """Dataset-contract suite for the input_hint clips schema
+    (engine.run_expectations default): the per-PARTITION envelope the
+    per-row rules assert row-by-row. Strict thresholds are the point —
+    on the synthetic corpus the planted duplicate clip_ids and invalid
+    sr_hz values FAIL their checks, which is the verdict a validation
+    engine owes its caller (tests pin the exact failing set)."""
+    from . import expectations as E
+
+    return [
+        E.size_between(1),
+        E.uniqueness("clip_id", 1.0),
+        E.completeness("bytes", 1.0),
+        E.completeness("transcript", 0.95),
+        E.values_in("sr_hz", list(audio.VALID_SR), 1.0),
+        E.min_at_least("dur_ms", 1.0),
+    ]
