@@ -859,6 +859,24 @@ class ValidationEngine:
             (F.col("stage") == "expectations") & (F.col("run_id") == run_id)
         )
 
+    def violation_samples(self, k: int = 5) -> DataFrame:
+        """Top-k example violation rows per (partition, rule) — the
+        triage view a human opens first: every failing rule shows a few
+        concrete offending clips instead of a bare count. Deterministic
+        (ordered by clip_id inside each group) and cheap at any scale:
+        a row_number window partitioned by (part, rule) over the
+        violations table — one shuffle of violations only, never of
+        clips. Ranked ``rank`` 1..k, reference result-pagination analog
+        (TupleController.js keyset reads)."""
+        from .operators.topk import topk_per_group
+
+        return topk_per_group(
+            self.violations(),
+            ["part", "rule"],
+            [F.col("clip_id").asc_nulls_last(), F.col("detail")],
+            k,
+        )
+
     def expectation_results(self) -> DataFrame:
         return self.io.read(
             "expectation_results",

@@ -42,6 +42,7 @@ __all__ = [
     "matches_regex",
     "size_between",
     "verify",
+    "schema_conformance",
 ]
 
 
@@ -177,3 +178,65 @@ def verify(
     )
     keep = list(by) if by else []
     return agg.select(*keep, F.inline_outer(rows))
+
+
+def schema_conformance(
+    df: DataFrame,
+    expected: dict[str, str],
+    allow_extra: bool = True,
+) -> DataFrame:
+    """Declared-schema contract check: presence + type per column.
+
+    ``expected`` maps column name -> Spark DDL type (``"string"``,
+    ``"int"``, ``"array<float>"``, …), the contract a producer signs
+    (the input_hint table shape, for instance). Verdict rows:
+
+    - ``column_present(col)`` / ``column_type(col)`` per expected
+      column (a missing column fails BOTH — absence is not type
+      conformance);
+    - one ``no_extra_columns`` row when ``allow_extra=False``
+      (schema-widening tolerated by default, matching Spark's own
+      mergeSchema posture).
+
+    Zero data scanned: the verdict is built from ``df.schema``
+    driver-side and emitted as a VALUES relation (a
+    ``createDataFrame(local_rows)`` plan is a parallelized Python RDD
+    whose write pays a Python-worker round trip — VALUES is pure JVM,
+    same reasoning as the engine's manifest commits).
+    """
+    from pyspark.sql.types import DataType
+
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    rows: list[tuple[str, str, str, str, bool]] = []
+    for col, ddl in expected.items():
+        want = DataType.fromDDL(ddl)
+        present = col in actual
+        rows.append(
+            ("column_present(%s)" % col, col, "present",
+             "present" if present else "missing", present)
+        )
+        got = actual[col].simpleString() if present else "missing"
+        rows.append(
+            ("column_type(%s)" % col, col, want.simpleString(), got,
+             present and actual[col] == want)
+        )
+    if not allow_extra:
+        extras = sorted(set(actual) - set(expected))
+        rows.append(
+            ("no_extra_columns", "*", "none",
+             ",".join(extras) if extras else "none", not extras)
+        )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+    vals = ", ".join(
+        "({}, {}, {}, {}, {})".format(
+            q(c), q(col), q(exp), q(act), "true" if ok else "false"
+        )
+        for c, col, exp, act, ok in rows
+    )
+    return df.sparkSession.sql(
+        f"SELECT col1 AS `check`, col2 AS `column`, col3 AS expected, "
+        f"col4 AS actual, col5 AS passed FROM VALUES {vals}"
+    )

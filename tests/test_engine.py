@@ -229,3 +229,27 @@ def test_concurrent_stages_match_serial(spark, tiny_cfg, clips_dir, run_dir, mon
     a = sorted(map(tuple, eng.violations().select(*key).collect()))
     b = sorted(map(tuple, _engine(spark, run_dir).violations().select(*key).collect()))
     assert a == b
+
+
+def test_violation_samples_triage_view(spark, run_dir):
+    eng = _engine(spark, run_dir)
+    samples = eng.violation_samples(k=3).toPandas()
+    assert set(samples.columns) == {
+        "part", "rule", "clip_id", "detail", "stage", "rank",
+    }
+    # never more than k per (part, rule), rank is 1-based and dense
+    sizes = samples.groupby(["part", "rule"]).size()
+    assert (sizes <= 3).all() and len(sizes) > 0
+    assert set(samples["rank"]) <= {1, 2, 3}
+    # deterministic: re-evaluation yields the identical sample set
+    again = eng.violation_samples(k=3).toPandas()
+    a = samples.sort_values(list(samples.columns)).reset_index(drop=True)
+    b = again.sort_values(list(again.columns)).reset_index(drop=True)
+    assert a.equals(b)
+    # groups with more violations than k are truncated to exactly k
+    counts = eng.violations().groupBy("part", "rule").count().toPandas()
+    big = counts[counts["count"] > 3]
+    if len(big):
+        p, r = big.iloc[0]["part"], big.iloc[0]["rule"]
+        got = sizes.loc[(p, r)]
+        assert got == 3

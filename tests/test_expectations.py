@@ -89,6 +89,43 @@ def test_verify_is_one_scan(spark):
     assert plan.lower().count("scan existingrdd") + plan.count("Scan") <= 2  # one scan (+AQE echo)
 
 
+def test_schema_conformance(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 2.0)], "clip_id long, codec string, x double"
+    )
+    expected = {
+        "clip_id": "string",       # wrong type (actual bigint)
+        "codec": "string",         # ok
+        "transcript": "string",    # missing
+    }
+    out = {r["check"]: r for r in
+           E.schema_conformance(df, expected, allow_extra=False).collect()}
+    assert out["column_present(clip_id)"]["passed"]
+    assert not out["column_type(clip_id)"]["passed"]
+    assert out["column_type(clip_id)"]["actual"] == "bigint"
+    assert out["column_type(codec)"]["passed"]
+    assert not out["column_present(transcript)"]["passed"]
+    assert not out["column_type(transcript)"]["passed"]
+    row = out["no_extra_columns"]
+    assert not row["passed"] and row["actual"] == "x"
+    # widening tolerated by default
+    ok = E.schema_conformance(df, {"codec": "string"})
+    assert all(r["passed"] for r in ok.collect())
+
+
+def test_schema_conformance_input_hint_shape(spark):
+    """The BASELINE.json input_hint contract passes against the datagen
+    clips schema — the check a producer would run pre-ingest."""
+    from nadeefiler_spark import datagen
+
+    clips = datagen.clips_df(spark, datagen.GenConfig(n_rows=5))
+    hint = {
+        "clip_id": "string", "bytes": "binary", "sr_hz": "int",
+        "dur_ms": "int", "codec": "string", "transcript": "string",
+    }
+    assert all(r["passed"] for r in E.schema_conformance(clips, hint).collect())
+
+
 def test_uniqueness_approx_variant(spark):
     df = spark.range(1000).select(F.col("id"))
     v = _by_check(E.verify(df, [E.uniqueness("id", 0.9, exact=False)]))
