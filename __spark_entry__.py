@@ -55,6 +55,9 @@ Operator → query map (SURVEY §2 ids in brackets):
 - expectation_suite      [validation: declarative expectation suite —
                           N dataset-contract checks in ONE aggregate
                           scan, per-partition verdict rows]
+- windowed_expectations  [continuous validation: the same suite per
+                          event-time window; identical plan streams
+                          with watermark finalization]
 - transcript_conflicts   [validation: transcript agreement inside audio
                           content-dup groups] (no DuckDB oracle: binary
                           decode — planted conflict set pinned exactly,
@@ -1945,6 +1948,69 @@ SELECT o_orderstatus, 'matches(o_orderpriority)', 'o_orderpriority',
 """
 
 
+def _q_windowed_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous expectation monitoring, batch twin
+    (streaming.windowed_expectations — the identical plan streams in
+    append mode with a watermark): the declarative suite evaluated per
+    event-time hour over events. Bounds are deliberately tight enough
+    that verdicts MIX per window (size >= 10, mean in [20, 80],
+    max <= 400) — both branches of every check are oracle-covered."""
+    from nadeefiler_spark import expectations as E
+    from nadeefiler_spark.streaming import windowed_expectations
+
+    ev = _t(spark, sf_dir, "events")
+    suite = [
+        E.size_between(10),
+        E.completeness("value", 1.0),
+        E.mean_between("value", 20.0, 80.0),
+        E.max_at_most("value", 400.0),
+        E.values_in(
+            "event_type", ["view", "click", "signup", "purchase", "error"], 1.0
+        ),
+    ]
+    out = windowed_expectations(ev, suite, ts_col="ts", window="1 hour")
+    return out.select(
+        "window_start", "window_end", "check", "column",
+        F.round("value", 6).alias("value"), "lo", "hi", "passed",
+    )
+
+
+_SQL_WINDOWED_EXPECTATIONS = """
+WITH m AS (
+  SELECT date_trunc('hour', ts) AS ws,
+    CAST(count(*) AS DOUBLE) AS m_size,
+    avg(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS m_compl,
+    avg(value) AS m_mean,
+    CAST(max(value) AS DOUBLE) AS m_max,
+    avg(CASE WHEN event_type IN ('view','click','signup','purchase',
+      'error') THEN 1 ELSE 0 END) AS m_in
+  FROM events GROUP BY 1
+),
+inf AS (SELECT CAST('infinity' AS DOUBLE) AS p, CAST('-infinity' AS DOUBLE) AS n)
+SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+       'size' AS "check", '*' AS "column",
+       round(m_size, 6) AS value, 10.0 AS lo, inf.p AS hi,
+       coalesce(m_size >= 10.0 AND m_size <= inf.p, false) AS passed
+FROM m, inf
+UNION ALL
+SELECT ws, ws + INTERVAL 1 HOUR, 'completeness(value)', 'value',
+       round(m_compl, 6), 1.0, inf.p,
+       coalesce(m_compl >= 1.0 AND m_compl <= inf.p, false) FROM m, inf
+UNION ALL
+SELECT ws, ws + INTERVAL 1 HOUR, 'mean(value)', 'value',
+       round(m_mean, 6), 20.0, 80.0,
+       coalesce(m_mean >= 20.0 AND m_mean <= 80.0, false) FROM m, inf
+UNION ALL
+SELECT ws, ws + INTERVAL 1 HOUR, 'max(value)', 'value',
+       round(m_max, 6), inf.n, 400.0,
+       coalesce(m_max >= inf.n AND m_max <= 400.0, false) FROM m, inf
+UNION ALL
+SELECT ws, ws + INTERVAL 1 HOUR, 'values_in(event_type)', 'event_type',
+       round(m_in, 6), 1.0, inf.p,
+       coalesce(m_in >= 1.0 AND m_in <= inf.p, false) FROM m, inf
+"""
+
+
 def _q_dup_label_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Annotation-consistency over near-dup pairs
     (operators/consistency.pair_attr_conflicts): the ngram-Jaccard pair
@@ -3735,6 +3801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "dup_label_conflicts": _q_dup_label_conflicts,
         "expectation_suite": _q_expectation_suite,
+        "windowed_expectations": _q_windowed_expectations,
         "transcript_conflicts": _q_transcript_conflicts,
         "incremental_dedup": _q_incremental_dedup,
         "minhash_pairs": _q_minhash_pairs,
@@ -3820,6 +3887,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _SQL_DUP_CLUSTERS,
         "dup_label_conflicts": _SQL_DUP_LABEL_CONFLICTS,
         "expectation_suite": _SQL_EXPECTATION_SUITE,
+        "windowed_expectations": _SQL_WINDOWED_EXPECTATIONS,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "embedding_cosine_dups": _SQL_EMBEDDING_COSINE_DUPS,
         "embedding_cosine_dups_blocked": _sql_embedding_cosine_dups_blocked(),

@@ -77,6 +77,7 @@ HEADLINE_QUERIES = (
     "dup_clusters",
     "dup_label_conflicts",
     "expectation_suite",
+    "windowed_expectations",
     "transcript_conflicts",
     "incremental_dedup",
     "golden_records",

@@ -155,11 +155,25 @@ def verify(
     """
     if not checks:
         raise ValueError("verify() needs at least one Check")
-    names = [f"__m_{i}" for i in range(len(checks))]
-    aggs = [c.metric.cast("double").alias(n) for c, n in zip(checks, names)]
+    names, aggs = agg_exprs(checks)
     grouped = df.groupBy(*[F.col(c) for c in by]) if by else df.groupBy()
     agg = grouped.agg(*aggs)
-    rows = F.array(
+    keep = list(by) if by else []
+    return agg.select(*keep, F.inline_outer(verdict_rows(checks, names)))
+
+
+def agg_exprs(checks: Sequence[Check]) -> tuple[list[str], list[Column]]:
+    """The suite's aggregate expressions (shared with the streaming
+    windowed monitor — same checks, same metrics, one agg)."""
+    names = [f"__m_{i}" for i in range(len(checks))]
+    return names, [
+        c.metric.cast("double").alias(n) for c, n in zip(checks, names)
+    ]
+
+
+def verdict_rows(checks: Sequence[Check], names: Sequence[str]) -> Column:
+    """Struct-array unpivot of the aggregate row into verdict rows."""
+    return F.array(
         *[
             F.struct(
                 F.lit(c.name).alias("check"),
@@ -176,8 +190,6 @@ def verify(
             for c, n in zip(checks, names)
         ]
     )
-    keep = list(by) if by else []
-    return agg.select(*keep, F.inline_outer(rows))
 
 
 def schema_conformance(

@@ -296,6 +296,44 @@ def windowed_text_quality(
     )
 
 
+def windowed_expectations(
+    df: DataFrame,
+    checks,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Continuous expectation monitoring: the SAME declarative suite
+    `expectations.verify` runs per partition, evaluated per event-time
+    window — (window_start, window_end, check, column, value, lo, hi,
+    passed), the contract gate over an arriving stream ("did this
+    hour's delivery break completeness / domain / size?").
+
+    Dual-mode like :func:`windowed_event_stats`: ONE definition — in
+    batch the watermark is identity and the answer is exact (oracled by
+    the ``windowed_expectations`` contract query); streaming runs the
+    identical plan in append mode with state bounded to open windows.
+    Streaming restriction: Spark does not support exact count-distinct
+    in streaming aggregations, so suites destined for a stream must use
+    ``uniqueness(..., exact=False)`` (the HLL variant — also the scale
+    default) or ``distinctness``-free checks; everything else in the
+    check vocabulary is an algebraic aggregate and streams as-is.
+    """
+    from . import expectations as ex
+
+    names, aggs = ex.agg_exprs(checks)
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    return (
+        src.groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.inline_outer(ex.verdict_rows(checks, names)),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stateful streaming dedup (applyInPandasWithState)
 # ---------------------------------------------------------------------------

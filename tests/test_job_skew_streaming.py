@@ -759,3 +759,66 @@ def test_job_index_then_admit(spark, clips_dirs, tmp_path):
     assert eng.fp_index().count() == clips.count()
     adm = eng.admissions().toPandas()
     assert list(adm["disposition"]) == ["content_corpus"]
+
+
+def test_windowed_expectations_stream_equals_batch(spark, tmp_path):
+    import datetime as dt
+
+    from nadeefiler_spark import expectations as E
+    from nadeefiler_spark.streaming import windowed_expectations
+
+    def h(hour, minute=0):
+        return dt.datetime(2026, 1, 1, hour, minute)
+
+    src = str(tmp_path / "exp_events")
+    f1 = [
+        (h(0, 5), "view", 10.0),
+        (h(0, 40), "click", None),      # hour 0 fails completeness
+        (h(1, 10), "view", 30.0),
+    ]
+    f2 = [
+        (h(1, 30), "bogus", 40.0),      # hour 1 fails values_in
+        (h(2, 15), "view", 900.0),      # hour 2 fails max
+    ]
+    schema = "ts timestamp, event_type string, value double"
+    for rows in (f1, f2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    suite = [
+        E.size_between(1),
+        E.completeness("value", 1.0),
+        E.max_at_most("value", 100.0),
+        E.values_in("event_type", ["view", "click"], 1.0),
+    ]
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        windowed_expectations(stream, suite)
+        .writeStream.format("memory")
+        .queryName("wexp_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def canon(df):
+        return sorted(
+            (str(r["window_start"]), r["check"], r["value"], r["passed"])
+            for r in df.collect()
+        )
+
+    batch = windowed_expectations(spark.read.parquet(src), suite)
+    got = canon(spark.table("wexp_complete"))
+    assert got == canon(batch)
+    verdict = {(g[0], g[1]): g[3] for g in got}
+    assert len(verdict) == 12  # 3 hours x 4 checks
+    assert verdict[(str(h(0)), "completeness(value)")] is False
+    assert verdict[(str(h(1)), "values_in(event_type)")] is False
+    assert verdict[(str(h(2)), "max(value)")] is False
+    assert verdict[(str(h(1)), "completeness(value)")] is True
