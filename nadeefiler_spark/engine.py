@@ -859,6 +859,45 @@ class ValidationEngine:
             (F.col("stage") == "expectations") & (F.col("run_id") == run_id)
         )
 
+    def clean_clips(
+        self,
+        clips: DataFrame,
+        rules: list[str] | None = None,
+        drop_failed_partitions: bool = False,
+    ) -> DataFrame:
+        """The validated corpus: ``clips`` minus every row some rule
+        flagged — the artifact a downstream consumer actually asks the
+        engine for. ``rules`` restricts which rules disqualify (default:
+        all); ``drop_failed_partitions=True`` additionally removes WHOLE
+        partitions whose latest verdict failed (the coarse gate for
+        consumers that only trust fully-green partitions).
+
+        Plan shape: LEFT ANTI join of clips against the DISTINCT
+        flagged-id projection of the violations table. The violations
+        side is aggregated to ids before the join (violations carry one
+        row per (rule, clip), so the distinct bounds the join input by
+        corpus size, not violation multiplicity); no hint — AQE
+        broadcasts the id set when it fits. Partition pruning for the
+        verdict gate happens driver-side on the (tiny) manifest, so the
+        anti join is the only clips-sized work.
+        """
+        viol = self.violations()
+        if rules is not None:
+            viol = viol.where(F.col("rule").isin(rules))
+        bad_ids = viol.select(F.col("clip_id").alias(self.key_col)).distinct()
+        out = clips.join(bad_ids, self.key_col, "left_anti")
+        if drop_failed_partitions:
+            failed = {
+                r["part"]
+                for r in self.verdicts().where(~F.col("passed"))
+                .select("part").distinct().collect()
+            }
+            if failed:
+                out = out.where(
+                    ~F.col(self.part_col).cast("string").isin(sorted(failed))
+                )
+        return out
+
     def violation_samples(self, k: int = 5) -> DataFrame:
         """Top-k example violation rows per (partition, rule) — the
         triage view a human opens first: every failing rule shows a few

@@ -253,3 +253,33 @@ def test_violation_samples_triage_view(spark, run_dir):
         p, r = big.iloc[0]["part"], big.iloc[0]["rule"]
         got = sizes.loc[(p, r)]
         assert got == 3
+
+
+def test_clean_clips_validated_corpus(spark, clips_dir, run_dir):
+    eng = _engine(spark, run_dir)
+    clips = spark.read.parquet(f"{clips_dir}/clips")
+    clean = eng.clean_clips(clips)
+    flagged = {r["clip_id"] for r in eng.violations().select("clip_id").collect()}
+    kept = {r["clip_id"] for r in clean.select("clip_id").collect()}
+    every = {r["clip_id"] for r in clips.select("clip_id").collect()}
+    assert kept == every - flagged and flagged
+    # rule scoping: only sr_domain disqualifies -> more rows survive
+    sr_only = eng.clean_clips(clips, rules=["sr_domain"])
+    sr_flagged = {
+        r["clip_id"]
+        for r in eng.violations().where("rule = 'sr_domain'")
+        .select("clip_id").collect()
+    }
+    assert {r["clip_id"] for r in sr_only.select("clip_id").collect()} == (
+        every - sr_flagged
+    )
+    assert sr_only.count() > clean.count()
+    # partition gate: failed partitions vanish entirely
+    gated = eng.clean_clips(clips, drop_failed_partitions=True)
+    failed_parts = {
+        r["part"] for r in eng.verdicts().where("passed = false")
+        .select("part").distinct().collect()
+    }
+    assert failed_parts
+    left_parts = {r["part"] for r in gated.select("part").distinct().collect()}
+    assert left_parts.isdisjoint(failed_parts)
