@@ -48,6 +48,15 @@ Operator → query map (SURVEY §2 ids in brackets):
                           portable integer hash, scan-stage filter]
 - shard_manifest         [pipeline: training-shard export manifest,
                           deterministic hash sharding + checksums]
+- pack_manifest          [pipeline: sequence packing — token-budget
+                          packs within hash shards, per-shard window
+                          cumsum, bounded-overflow streaming semantics]
+- repetition_profile     [curation: Gopher-style within-doc repetition —
+                          top-word / top-2-gram char-mass fractions,
+                          duplicated-3-gram occurrence fraction]
+- label_agreement        [validation: Cohen's kappa between declared and
+                          detected language — chance-corrected scalar on
+                          top of lang_profile's matrix]
 - dup_clusters           [pipeline: near-dup clustering — connected
                           components (large-star/small-star) over pairs]
 - dup_label_conflicts    [validation: annotation consistency — near-dup
@@ -3747,6 +3756,145 @@ def _q_audio_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("rule", "clip_id", "part")
 
 
+def _q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals
+    (operators/repetition.py): top-word / top-2-gram character-mass
+    fractions and the duplicated-3-gram occurrence fraction, one tagged
+    explode + two keyed aggregations."""
+    from nadeefiler_spark.operators.repetition import repetition_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_profile(d, "doc_id", "text")
+
+
+_SQL_REPETITION_PROFILE = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+  FROM documents
+), meta AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+         coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+           AS tok_chars
+  FROM base
+), grams AS (
+  SELECT doc_id, 1 AS n, unnest(toks) AS g FROM meta
+  UNION ALL
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(range(1, len(toks)),
+                i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+  FROM meta WHERE len(toks) >= 2
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+  FROM meta WHERE len(toks) >= 3
+), counts AS (
+  SELECT doc_id, n, g, count(*) AS cnt FROM grams GROUP BY 1, 2, 3
+), agg AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 1 THEN cnt * length(g) END) AS w_mass,
+         max(CASE WHEN n = 2 THEN cnt * (length(g) - 1) END) AS g2_mass,
+         sum(CASE WHEN n = 3 AND cnt >= 2 THEN cnt END) AS dup3,
+         sum(CASE WHEN n = 3 THEN cnt END) AS n3
+  FROM counts GROUP BY 1
+)
+SELECT m.doc_id AS id,
+       CAST(m.n_tokens AS BIGINT) AS n_tokens,
+       round(CASE WHEN m.tok_chars > 0
+                  THEN coalesce(w_mass, 0) * 1.0 / m.tok_chars
+                  ELSE 0.0 END, 6) AS top_word_frac,
+       round(CASE WHEN m.tok_chars > 0
+                  THEN coalesce(g2_mass, 0) * 1.0 / m.tok_chars
+                  ELSE 0.0 END, 6) AS top_2gram_frac,
+       round(CASE WHEN coalesce(n3, 0) > 0
+                  THEN coalesce(dup3, 0) * 1.0 / n3
+                  ELSE 0.0 END, 6) AS dup_3gram_frac
+FROM meta m LEFT JOIN agg a USING (doc_id)
+"""
+
+
+_PACK_BUDGET = 256
+
+
+def _q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/shards.py pack_manifest): streaming
+    token-budget packing within deterministic hash shards — one window
+    cumsum per shard, then one groupBy; the dataloader's batch index."""
+    from nadeefiler_spark.operators import shards
+
+    d = _t(spark, sf_dir, "documents")
+    return shards.pack_manifest(
+        d, "doc_id", "text", budget=_PACK_BUDGET,
+        n_shards=_N_SHARDS, salt=_SHARD_SALT,
+    )
+
+
+def _sql_pack_manifest() -> str:
+    return f"""
+    WITH k AS (
+      SELECT doc_id,
+             CAST((((doc_id % 2147483648) * 2654435761 + {_SHARD_SALT})
+                   % 2147483648) % {_N_SHARDS} AS INT) AS shard_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM k
+    )
+    SELECT shard_id,
+           CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_id,
+           max(doc_id) AS last_id
+    FROM c GROUP BY 1, 2
+    """
+
+
+def _q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected annotation agreement (operators/consistency.py
+    label_agreement): Cohen's kappa between the declared `lang` column
+    and the marker-word language heuristic — the scalar audit on top of
+    lang_profile's agreement matrix."""
+    from nadeefiler_spark.operators.consistency import label_agreement
+    from nadeefiler_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return label_agreement(d, F.col("lang"), lang_id("text"))
+
+
+def _sql_label_agreement() -> str:
+    # contingency cells from the SAME matrix SQL as lang_profile, then
+    # kappa computed on the cells
+    return f"""
+    WITH cells AS ({_sql_lang_profile()}),
+    tot AS (
+      SELECT sum(n) AS n,
+             sum(CASE WHEN lang = detected THEN n ELSE 0 END) AS n_agree
+      FROM cells
+    ),
+    chance AS (
+      SELECT sum(ma.na * mb.nb) AS chance_mass
+      FROM (SELECT lang AS c, sum(n) AS na FROM cells GROUP BY 1) ma
+      JOIN (SELECT detected AS c, sum(n) AS nb FROM cells GROUP BY 1) mb
+        USING (c)
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(n_agree * 1.0 / n, 6) AS observed,
+           round(coalesce(chance_mass, 0) * 1.0 / (n * n), 6) AS expected,
+           round(CASE WHEN coalesce(chance_mass, 0) * 1.0 / (n * n) < 1.0
+                      THEN (n_agree * 1.0 / n
+                            - coalesce(chance_mass, 0) * 1.0 / (n * n))
+                           / (1.0 - coalesce(chance_mass, 0) * 1.0 / (n * n))
+                      ELSE 0.0 END, 6) AS kappa
+    FROM tot CROSS JOIN chance
+    """
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3840,6 +3988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_meta": _q_binary_meta,
         "binary_meta_docs": _q_binary_meta_docs,
         "audio_validate": _q_audio_validate,
+        "repetition_profile": _q_repetition_profile,
+        "pack_manifest": _q_pack_manifest,
+        "label_agreement": _q_label_agreement,
     }
 
 
@@ -3921,6 +4072,9 @@ def oracle_sql() -> dict[str, str]:
         "windowed_text_quality": _SQL_WINDOWED_TEXT_QUALITY,
         "embedding_qc": _SQL_EMBEDDING_QC,
         "binary_meta_docs": _SQL_BINARY_META_DOCS,
+        "repetition_profile": _SQL_REPETITION_PROFILE,
+        "pack_manifest": _sql_pack_manifest(),
+        "label_agreement": _sql_label_agreement(),
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py
         # binary_meta / audio_validate: binary audio payloads (pandas-UDF

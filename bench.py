@@ -115,6 +115,9 @@ HEADLINE_QUERIES = (
     "clip_admission",
     "audio_feature_ann",
     "audio_embedding_dups",
+    "repetition_profile",
+    "pack_manifest",
+    "label_agreement",
 )
 
 

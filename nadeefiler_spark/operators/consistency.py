@@ -34,7 +34,7 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["norm_text", "pair_attr_conflicts", "group_attr_conflicts"]
+__all__ = ["norm_text", "pair_attr_conflicts", "group_attr_conflicts", "label_agreement"]
 
 
 def norm_text(c: Column | str) -> Column:
@@ -129,4 +129,57 @@ def group_attr_conflicts(
         .agg(*aggs)
         .where(F.col("n_members") >= F.lit(min_group))
         .withColumn("consistent", consistent)
+    )
+
+
+def label_agreement(
+    df: DataFrame, col_a: Column | str, col_b: Column | str
+) -> DataFrame:
+    """Chance-corrected agreement between two label columns (Cohen's
+    kappa): one row (n, observed, expected, kappa).
+
+    Two annotation passes over the same items — two annotators, or a
+    declared label vs a model/heuristic re-derivation — agree partly by
+    chance; kappa corrects the raw agreement rate for the agreement the
+    two marginal label distributions would produce independently::
+
+        kappa = (po - pe) / (1 - pe)
+        po = P(a = b),   pe = sum_c P(a = c) * P(b = c)
+
+    100-TB shape: ONE full-table aggregation to the contingency table
+    (groupBy both labels — partial aggregation collapses to
+    |A|x|B| cells map-side), then marginals, the diagonal, and the
+    chance term are all computed ON that tiny cell table (an inner
+    self-join of the two marginal sums on label equality); nothing is
+    collected, no per-row state. NULL labels count as their own
+    category (groupBy keeps them), matching the SQL oracle's GROUP BY.
+    When pe = 1 (both columns constant and equal) kappa is undefined;
+    0.0 is returned with observed = 1, matching scikit-learn's
+    convention for degenerate tables.
+    """
+    a = (F.col(col_a) if isinstance(col_a, str) else col_a).alias("a")
+    b = (F.col(col_b) if isinstance(col_b, str) else col_b).alias("b")
+    cells = df.select(a, b).groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = cells.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.when(F.col("a").eqNullSafe(F.col("b")), F.col("cnt"))
+              .otherwise(F.lit(0))).alias("n_agree"),
+    )
+    ma = cells.groupBy("a").agg(F.sum("cnt").alias("na"))
+    mb = cells.groupBy("b").agg(F.sum("cnt").alias("nb"))
+    chance = (
+        ma.join(mb, ma["a"].eqNullSafe(mb["b"]))
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("chance_mass"))
+    )
+    po = F.col("n_agree") / F.col("n")
+    pe = F.coalesce(F.col("chance_mass"), F.lit(0)) / (F.col("n") * F.col("n"))
+    return tot.crossJoin(chance).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(po, 6).alias("observed"),
+        F.round(pe, 6).alias("expected"),
+        F.round(
+            F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)).otherwise(0.0), 6
+        ).alias("kappa"),
     )

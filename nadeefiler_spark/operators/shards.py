@@ -97,3 +97,83 @@ def write_shards(
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
     return shard_manifest(df, id_col, text_col, n_shards, salt)
+
+
+def pack_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    n_shards: int,
+    salt: int = 29,
+) -> DataFrame:
+    """Streaming sequence packing: assign each document to a fixed
+    token-budget PACK within its shard.
+
+    Training dataloaders consume fixed-size token windows; the step
+    between shards and batches is packing documents into ~budget-token
+    groups. Exact first-fit packing is inherently sequential, so the
+    scalable variant used here is STREAMING packing with bounded
+    overflow: documents are taken in id order within each shard, and a
+    document is assigned to the pack in which its cumulative token
+    offset starts::
+
+        pack_id = floor((cumsum(tokens) - tokens) / budget)
+
+    Every pack's total lands in [budget - max_doc + 1, budget +
+    max_doc - 1] (the boundary document overflows its pack rather than
+    splitting), packs are contiguous in id order, and the assignment is
+    a pure function of (id set, token counts) — independent of
+    partition layout and parallelism, reproducible on any engine.
+
+    100-TB shape: the only non-local step is one window cumsum
+    PARTITIONED BY shard_id — each shard's running sum is sequential by
+    nature, but shards are hash-spread and independently computed, so
+    parallelism = n_shards; pick n_shards so a shard's rows fit one
+    task (the same sizing rule as :func:`write_shards`). No driver
+    state, no collect.
+
+    Returns (id, shard_id, n_tokens, pack_id).
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = with_shard(df, id_col, n_shards, salt).select(
+        F.col(id_col).alias("id"),
+        "shard_id",
+        tx.token_count(text_col).cast("bigint").alias("n_tokens"),
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.withColumn(
+        "pack_id",
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget)).cast("bigint"),
+    )
+
+
+def pack_manifest(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    n_shards: int,
+    salt: int = 29,
+) -> DataFrame:
+    """Per-pack manifest over :func:`pack_docs`: (shard_id, pack_id,
+    n_docs, n_tokens, first_id, last_id). One groupBy on top of the
+    per-shard window — the dataloader's batch index."""
+    return (
+        pack_docs(df, id_col, text_col, budget, n_shards, salt)
+        .groupBy("shard_id", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("id").alias("first_id"),
+            F.max("id").alias("last_id"),
+        )
+    )

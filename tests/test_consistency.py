@@ -5,6 +5,7 @@ query (its rows-only stand-in for a DuckDB oracle)."""
 import pandas as pd
 
 from pyspark.sql import functions as F
+import pytest
 
 from nadeefiler_spark.operators import consistency
 
@@ -94,3 +95,44 @@ def test_transcript_conflicts_planted_set(spark):
     # the benign case/space copies are present and NOT flagged
     assert {"clip-000000000023", "clip-000000000310"} <= set(good["keeper_id"])
     assert (good["n_transcript"] <= 1).all()
+
+
+# --- chance-corrected label agreement ---------------------------------------
+
+
+def test_label_agreement_known_2x2_kappa(spark):
+    # 20 (x,x), 5 (x,y), 10 (y,x), 15 (y,y):
+    # po = 35/50 = 0.7; pe = (25*30 + 25*20)/2500 = 0.5; kappa = 0.4
+    rows = (
+        [("x", "x")] * 20 + [("x", "y")] * 5 + [("y", "x")] * 10 + [("y", "y")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = consistency.label_agreement(df, "a", "b").collect()[0]
+    assert r["n"] == 50
+    assert r["observed"] == pytest.approx(0.7)
+    assert r["expected"] == pytest.approx(0.5)
+    assert r["kappa"] == pytest.approx(0.4)
+
+
+def test_label_agreement_perfect_and_degenerate(spark):
+    perfect = spark.createDataFrame(
+        [("x", "x")] * 5 + [("y", "y")] * 5, "a string, b string"
+    )
+    r = consistency.label_agreement(perfect, "a", "b").collect()[0]
+    assert r["observed"] == 1.0 and r["kappa"] == pytest.approx(1.0)
+    # constant equal labels: pe = 1 -> kappa defined as 0.0 (sklearn
+    # degenerate-table convention), observed stays 1
+    const = spark.createDataFrame([("x", "x")] * 7, "a string, b string")
+    r = consistency.label_agreement(const, "a", "b").collect()[0]
+    assert r["observed"] == 1.0 and r["expected"] == 1.0 and r["kappa"] == 0.0
+
+
+def test_label_agreement_null_is_a_category(spark):
+    df = spark.createDataFrame(
+        [("x", "x"), (None, None), ("x", None), (None, "x")],
+        "a string, b string",
+    )
+    r = consistency.label_agreement(df, "a", "b").collect()[0]
+    # diagonal: (x,x) and (NULL,NULL) agree via null-safe equality
+    assert r["n"] == 4
+    assert r["observed"] == pytest.approx(0.5)

@@ -86,3 +86,68 @@ def test_write_shards_layout_and_roundtrip(spark, tmp_path):
 def test_n_shards_validated(spark):
     with pytest.raises(ValueError):
         shards.with_shard(_docs(spark, 5), "doc_id", 0)
+
+
+# --- sequence packing -------------------------------------------------------
+
+
+def _pack_twin(ids_tokens, budget, n_shards, salt=29):
+    """Pure-Python twin of pack_docs' streaming packing."""
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for i, tk in ids_tokens:
+        s = ((i % 2**31) * 2654435761 + salt) % 2**31 % n_shards
+        by_shard.setdefault(s, []).append((i, tk))
+    out = {}
+    for s, members in by_shard.items():
+        cum = 0
+        for i, tk in sorted(members):
+            out[i] = (s, cum // budget)
+            cum += tk
+    return out
+
+
+def test_pack_docs_matches_python_twin(spark):
+    df = _docs(spark, 400)  # every doc: 5 tokens
+    got = {
+        r["id"]: (r["shard_id"], r["pack_id"])
+        for r in shards.pack_docs(df, "doc_id", "text", budget=17, n_shards=4).collect()
+    }
+    expected = _pack_twin([(i, 5) for i in range(400)], budget=17, n_shards=4)
+    assert got == expected
+
+
+def test_pack_docs_layout_independent_and_contiguous(spark):
+    df = _docs(spark, 300)
+    a = sorted(shards.pack_docs(df, "doc_id", "text", 23, 4).collect())
+    b = sorted(
+        shards.pack_docs(df.repartition(11), "doc_id", "text", 23, 4).collect()
+    )
+    assert a == b
+    # packs are contiguous in id order within each shard
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for r in a:
+        by_shard.setdefault(r["shard_id"], []).append((r["id"], r["pack_id"]))
+    for members in by_shard.values():
+        packs = [p for _, p in sorted(members)]
+        assert packs == sorted(packs)  # non-decreasing along id order
+
+
+def test_pack_manifest_totals_and_bounds(spark):
+    df = _docs(spark, 500)  # 5 tokens per doc
+    budget, max_doc = 31, 5
+    rows = shards.pack_manifest(df, "doc_id", "text", budget, 4).collect()
+    assert sum(r["n_docs"] for r in rows) == 500
+    assert sum(r["n_tokens"] for r in rows) == 500 * 5
+    last_pack = {}
+    for r in rows:
+        last_pack[r["shard_id"]] = max(last_pack.get(r["shard_id"], -1), r["pack_id"])
+    for r in rows:
+        assert r["n_tokens"] < budget + max_doc  # bounded overflow
+        if r["pack_id"] != last_pack[r["shard_id"]]:
+            assert r["n_tokens"] > budget - max_doc  # non-final packs ~full
+        assert r["first_id"] <= r["last_id"]
+
+
+def test_pack_docs_rejects_bad_budget(spark):
+    with pytest.raises(ValueError):
+        shards.pack_docs(_docs(spark, 10), "doc_id", "text", 0, 4)
