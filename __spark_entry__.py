@@ -57,6 +57,11 @@ Operator → query map (SURVEY §2 ids in brackets):
 - label_agreement        [validation: Cohen's kappa between declared and
                           detected language — chance-corrected scalar on
                           top of lang_profile's matrix]
+- audio_segments         [audio: fixed-window training-segment manifest —
+                          pure metadata expressions, bytes never read]
+- corpus_card            [reporting: one-row dataset data card — counts,
+                          tokens, quality, language share, exact-dup
+                          count in ONE aggregation]
 - dup_clusters           [pipeline: near-dup clustering — connected
                           components (large-star/small-star) over pairs]
 - dup_label_conflicts    [validation: annotation consistency — near-dup
@@ -3895,6 +3900,81 @@ def _sql_label_agreement() -> str:
     """
 
 
+_SEG_WINDOW_MS, _SEG_OVERLAP_MS = 40, 8
+
+
+def _q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window segmentation manifest (operators/segments.py):
+    the training-window prep step, pure metadata expressions — the
+    bytes column is never read. Oracled over the documents table with
+    n_chars standing in for dur_ms at a constant 16 kHz (the math is
+    identical for real clips; tests/test_segments.py runs the same
+    operator over datagen clips and checks the tiling invariants)."""
+    from nadeefiler_spark.operators.segments import segment_manifest
+
+    d = _t(spark, sf_dir, "documents")
+    return segment_manifest(
+        d.select(F.col("doc_id").alias("id"),
+                 F.col("n_chars").alias("dur_ms"),
+                 F.lit(16000).alias("sr_hz")),
+        "id", "dur_ms", "sr_hz",
+        window_ms=_SEG_WINDOW_MS, overlap_ms=_SEG_OVERLAP_MS,
+    )
+
+
+def _sql_audio_segments() -> str:
+    w = _SEG_WINDOW_MS
+    st = _SEG_WINDOW_MS - _SEG_OVERLAP_MS
+    return f"""
+    WITH base AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS dur
+      FROM documents WHERE n_chars > 0
+    ), s AS (
+      SELECT doc_id, dur,
+             CASE WHEN dur <= {w} THEN 0
+                  ELSE (dur - {w}) + (({st} - ((dur - {w}) % {st})) % {st})
+             END AS last
+      FROM base
+    ), x AS (
+      SELECT doc_id, dur,
+             unnest(generate_series(0, greatest(last, 0), {st})) AS st
+      FROM s
+    )
+    SELECT doc_id AS id,
+           CAST(st // {st} AS BIGINT) AS seg_idx,
+           CAST(st AS BIGINT) AS start_ms,
+           CAST(least(st + {w}, dur) AS BIGINT) AS end_ms,
+           CAST((least(st + {w}, dur) - st) * 16000 // 1000 AS BIGINT)
+             AS n_samples
+    FROM x
+    """
+
+
+def _q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset data card (operators/curate.py corpus_card): the one-row
+    corpus-level summary — counts, token totals, mean quality, language
+    share, exact-dup count — in ONE aggregation."""
+    from nadeefiler_spark.operators.curate import corpus_card
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_card(d, "doc_id", "text", "lang")
+
+
+def _sql_corpus_card() -> str:
+    # built ON the text_quality oracle: same token/quality/fp expressions
+    return f"""
+    WITH tq AS ({_sql_text_quality()})
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tq.n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(tq.quality), 6) AS avg_quality,
+           round(avg(CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END), 6)
+             AS en_frac,
+           CAST(count(*) - count(DISTINCT tq.fp) AS BIGINT) AS n_dup_docs,
+           round(avg(length(d.text)), 6) AS avg_chars
+    FROM documents d JOIN tq ON d.doc_id = tq.doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3991,6 +4071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": _q_repetition_profile,
         "pack_manifest": _q_pack_manifest,
         "label_agreement": _q_label_agreement,
+        "audio_segments": _q_audio_segments,
+        "corpus_card": _q_corpus_card,
     }
 
 
@@ -4075,6 +4157,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_profile": _SQL_REPETITION_PROFILE,
         "pack_manifest": _sql_pack_manifest(),
         "label_agreement": _sql_label_agreement(),
+        "audio_segments": _sql_audio_segments(),
+        "corpus_card": _sql_corpus_card(),
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py
         # binary_meta / audio_validate: binary audio payloads (pandas-UDF

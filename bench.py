@@ -118,6 +118,8 @@ HEADLINE_QUERIES = (
     "repetition_profile",
     "pack_manifest",
     "label_agreement",
+    "audio_segments",
+    "corpus_card",
 )
 
 

@@ -106,3 +106,38 @@ def curation_disposition(
             F.when(~gated & ~lowq & dup, F.col("keeper_id")).alias("dup_of"),
         )
     )
+
+
+def corpus_card(
+    df: DataFrame, id_col: str, text_col: str, lang_col: str
+) -> DataFrame:
+    """One-row dataset "data card": the corpus-level summary a release
+    audit or dataset README leads with.
+
+    (n_docs, total_tokens, avg_quality, en_frac, n_dup_docs, avg_chars)
+    — document count, whitespace-token total, mean heuristic quality,
+    share of documents declared English (NULL lang counts as
+    non-English), exact-content duplicate count (docs minus distinct
+    order-insensitive token-set fingerprints — the same md5 fingerprint
+    exact dedup keys on), and mean character length.
+
+    100-TB shape: ONE aggregation over the corpus; every statistic is
+    an O(1)-state aggregate except the dup count's exact
+    count(distinct fp), which is the same one-exchange exact-distinct
+    the profiler's NDV option pays (HLL is the cheap alternative when
+    ±2% is acceptable — profiler.approx variants). Nothing is
+    collected; output is one row.
+    """
+    en = F.coalesce(
+        (F.col(lang_col) == "en").cast("double"), F.lit(0.0)
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(tx.token_count(text_col).cast("bigint")).alias("total_tokens"),
+        F.round(F.avg(tx.quality_score(text_col)), 6).alias("avg_quality"),
+        F.round(F.avg(en), 6).alias("en_frac"),
+        (F.count(F.lit(1)) - F.countDistinct(tx.fingerprint(text_col)))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+        F.round(F.avg(F.length(text_col)), 6).alias("avg_chars"),
+    )

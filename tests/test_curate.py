@@ -47,3 +47,23 @@ def test_dup_of_rejected_doc_is_not_a_duplicate(spark):
     got = {r["doc_id"]: r["disposition"]
            for r in curation_disposition(df, "doc_id", "text").collect()}
     assert got == {2: "kept"}
+
+
+def test_corpus_card_planted(spark):
+    from nadeefiler_spark.operators.curate import corpus_card
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma", "en"),
+            (1, "beta  ALPHA gamma", "en"),   # same token set -> exact dup
+            (2, "delta epsilon", "de"),
+            (3, "zeta", None),                # NULL lang counts as non-en
+        ],
+        "doc_id long, text string, lang string",
+    )
+    r = corpus_card(docs, "doc_id", "text", "lang").collect()[0]
+    assert r["n_docs"] == 4
+    assert r["total_tokens"] == 3 + 3 + 2 + 1
+    assert r["en_frac"] == 0.5
+    assert r["n_dup_docs"] == 1  # docs 0/1 share a fingerprint
+    assert r["avg_chars"] == (16 + 17 + 13 + 4) / 4
