@@ -62,6 +62,9 @@ Operator → query map (SURVEY §2 ids in brackets):
 - corpus_card            [reporting: one-row dataset data card — counts,
                           tokens, quality, language share, exact-dup
                           count in ONE aggregation]
+- split_leakage          [curation: eval-split hygiene — per-split count
+                          of docs whose content fingerprint occurs in
+                          train; deterministic threshold splits]
 - dup_clusters           [pipeline: near-dup clustering — connected
                           components (large-star/small-star) over pairs]
 - dup_label_conflicts    [validation: annotation consistency — near-dup
@@ -3975,6 +3978,59 @@ def _sql_corpus_card() -> str:
     """
 
 
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-split hygiene (operators/decontam.py split_leakage):
+    per-split counts of documents whose exact content fingerprint also
+    occurs in the training split — the memorization-probe audit run
+    before any eval release."""
+    from nadeefiler_spark.operators.decontam import split_leakage
+
+    d = _t(spark, sf_dir, "documents")
+    return split_leakage(d, "doc_id", "text", _SPLIT_FRACTIONS, salt=17)
+
+
+def _sql_split_leakage() -> str:
+    # the SAME cumulative-threshold integers with_split computes (the
+    # float->int boundary crosses engines as a precomputed literal)
+    from nadeefiler_spark.operators.sample import threshold
+
+    bounds, cum, lo = [], 0.0, 0
+    for name, frac in _SPLIT_FRACTIONS.items():
+        cum += frac
+        hi = threshold(min(cum, 1.0))
+        bounds.append((name, lo, hi))
+        lo = hi
+    case = " ".join(
+        f"WHEN key >= {lo} AND key < {hi} THEN '{name}'"
+        for name, lo, hi in bounds
+    )
+    return f"""
+    WITH k AS (
+      SELECT ((doc_id % 2147483648) * 2654435761 + 17) % 2147483648 AS key,
+             md5(array_to_string(list_sort(list_distinct(list_filter(
+                 string_split_regex(lower(text), '\\s+'), t -> t <> ''))),
+                 ' ')) AS fp
+      FROM documents
+    ), s AS (
+      SELECT fp, CASE {case} END AS split FROM k
+    ), f AS (
+      SELECT fp, sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train
+      FROM s WHERE split IS NOT NULL GROUP BY 1
+    )
+    SELECT s.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN (s.split = 'train' AND f.n_train >= 2)
+                           OR (s.split <> 'train' AND f.n_train >= 1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+    FROM s JOIN f USING (fp)
+    WHERE s.split IS NOT NULL
+    GROUP BY 1
+    """
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4073,6 +4129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_agreement": _q_label_agreement,
         "audio_segments": _q_audio_segments,
         "corpus_card": _q_corpus_card,
+        "split_leakage": _q_split_leakage,
     }
 
 
@@ -4159,6 +4216,7 @@ def oracle_sql() -> dict[str, str]:
         "label_agreement": _sql_label_agreement(),
         "audio_segments": _sql_audio_segments(),
         "corpus_card": _sql_corpus_card(),
+        "split_leakage": _sql_split_leakage(),
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py
         # binary_meta / audio_validate: binary audio payloads (pandas-UDF

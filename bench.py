@@ -120,6 +120,7 @@ HEADLINE_QUERIES = (
     "label_agreement",
     "audio_segments",
     "corpus_card",
+    "split_leakage",
 )
 
 

@@ -27,6 +27,8 @@ functions.text.word_shingles.
 
 from __future__ import annotations
 
+from collections.abc import Mapping
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -110,3 +112,54 @@ def decontaminate(
         n=n, min_common=min_common, broadcast=broadcast,
     ).select(corpus_id).distinct()
     return corpus.join(F.broadcast(flagged), corpus_id, "left_anti")
+
+
+def split_leakage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    fractions: Mapping[str, float],
+    train_split: str = "train",
+    salt: int = 17,
+) -> DataFrame:
+    """Eval-split hygiene: per split, how many documents share exact
+    content with the training split.
+
+    Splits (operators.sample.with_split) are disjoint by ID — but not
+    by CONTENT: two copies of one document land in different splits,
+    and the eval metric silently becomes a memorization probe. This
+    audit fingerprints every document (order-insensitive token-set md5,
+    the exact-dedup key), flags each fingerprint that occurs in
+    ``train_split``, and counts per split the documents whose
+    fingerprint is train-flagged. For the train split itself the count
+    reports its internal duplicate documents (members of multi-doc
+    train fingerprints) — the same number an exact-dedup pass would
+    remove.
+
+    100-TB shape: one scan computes (split, fp); the fingerprint-level
+    flag is ONE groupBy(fp) aggregation and the per-split rollup joins
+    the (small, |distinct fp|-bounded) flag table back — two exchanges
+    keyed on fp, both with map-side partial aggregation; nothing
+    collected. Output: (split, n_docs, n_leaked), NULL-split rows
+    excluded.
+    """
+    from .sample import with_split
+
+    base = with_split(df, id_col, fractions, salt).where(
+        F.col("split").isNotNull()
+    ).select("split", tx.fingerprint(text_col).alias("fp"))
+    is_train = (F.col("split") == train_split).cast("int")
+    flags = base.groupBy("fp").agg(
+        F.sum(is_train).alias("n_train"),
+    )
+    leaked = F.when(
+        F.col("split") == train_split, F.col("n_train") >= 2
+    ).otherwise(F.col("n_train") >= 1)
+    return (
+        base.join(flags, "fp")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(leaked.cast("bigint")).alias("n_leaked"),
+        )
+    )

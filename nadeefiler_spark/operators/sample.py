@@ -76,3 +76,40 @@ def stratified_hash_sample(
     for value, frac in sorted(fractions.items()):
         thr = F.when(F.col(strata_col) == value, F.lit(threshold(frac))).otherwise(thr)
     return df.where(sample_key(id_col, salt) < thr)
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: Mapping[str, float],
+    salt: int = 17,
+) -> DataFrame:
+    """df + deterministic ``split`` column (train/val/test, any names).
+
+    ``fractions`` maps split name -> fraction; fractions must sum to
+    <= 1 (± float eps), and any remainder is labeled NULL (excluded
+    rows). Assignment partitions the key space by CUMULATIVE integer
+    thresholds in insertion order, so it inherits every sample_key
+    property: deterministic, layout/parallelism independent, portable
+    to any engine as plain int64 arithmetic, and one scan-stage CASE
+    expression — no shuffle, no driver state. Growing one split's
+    fraction only MOVES rows across the adjacent boundary (membership
+    is monotone in the thresholds), the property eval-split maintenance
+    needs when a corpus is re-released.
+    """
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total}, must be <= 1")
+    key = sample_key(id_col, salt)
+    expr: Column | None = None
+    cum = 0.0
+    lo = 0
+    for name, frac in fractions.items():
+        cum += frac
+        hi = threshold(min(cum, 1.0))
+        cond = (key >= F.lit(lo)) & (key < F.lit(hi))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    if expr is None:
+        raise ValueError("fractions must not be empty")
+    return df.withColumn("split", expr.otherwise(F.lit(None).cast("string")))

@@ -149,3 +149,80 @@ def test_python_twin_of_sample_key(spark):
 def test_fraction_bounds_validated():
     with pytest.raises(ValueError):
         smp.threshold(1.5)
+
+
+# --- deterministic splits + split leakage -----------------------------------
+
+
+def _py_key(i, salt=17):
+    return ((i % 2**31) * 2654435761 + salt) % 2**31
+
+
+def test_with_split_partitions_key_space(spark):
+    from nadeefiler_spark.operators.sample import threshold, with_split
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    got = {
+        r["doc_id"]: r["split"]
+        for r in with_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    }
+    t1, t2, t3 = threshold(0.8), threshold(0.8 + 0.1), threshold(min(0.8 + 0.1 + 0.1, 1.0))
+    for i in range(2000):
+        k = _py_key(i)
+        expected = "train" if k < t1 else "val" if k < t2 else "test" if k < t3 else None
+        assert got[i] == expected
+    # all three splits non-empty at this n
+    assert {"train", "val", "test"} <= set(got.values())
+
+
+def test_with_split_remainder_is_null_and_validation(spark):
+    import pytest
+    from nadeefiler_spark.operators.sample import with_split
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    labels = [r["split"] for r in with_split(df, "doc_id", {"a": 0.5}).collect()]
+    assert any(s is None for s in labels) and any(s == "a" for s in labels)
+    with pytest.raises(ValueError):
+        with_split(df, "doc_id", {"a": 0.7, "b": 0.7})
+    with pytest.raises(ValueError):
+        with_split(df, "doc_id", {})
+
+
+def test_split_leakage_matches_python_twin(spark):
+    import hashlib
+
+    from nadeefiler_spark.operators.decontam import split_leakage
+    from nadeefiler_spark.operators.sample import threshold
+
+    # 60 unique texts; ids 100..159 repeat the text of ids 0..59 so
+    # duplicates cross split boundaries wherever the hash puts them
+    rows = [(i, f"alpha doc {i % 60} body words") for i in range(160)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fr = {"train": 0.7, "test": 0.3}
+    got = {
+        r["split"]: (r["n_docs"], r["n_leaked"])
+        for r in split_leakage(df, "doc_id", "text", fr, salt=17).collect()
+    }
+
+    def fp(text):
+        toks = sorted(set(text.lower().split()))
+        return hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+    t1, t2 = threshold(0.7), threshold(min(1.0, 0.7 + 0.3))
+    assign = {}
+    for i, text in rows:
+        k = _py_key(i)
+        assign[i] = ("train" if k < t1 else "test" if k < t2 else None, fp(text))
+    train_fps = {}
+    for s, f in assign.values():
+        if s == "train":
+            train_fps[f] = train_fps.get(f, 0) + 1
+    expected = {}
+    for s, f in assign.values():
+        if s is None:
+            continue
+        n, leaked = expected.get(s, (0, 0))
+        hit = train_fps.get(f, 0) >= (2 if s == "train" else 1)
+        expected[s] = (n + 1, leaked + int(hit))
+    assert got == expected
+    assert sum(v[1] for v in got.values()) > 0  # the plant actually leaks
