@@ -65,6 +65,10 @@ Operator → query map (SURVEY §2 ids in brackets):
 - split_leakage          [curation: eval-split hygiene — per-split count
                           of docs whose content fingerprint occurs in
                           train; deterministic threshold splits]
+- audio_vad              [audio: voice-activity coverage — speech ratio,
+                          run count, longest silence from the shared
+                          decode pass (no oracle: binary decode; twin
+                          test pins planted frame patterns)]
 - dup_clusters           [pipeline: near-dup clustering — connected
                           components (large-star/small-star) over pairs]
 - dup_label_conflicts    [validation: annotation consistency — near-dup
@@ -4031,6 +4035,71 @@ def _sql_split_leakage() -> str:
     """
 
 
+def _vad_planted_clips(spark: SparkSession) -> DataFrame:
+    """Deterministic speech/silence-pattern WAVs — shared by the
+    audio_vad query and its independent twin test
+    (tests/test_audio.py::test_vad_stats_twin) so they can't drift.
+    Frame patterns at 16 kHz / 20 ms frames (320 samples):
+    vad-alt 3 speech + 2 sil + 4 speech + 5 sil; vad-silent all-zero;
+    vad-full continuous tone."""
+    import numpy as np
+
+    from nadeefiler_spark import audio
+
+    sr, flen = 16000, 320
+
+    def frames(pattern: list[tuple[bool, int]]) -> np.ndarray:
+        segs = []
+        for speech, n in pattern:
+            n_samp = n * flen
+            if speech:
+                t = np.arange(n_samp)
+                segs.append(8000.0 * np.sin(2 * np.pi * 440.0 * t / sr))
+            else:
+                segs.append(np.zeros(n_samp))
+        return np.concatenate(segs)
+
+    rows = []
+    for cid, pattern in (
+        ("vad-alt", [(True, 3), (False, 2), (True, 4), (False, 5)]),
+        ("vad-silent", [(False, 10)]),
+        ("vad-full", [(True, 8)]),
+    ):
+        pcm = frames(pattern).astype(np.int16)
+        blob = audio.encode(pcm, sr, "pcm_s16le")
+        rows.append(
+            (cid, bytearray(blob), sr, int(1000 * len(pcm) / sr),
+             "pcm_s16le", "vad", "pcm_s16le")
+        )
+    return spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string, part string",
+    )
+
+
+def _q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity coverage audit (rules.audio_rules decode_facts
+    with_vad=True): per-clip speech ratio, speech-run count, and
+    longest silence, computed on the SAME decoded-PCM pass as every
+    other audio fact (decode-once-check-many) — planted speech/silence
+    patterns ride along a synthetic corpus. No DuckDB oracle (binary
+    decode); pinned by the independent twin in
+    tests/test_audio.py::test_vad_stats_twin."""
+    from nadeefiler_spark.rules.audio_rules import decode_facts
+
+    _ensure_pkg_shipped(spark)
+    cfg = datagen.GenConfig(n_rows=1200, seed=23, dur_min_ms=40, dur_max_ms=200)
+    clips = datagen.clips_df(spark, cfg).unionByName(_vad_planted_clips(spark))
+    facts = decode_facts(clips, with_snr=False, with_vad=True)
+    return facts.where(F.col("decode_error").isNull()).select(
+        "clip_id",
+        F.round("speech_ratio", 6).alias("speech_ratio"),
+        "n_speech_runs",
+        "longest_silence_ms",
+    ).orderBy("clip_id")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4130,6 +4199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_segments": _q_audio_segments,
         "corpus_card": _q_corpus_card,
         "split_leakage": _q_split_leakage,
+        "audio_vad": _q_audio_vad,
     }
 
 

@@ -121,6 +121,7 @@ HEADLINE_QUERIES = (
     "audio_segments",
     "corpus_card",
     "split_leakage",
+    "audio_vad",
 )
 
 

@@ -42,9 +42,43 @@ DECODED_SCHEMA = (
 SNR_PASS_DB = 30.0  # input_hint: decoded-PCM allclose asserted as SNR>=30dB
 
 
+VAD_FRAME_S = 0.02  # 20 ms frames, the conventional VAD hop
+VAD_RMS_THRESHOLD = 655.0  # ~2% of int16 full scale, matches the QC gate
+
+
+def vad_stats(pcm: "np.ndarray", sr_hz: int) -> tuple[float, int, int]:
+    """(speech_ratio, n_speech_runs, longest_silence_ms) by 20 ms
+    frame-RMS gating — the energy-threshold voice-activity detector.
+
+    Frames are non-overlapping ``VAD_FRAME_S`` windows (a trailing
+    partial frame is dropped; a clip shorter than one frame is one
+    frame). A frame is speech when its RMS exceeds
+    ``VAD_RMS_THRESHOLD``. Deterministic integer/np.float32 math so the
+    pure-Python twin test reproduces it exactly.
+    """
+    if pcm is None or len(pcm) == 0 or sr_hz <= 0:
+        return 0.0, 0, 0
+    flen = max(1, int(sr_hz * VAD_FRAME_S))
+    n_fr = max(1, len(pcm) // flen)
+    x = pcm[: n_fr * flen].astype(np.float32).reshape(n_fr, -1)
+    rms = np.sqrt(np.mean(x * x, axis=1))
+    speech = rms > VAD_RMS_THRESHOLD
+    ratio = float(speech.mean())
+    n_runs = int(speech[0]) + int(np.sum(~speech[:-1] & speech[1:]))
+    sil = ~speech
+    if sil.any():
+        edges = np.flatnonzero(
+            np.diff(np.concatenate(([False], sil, [False])).astype(np.int8))
+        )
+        longest = int((edges[1::2] - edges[0::2]).max())
+    else:
+        longest = 0
+    return ratio, n_runs, int(round(longest * flen * 1000.0 / sr_hz))
+
+
 def decode_facts(
     clips: DataFrame, with_snr: bool = True, with_fp: bool = False,
-    with_qc: bool = False,
+    with_qc: bool = False, with_vad: bool = False,
 ) -> DataFrame:
     """One narrow mapInPandas pass: bytes -> decoded facts per clip.
 
@@ -57,6 +91,12 @@ def decode_facts(
     decoded PCM — content dedup then costs one extra rFFT per clip on
     the shared scan instead of a second full-table binary decode pass
     (the decode-once-check-many invariant, engine binary-scan fusion).
+
+    ``with_vad`` appends energy-threshold voice-activity stats from the
+    SAME decoded PCM (:func:`vad_stats`): ``speech_ratio``,
+    ``n_speech_runs``, ``longest_silence_ms``. Off by default — the
+    default engine pass stays on the measured hot path; a corpus
+    speech-coverage audit opts in and still pays ZERO extra decodes.
 
     ``with_qc`` appends signal-quality stats from the SAME decoded PCM
     (same fusion rationale): ``clip_ratio`` (fraction of samples at or
@@ -82,6 +122,10 @@ def decode_facts(
                 out["clip_ratio"] = []
                 out["silence_ratio"] = []
                 out["dc_offset"] = []
+            if with_vad:
+                out["speech_ratio"] = []
+                out["n_speech_runs"] = []
+                out["longest_silence_ms"] = []
             for part, cid, sr, dur, codec, blob in zip(
                 pdf["part"], pdf["clip_id"], pdf["sr_hz"], pdf["dur_ms"],
                 pdf["codec"], pdf["bytes"],
@@ -125,6 +169,11 @@ def decode_facts(
                             out["clip_ratio"].append(0.0)
                             out["silence_ratio"].append(1.0)
                             out["dc_offset"].append(0.0)
+                    if with_vad:
+                        ratio, runs, sil_ms = vad_stats(pcm, int(dec_sr))
+                        out["speech_ratio"].append(ratio)
+                        out["n_speech_runs"].append(runs)
+                        out["longest_silence_ms"].append(sil_ms)
                 except Exception as exc:  # garbage container
                     out["dec_codec"].append(None)
                     out["dec_sr"].append(None)
@@ -138,6 +187,10 @@ def decode_facts(
                         out["clip_ratio"].append(None)
                         out["silence_ratio"].append(None)
                         out["dc_offset"].append(None)
+                    if with_vad:
+                        out["speech_ratio"].append(None)
+                        out["n_speech_runs"].append(None)
+                        out["longest_silence_ms"].append(None)
             if with_fp:
                 out["fp"] = pd.array(out["fp"], dtype="Int64")
             yield pd.DataFrame(out)
@@ -146,6 +199,8 @@ def decode_facts(
     schema = DECODED_SCHEMA + (", fp bigint" if with_fp else "")
     if with_qc:
         schema += ", clip_ratio double, silence_ratio double, dc_offset double"
+    if with_vad:
+        schema += ", speech_ratio double, n_speech_runs int, longest_silence_ms int"
     return clips.select(*cols).mapInPandas(run, schema)
 
 

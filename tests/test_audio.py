@@ -163,3 +163,38 @@ def test_qc_rule_flags_only_planted(spark):
     assert "clip_ratio=" in by_id["qc-clipped"]
     assert "silence_ratio=" in by_id["qc-silent"]
     assert "dc_offset=" in by_id["qc-dc"]
+
+
+def test_vad_stats_twin(spark):
+    """Spark-side VAD stats must equal the hand-derived frame patterns
+    of the planted clips (independent of the numpy kernel), through the
+    full decode_facts path."""
+    import __spark_entry__ as entry
+    from nadeefiler_spark.rules.audio_rules import decode_facts
+
+    clips = entry._vad_planted_clips(spark)
+    got = {
+        r["clip_id"]: (
+            r["speech_ratio"], r["n_speech_runs"], r["longest_silence_ms"]
+        )
+        for r in decode_facts(clips, with_snr=False, with_vad=True).collect()
+    }
+    # patterns (frames of 20 ms): alt = SSS..SSSS..... (7/14 speech,
+    # 2 runs, longest silence 5 frames = 100 ms)
+    assert got["vad-alt"] == (0.5, 2, 100)
+    assert got["vad-silent"] == (0.0, 0, 200)
+    assert got["vad-full"] == (1.0, 1, 0)
+
+
+def test_vad_stats_edge_cases():
+    import numpy as np
+
+    from nadeefiler_spark.rules.audio_rules import vad_stats
+
+    assert vad_stats(np.array([], dtype=np.int16), 16000) == (0.0, 0, 0)
+    # shorter than one frame: the whole clip is one frame
+    loud = (8000 * np.ones(50)).astype(np.int16)
+    assert vad_stats(loud, 16000) == (1.0, 1, 0)
+    quiet = np.zeros(50, dtype=np.int16)
+    r, n, ms = vad_stats(quiet, 16000)
+    assert (r, n) == (0.0, 0) and ms > 0
