@@ -17,6 +17,10 @@ api/models/Tuple.js:8-30). The Spark re-expressions:
 - import_kb_tsv: the YAGO bulk import (import-yago.js:16-66) —
   subject-normalized TSV -> (subject, objects array) via groupBy +
   collect_list, replacing the buffered insertMany loop.
+- read_jsonl: JSON-lines ingestion with corrupt-record triage — good
+  rows projected to the declared schema, bad raw lines kept as
+  violation rows with their source file (beyond-reference: the JSONL
+  analog of the CSV upload path).
 """
 
 from __future__ import annotations
@@ -188,3 +192,63 @@ def import_kb_tsv(spark: SparkSession, path: str) -> DataFrame:
         .groupBy("subject")
         .agg(F.array_sort(F.collect_list("object")).alias("objects"))
     )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL ingestion with corrupt-record triage: (good, bad).
+
+    Web-scale document corpora arrive as JSON-lines; at 100 TB some
+    lines are ALWAYS malformed (truncated writes, encoding damage,
+    schema drift), and silently dropping them (mode=DROPMALFORMED)
+    destroys the audit trail a validation engine exists to provide.
+    This reads PERMISSIVE with an explicit corrupt-record column:
+
+    - ``good``: rows that parsed, projected to the declared schema —
+      the corrupt column is pruned out, so downstream plans scan only
+      declared fields;
+    - ``bad``: the raw offending lines plus their source file
+      (``_metadata.file_path``) — the same violation-row shape the
+      engine's rule stages emit (reference analog: nadeefiler stores
+      the offending tuple with every violation,
+      /root/reference/profilers/worker.js:84-100).
+
+    The declared schema is REQUIRED: with inferred schemas Spark's
+    PERMISSIVE corrupt-record column cannot be filtered reliably
+    (the parser re-runs per query), and a 100-TB inference pass is a
+    full extra scan anyway.
+
+    Implementation note: Spark's native JSON *file source* forbids
+    queries that reference only the corrupt-record column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the
+    documented workaround is caching, which is exactly wrong at 100 TB.
+    So the reader scans the files as TEXT and parses each line with
+    ``from_json`` carrying its own corrupt column: one scan, one parse,
+    no cache, no shuffle, and the triage filter is an ordinary column
+    predicate. JSONL's one-object-per-line contract is what makes the
+    text framing correct.
+    """
+    parsed_schema = f"{schema}, {corrupt_col} string"
+    df = (
+        spark.read.text(path)
+        .select(
+            F.from_json(
+                F.col("value"),
+                parsed_schema,
+                {"mode": "PERMISSIVE",
+                 "columnNameOfCorruptRecord": corrupt_col},
+            ).alias("j"),
+            F.col("value"),
+            F.col("_metadata.file_path").alias("_src_file"),
+        )
+    )
+    is_bad = F.col("j").isNull() | F.col(f"j.{corrupt_col}").isNotNull()
+    good = df.where(~is_bad).select("j.*").drop(corrupt_col)
+    bad = df.where(is_bad).select(
+        F.col("value").alias("raw_line"), "_src_file"
+    )
+    return good, bad

@@ -91,3 +91,46 @@ def test_sniff_header_detects_typed_body(spark, tmp_path):
     assert auto.columns == ["name", "price", "qty"] and auto.count() == 2
     auto2 = read_tuples_csv(spark, str(no_h), header="auto")
     assert auto2.columns == ["_c0", "_c1", "_c2"] and auto2.count() == 3
+
+
+def test_read_jsonl_triage(spark, tmp_path):
+    from nadeefiler_spark.sources import read_jsonl
+
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2, "text": "ok"}\n'
+        '{"doc_id": 3, "text": "trunc\n'      # truncated write
+        "not json at all\n"
+        '{"doc_id": "abc", "text": "bad type"}\n'
+    )
+    good, bad = read_jsonl(spark, str(p), "doc_id bigint, text string")
+    assert sorted((r["doc_id"], r["text"]) for r in good.collect()) == [
+        (1, "hello world"), (2, "ok"),
+    ]
+    assert good.columns == ["doc_id", "text"]  # corrupt col pruned
+    bad_rows = bad.collect()
+    assert sorted(r["raw_line"] for r in bad_rows) == sorted([
+        '{"doc_id": 3, "text": "trunc',
+        "not json at all",
+        '{"doc_id": "abc", "text": "bad type"}',
+    ])
+    # every bad row carries its source file for the violation audit
+    assert all(r["_src_file"].endswith("a.jsonl") for r in bad_rows)
+
+
+def test_read_jsonl_all_good_and_all_bad(spark, tmp_path):
+    from nadeefiler_spark.sources import read_jsonl
+
+    p = tmp_path / "clean"
+    p.mkdir()
+    (p / "b.jsonl").write_text('{"doc_id": 7, "text": "x"}\n')
+    good, bad = read_jsonl(spark, str(p), "doc_id bigint, text string")
+    assert good.count() == 1 and bad.count() == 0
+
+    q = tmp_path / "garbage"
+    q.mkdir()
+    (q / "c.jsonl").write_text("}{\nnope\n")
+    good, bad = read_jsonl(spark, str(q), "doc_id bigint, text string")
+    assert good.count() == 0 and bad.count() == 2
