@@ -69,6 +69,9 @@ Operator → query map (SURVEY §2 ids in brackets):
                           run count, longest silence from the shared
                           decode pass (no oracle: binary decode; twin
                           test pins planted frame patterns)]
+- snapshot_diff          [versioning: row-level added/removed/changed
+                          between releases — per-side (id, md5) scan
+                          reduction + one full outer join]
 - dup_clusters           [pipeline: near-dup clustering — connected
                           components (large-star/small-star) over pairs]
 - dup_label_conflicts    [validation: annotation consistency — near-dup
@@ -4100,6 +4103,42 @@ def _q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (drift.snapshot_diff): which rows were
+    added/removed/changed between two corpus releases. The "new"
+    snapshot is a deterministic mutation of documents (remove ids
+    %23==5, edit text of ids %17==3, add ids %29==7 re-keyed +1e6), so
+    the oracle derives the expected diff FROM THE CONSTRUCTION — the
+    whole id+hash full-outer-join machinery is checked against ground
+    truth rather than a mirrored hash."""
+    from nadeefiler_spark.drift import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents")
+    kept = d.where(F.col("doc_id") % 23 != 5)
+    mutated = kept.withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") % 17 == 3) & F.col("text").isNotNull(),
+            F.concat(F.col("text"), F.lit(" EDITED")),
+        ).otherwise(F.col("text")),
+    )
+    added = d.where(F.col("doc_id") % 29 == 7).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return snapshot_diff(d, mutated.unionByName(added), "doc_id")
+
+
+_SQL_SNAPSHOT_DIFF = """
+SELECT doc_id AS id, 'removed' AS change FROM documents WHERE doc_id % 23 = 5
+UNION ALL
+SELECT doc_id AS id, 'changed' AS change FROM documents
+WHERE doc_id % 17 = 3 AND doc_id % 23 <> 5 AND text IS NOT NULL
+UNION ALL
+SELECT doc_id + 1000000 AS id, 'added' AS change FROM documents
+WHERE doc_id % 29 = 7
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4200,6 +4239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_card": _q_corpus_card,
         "split_leakage": _q_split_leakage,
         "audio_vad": _q_audio_vad,
+        "snapshot_diff": _q_snapshot_diff,
     }
 
 
@@ -4287,6 +4327,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_segments": _sql_audio_segments(),
         "corpus_card": _sql_corpus_card(),
         "split_leakage": _sql_split_leakage(),
+        "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py
         # binary_meta / audio_validate: binary audio payloads (pandas-UDF

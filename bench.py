@@ -122,6 +122,7 @@ HEADLINE_QUERIES = (
     "corpus_card",
     "split_leakage",
     "audio_vad",
+    "snapshot_diff",
 )
 
 

@@ -205,3 +205,52 @@ def profile_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("minmax_changed"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshots of one table:
+    (id, change) with change in {'added', 'removed', 'changed'};
+    unchanged rows are omitted.
+
+    The change-data-capture view a re-released corpus needs:
+    profile_diff answers "did the DISTRIBUTION move", this answers
+    "WHICH rows moved" — the audit trail behind an incremental
+    re-validation (only 'added'/'changed' ids need re-profiling, the
+    same pending-partition idea the engine manifest applies at
+    partition granularity).
+
+    100-TB shape: each side is reduced to (id, md5 of the compared
+    columns) IN THE SCAN (column pruning keeps everything else out),
+    then ONE full outer join on id — a single co-partitioned exchange
+    per side, no row data wider than id+32 hex chars ever shuffles.
+    NULL columns are md5'd via a NULL marker so NULL→value edits are
+    detected; column order is fixed by ``compare_cols`` so both sides
+    hash identically.
+    """
+    cols = compare_cols or [c for c in old.columns if c != id_col]
+
+    def keyed(df: DataFrame, tag: str) -> DataFrame:
+        parts = []
+        for c in cols:
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
+            parts.append(F.lit("\x1f"))  # unit separator: no concat ambiguity
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.md5(F.concat(*parts)).alias(f"h_{tag}"),
+        )
+
+    o, n = keyed(old, "old"), keyed(new, "new")
+    joined = o.join(n, "id", "full_outer")
+    change = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+    )
+    return joined.select("id", change.alias("change")).where(
+        F.col("change").isNotNull()
+    )

@@ -129,3 +129,43 @@ def test_profile_diff_statuses_and_metrics(spark):
     # zero old sigma -> mean shift undefined, not infinite
     const = got["const"]
     assert const["mean_shift"] is None and const["minmax_changed"] is False
+
+
+def test_snapshot_diff_planted(spark):
+    from nadeefiler_spark.drift import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "x"), (3, "c", "y"), (4, None, "z")],
+        "id long, v string, w string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "x"),          # unchanged -> omitted
+         (3, "c2", "y"),         # changed value
+         (4, "now", "z"),        # NULL -> value edit must be detected
+         (5, "new", None)],      # added
+        "id long, v string, w string",
+    )
+    got = {r["id"]: r["change"] for r in snapshot_diff(old, new, "id").collect()}
+    assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+
+
+def test_snapshot_diff_compare_cols_subset(spark):
+    from nadeefiler_spark.drift import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", "meta1")], "id long, v string, m string")
+    new = spark.createDataFrame([(1, "a", "meta2")], "id long, v string, m string")
+    # metadata column excluded -> no diff
+    assert snapshot_diff(old, new, "id", compare_cols=["v"]).count() == 0
+    # included -> changed
+    got = snapshot_diff(old, new, "id").collect()
+    assert [(r["id"], r["change"]) for r in got] == [(1, "changed")]
+
+
+def test_snapshot_diff_separator_ambiguity(spark):
+    from nadeefiler_spark.drift import snapshot_diff
+
+    # ("ab", "c") vs ("a", "bc"): naive concat would collide
+    old = spark.createDataFrame([(1, "ab", "c")], "id long, v string, w string")
+    new = spark.createDataFrame([(1, "a", "bc")], "id long, v string, w string")
+    got = snapshot_diff(old, new, "id").collect()
+    assert [(r["id"], r["change"]) for r in got] == [(1, "changed")]
