@@ -72,6 +72,9 @@ Operator → query map (SURVEY §2 ids in brackets):
 - snapshot_diff          [versioning: row-level added/removed/changed
                           between releases — per-side (id, md5) scan
                           reduction + one full outer join]
+- layout_advisor         [design: partition/bucket-key recommendations
+                          from measured NDV/skew/null stats — one melt,
+                          two aggregations for all candidates]
 - dup_clusters           [pipeline: near-dup clustering — connected
                           components (large-star/small-star) over pairs]
 - dup_label_conflicts    [validation: annotation consistency — near-dup
@@ -4139,6 +4142,58 @@ WHERE doc_id % 29 = 7
 """
 
 
+_ADVISOR_COLS = ("o_orderstatus", "o_orderpriority", "o_orderdate",
+                 "o_custkey", "o_orderkey")
+
+
+def _q_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout advisor (advisor.layout_advisor): measured
+    NDV/skew/null stats per candidate column turned into
+    partition/bucket/reject recommendations — one melt, two
+    aggregations for ALL candidates."""
+    from nadeefiler_spark.advisor import layout_advisor
+
+    d = _t(spark, sf_dir, "orders")
+    return layout_advisor(d, list(_ADVISOR_COLS))
+
+
+def _sql_layout_advisor() -> str:
+    from nadeefiler_spark import advisor as adv
+
+    melt = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS value FROM orders"
+        for c in _ADVISOR_COLS
+    )
+    return f"""
+    WITH m AS ({melt}),
+    counts AS (
+      SELECT col, value, count(*) AS cnt FROM m GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT col, sum(cnt) AS n,
+             count(CASE WHEN value IS NOT NULL THEN 1 END) AS ndv,
+             coalesce(sum(CASE WHEN value IS NULL THEN cnt END), 0) AS n_null,
+             coalesce(max(CASE WHEN value IS NOT NULL THEN cnt END), 0)
+               AS top_cnt
+      FROM counts GROUP BY 1
+    )
+    SELECT col,
+           CAST(n AS BIGINT) AS n,
+           CAST(ndv AS BIGINT) AS ndv,
+           round(n_null * 1.0 / n, 6) AS null_frac,
+           round(top_cnt * 1.0 / n, 6) AS top_frac,
+           CASE WHEN ndv >= {adv.PART_NDV_MIN} AND ndv <= {adv.PART_NDV_MAX}
+                     AND top_cnt * 1.0 / n <= {adv.PART_TOP_FRAC_MAX}
+                     AND n_null * 1.0 / n <= {adv.PART_NULL_FRAC_MAX}
+                THEN 'partition'
+                WHEN ndv > {adv.BUCKET_NDV_MIN}
+                     AND top_cnt * 1.0 / n <= {adv.PART_TOP_FRAC_MAX}
+                THEN 'bucket'
+                ELSE 'reject' END AS recommendation
+    FROM stats
+    """
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4240,6 +4295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": _q_split_leakage,
         "audio_vad": _q_audio_vad,
         "snapshot_diff": _q_snapshot_diff,
+        "layout_advisor": _q_layout_advisor,
     }
 
 
@@ -4328,6 +4384,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_card": _sql_corpus_card(),
         "split_leakage": _sql_split_leakage(),
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
+        "layout_advisor": _sql_layout_advisor(),
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py
         # binary_meta / audio_validate: binary audio payloads (pandas-UDF

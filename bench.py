@@ -123,6 +123,7 @@ HEADLINE_QUERIES = (
     "split_leakage",
     "audio_vad",
     "snapshot_diff",
+    "layout_advisor",
 )
 
 
