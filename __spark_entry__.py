@@ -75,6 +75,9 @@ Operator → query map (SURVEY §2 ids in brackets):
 - layout_advisor         [design: partition/bucket-key recommendations
                           from measured NDV/skew/null stats — one melt,
                           two aggregations for all candidates]
+- chi2_drift             [validation: two-sample chi-square categorical
+                          drift per partition vs baseline — the
+                          p-value-capable companion to PSI/KS]
 - dup_clusters           [pipeline: near-dup clustering — connected
                           components (large-star/small-star) over pairs]
 - dup_label_conflicts    [validation: annotation consistency — near-dup
@@ -4194,6 +4197,74 @@ def _sql_layout_advisor() -> str:
     """
 
 
+def _q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample chi-square categorical drift (drift.chi2_drift):
+    each nation's mktsegment mix tested against the global mix — the
+    p-value-capable counterpart to the PSI/KS pair in drift_metrics,
+    same histogram input shape."""
+    from nadeefiler_spark.drift import chi2_drift
+
+    c = _t(spark, sf_dir, "customer")
+    hist = (
+        c.groupBy(
+            F.col("c_nationkey").cast("string").alias("part"),
+            F.col("c_mktsegment").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select("part", F.lit("c_mktsegment").alias("key"),
+                F.lit("value").alias("kind"), "bin", "count")
+    )
+    baseline = (
+        c.groupBy(F.col("c_mktsegment").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(F.lit("c_mktsegment").alias("key"),
+                F.lit("value").alias("kind"), "bin", "count")
+    )
+    return chi2_drift(hist, baseline)
+
+
+_SQL_CHI2_DRIFT = """
+WITH h AS (
+  SELECT CAST(c_nationkey AS VARCHAR) AS part, c_mktsegment AS bin,
+         count(*) AS c_p
+  FROM customer GROUP BY 1, 2
+), b AS (
+  SELECT c_mktsegment AS bin, count(*) AS c_q FROM customer GROUP BY 1
+), grid AS (
+  SELECT p.part, ab.bin
+  FROM (SELECT DISTINCT part FROM h) p
+  CROSS JOIN (SELECT bin FROM b UNION SELECT bin FROM h) ab
+), j AS (
+  SELECT g.part, g.bin, coalesce(h.c_p, 0) AS c_p, coalesce(b.c_q, 0) AS c_q
+  FROM grid g
+  LEFT JOIN h ON h.part = g.part AND h.bin = g.bin
+  LEFT JOIN b ON b.bin = g.bin
+), t AS (
+  SELECT part, bin, c_p, c_q,
+         sum(c_p) OVER (PARTITION BY part) AS n_p,
+         sum(c_q) OVER (PARTITION BY part) AS n_q
+  FROM j
+), x AS (
+  SELECT part, c_p, c_q, n_p, n_q,
+         (c_p + c_q) * 1.0 / greatest(n_p + n_q, 1) AS pool
+  FROM t
+)
+SELECT part, 'c_mktsegment' AS key, 'value' AS kind,
+       round(sum(
+         (CASE WHEN n_p * pool > 0
+               THEN (c_p - n_p * pool) * (c_p - n_p * pool) / (n_p * pool)
+               ELSE 0 END)
+         + (CASE WHEN n_q * pool > 0
+                 THEN (c_q - n_q * pool) * (c_q - n_q * pool) / (n_q * pool)
+                 ELSE 0 END)
+       ), 6) AS chi2,
+       CAST(count(CASE WHEN c_p + c_q > 0 THEN 1 END) - 1 AS BIGINT) AS dof,
+       CAST(max(n_p) AS BIGINT) AS n_p,
+       CAST(max(n_q) AS BIGINT) AS n_q
+FROM x GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4296,6 +4367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_vad": _q_audio_vad,
         "snapshot_diff": _q_snapshot_diff,
         "layout_advisor": _q_layout_advisor,
+        "chi2_drift": _q_chi2_drift,
     }
 
 
@@ -4385,6 +4457,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": _sql_split_leakage(),
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "layout_advisor": _sql_layout_advisor(),
+        "chi2_drift": _SQL_CHI2_DRIFT,
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py
         # binary_meta / audio_validate: binary audio payloads (pandas-UDF

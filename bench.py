@@ -124,6 +124,7 @@ HEADLINE_QUERIES = (
     "audio_vad",
     "snapshot_diff",
     "layout_advisor",
+    "chi2_drift",
 )
 
 

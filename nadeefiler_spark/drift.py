@@ -84,6 +84,57 @@ def drift_metrics(hist: DataFrame, baseline: DataFrame) -> DataFrame:
     )
 
 
+def chi2_drift(hist: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Per (part, key): two-sample chi-square statistic of the part's
+    categorical histogram vs baseline — the classical counterpart to
+    PSI (:func:`drift_metrics`) with a known null distribution, so a
+    threshold can be set from a p-value instead of a rule of thumb.
+
+    Same input shape as drift_metrics: ``hist`` (part, key, kind, bin,
+    count), ``baseline`` (key, kind, bin, count). Pooled-expectation
+    form: p_b = (o_b + q_b) / (n_o + n_q), X² = Σ_b [(o_b − n_o·p_b)² /
+    (n_o·p_b) + (q_b − n_q·p_b)² / (n_q·p_b)], dof = bins − 1. Bins
+    absent on one side enter as 0 (no smoothing — chi-square handles
+    zeros in ONE sample; a bin absent from BOTH never appears).
+    Exact rational arithmetic until the final division, so the SQL
+    oracle reproduces it to rounding. Plan shape: the same
+    grid-align join as drift_metrics, then one groupBy(part, key) —
+    rows ∝ parts × bins, partial aggregation throughout.
+    """
+    p = hist.select("part", "key", "kind", "bin", F.col("count").alias("c_p"))
+    q = baseline.select("key", "kind", "bin", F.col("count").alias("c_q"))
+    part_keys = p.select("part", "key", "kind").distinct()
+    all_bins = q.select("key", "kind", "bin").union(
+        p.select("key", "kind", "bin")
+    ).distinct()
+    grid = part_keys.join(all_bins, ["key", "kind"])
+    joined = (
+        grid.join(p, ["part", "key", "kind", "bin"], "left")
+        .join(q, ["key", "kind", "bin"], "left")
+        .fillna(0, subset=["c_p", "c_q"])
+    )
+    tot = Window.partitionBy("part", "key", "kind")
+    n_p, n_q = F.sum("c_p").over(tot), F.sum("c_q").over(tot)
+    pool = (F.col("c_p") + F.col("c_q")) / F.greatest(n_p + n_q, F.lit(1))
+    e_p, e_q = n_p * pool, n_q * pool
+    term = (
+        F.when(e_p > 0, (F.col("c_p") - e_p) ** 2 / e_p).otherwise(0.0)
+        + F.when(e_q > 0, (F.col("c_q") - e_q) ** 2 / e_q).otherwise(0.0)
+    )
+    contrib = joined.select(
+        "part", "key", "kind",
+        term.alias("term"),
+        ((F.col("c_p") + F.col("c_q")) > 0).cast("int").alias("live_bin"),
+        n_p.alias("n_p"), n_q.alias("n_q"),
+    )
+    return contrib.groupBy("part", "key", "kind").agg(
+        F.round(F.sum("term"), 6).alias("chi2"),
+        (F.sum("live_bin") - 1).cast("bigint").alias("dof"),
+        F.max("n_p").cast("bigint").alias("n_p"),
+        F.max("n_q").cast("bigint").alias("n_q"),
+    )
+
+
 @dataclass
 class DriftRule(Rule):
     """Flag partitions whose histograms drift from the baseline.

@@ -169,3 +169,50 @@ def test_snapshot_diff_separator_ambiguity(spark):
     new = spark.createDataFrame([(1, "a", "bc")], "id long, v string, w string")
     got = snapshot_diff(old, new, "id").collect()
     assert [(r["id"], r["change"]) for r in got] == [(1, "changed")]
+
+
+def test_chi2_drift_known_table(spark):
+    """Hand-computed 2x2 two-sample chi-square: part A = (30, 10),
+    baseline = (20, 20): pooled p = (50/80, 30/80); X^2 by hand."""
+    from nadeefiler_spark.drift import chi2_drift
+
+    hist = spark.createDataFrame(
+        [("A", "k", "value", "x", 30), ("A", "k", "value", "y", 10)],
+        "part string, key string, kind string, bin string, count long",
+    )
+    base = spark.createDataFrame(
+        [("k", "value", "x", 20), ("k", "value", "y", 20)],
+        "key string, kind string, bin string, count long",
+    )
+    r = chi2_drift(hist, base).collect()[0]
+    n_p, n_q = 40, 40
+    expected = 0.0
+    for o, q, tot in ((30, 20, 50), (10, 20, 30)):
+        pool = tot / 80
+        expected += (o - n_p * pool) ** 2 / (n_p * pool)
+        expected += (q - n_q * pool) ** 2 / (n_q * pool)
+    assert r["chi2"] == round(expected, 6)
+    assert r["dof"] == 1
+    assert (r["n_p"], r["n_q"]) == (40, 40)
+
+
+def test_chi2_drift_identical_and_disjoint_bins(spark):
+    from nadeefiler_spark.drift import chi2_drift
+
+    # identical distributions -> chi2 == 0
+    hist = spark.createDataFrame(
+        [("A", "k", "value", "x", 10), ("A", "k", "value", "y", 30)],
+        "part string, key string, kind string, bin string, count long",
+    )
+    base = spark.createDataFrame(
+        [("k", "value", "x", 10), ("k", "value", "y", 30)],
+        "key string, kind string, bin string, count long",
+    )
+    assert chi2_drift(hist, base).collect()[0]["chi2"] == 0.0
+    # bin present only in the part (absent from baseline) still counts
+    hist2 = spark.createDataFrame(
+        [("A", "k", "value", "z", 5)],
+        "part string, key string, kind string, bin string, count long",
+    )
+    r = chi2_drift(hist2, base).collect()[0]
+    assert r["dof"] == 2 and r["chi2"] > 0
