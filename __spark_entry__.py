@@ -78,6 +78,9 @@ Operator → query map (SURVEY §2 ids in brackets):
 - chi2_drift             [validation: two-sample chi-square categorical
                           drift per partition vs baseline — the
                           p-value-capable companion to PSI/KS]
+- quality_slices         [triage: slice finder — per (dim, value) slice
+                          quality mean + standard-error z vs corpus,
+                          one melt for all dimensions]
 - dup_clusters           [pipeline: near-dup clustering — connected
                           components (large-star/small-star) over pairs]
 - dup_label_conflicts    [validation: annotation consistency — near-dup
@@ -4265,6 +4268,48 @@ FROM x GROUP BY 1
 """
 
 
+def _q_quality_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice finder (operators/slices.quality_slices): per (lang,
+    source) slice, the heuristic-quality mean and its standard-error
+    z-score vs the corpus — the triage view over corpus quality."""
+    from nadeefiler_spark.operators.slices import quality_slices
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_slices(
+        d, tx.quality_score("text"), ["lang", "source"], min_support=5
+    )
+
+
+def _sql_quality_slices() -> str:
+    # quality from the text_quality oracle; same melt + z math
+    return f"""
+    WITH tq AS ({_sql_text_quality()}),
+    base AS (
+      SELECT d.lang, d.source, tq.quality AS metric
+      FROM documents d JOIN tq ON d.doc_id = tq.doc_id
+    ),
+    m AS (
+      SELECT 'lang' AS dim, CAST(lang AS VARCHAR) AS value, metric FROM base
+      UNION ALL
+      SELECT 'source' AS dim, CAST(source AS VARCHAR) AS value, metric FROM base
+    ),
+    s AS (
+      SELECT dim, value, count(metric) AS n, avg(metric) AS mean_metric
+      FROM m GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT avg(metric) AS g_mean, stddev_pop(metric) AS g_std FROM base
+    )
+    SELECT dim, value, CAST(n AS BIGINT) AS n,
+           round(mean_metric, 6) AS mean_metric,
+           round(CASE WHEN g_std > 0 AND n > 0
+                      THEN (mean_metric - g_mean) / (g_std / sqrt(n))
+                      ELSE 0.0 END, 6) AS z
+    FROM s CROSS JOIN g
+    WHERE n >= 5
+    """
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4368,6 +4413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "layout_advisor": _q_layout_advisor,
         "chi2_drift": _q_chi2_drift,
+        "quality_slices": _q_quality_slices,
     }
 
 
@@ -4458,6 +4504,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "layout_advisor": _sql_layout_advisor(),
         "chi2_drift": _SQL_CHI2_DRIFT,
+        "quality_slices": _sql_quality_slices(),
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py
         # binary_meta / audio_validate: binary audio payloads (pandas-UDF

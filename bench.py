@@ -125,6 +125,7 @@ HEADLINE_QUERIES = (
     "snapshot_diff",
     "layout_advisor",
     "chi2_drift",
+    "quality_slices",
 )
 
 
