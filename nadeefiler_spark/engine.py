@@ -525,6 +525,73 @@ class ValidationEngine:
             (F.col("stage") == "fp_index") & (F.col("run_id") == run_id)
         )
 
+    def run_vad(
+        self,
+        clips: DataFrame,
+        resume: bool = True,
+        run_id: str | None = None,
+    ) -> DataFrame:
+        """Cascade stage: per-clip voice-activity stats.
+
+        One (clip_id, speech_ratio, n_speech_runs, longest_silence_ms,
+        decode_error, part) row per clip in the ``vad_stats`` table
+        (rules.audio_rules.vad_stats over the decode pass,
+        decode_facts with_vad — SNR is not rendered). Per-partition
+        property like fp_index: new partitions audit incrementally
+        (per-partition replace + manifest resume, stage='vad').
+        n_violations = clips with no detectable speech (undecodable or
+        speech_ratio == 0) — the dead-corpus members a speech-training
+        ingest wants surfaced.
+        """
+        run_id = run_id or uuid.uuid4().hex[:12]
+        all_parts = [
+            r[0] for r in clips.select(self.part_col).distinct().collect()
+        ]
+        done: set[str] = set()
+        if resume:
+            done = {
+                r["part"]
+                for r in self.manifest().where(F.col("stage") == "vad")
+                .select("part").distinct().collect()
+            }
+        pending = [p for p in all_parts if str(p) not in done]
+        if not pending:
+            return self.verdicts().where(
+                (F.col("stage") == "vad") & (F.col("run_id") == run_id)
+            )
+        t0 = time.monotonic()
+        scoped = clips.where(F.col(self.part_col).isin(pending))
+        vad = decode_facts(scoped, with_snr=False, with_vad=True).select(
+            "clip_id", "speech_ratio", "n_speech_runs", "longest_silence_ms",
+            "decode_error", F.col("part").alias(self.part_col),
+        ).persist()
+        try:
+            self.io.replace_partitions(vad, "vad_stats", self.part_col, pending)
+            stats = {
+                str(r[0]): (r["n"], r["bad"])
+                for r in vad.groupBy(self.part_col).agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        (
+                            F.col("decode_error").isNotNull()
+                            | (F.col("speech_ratio") == 0.0)
+                        ).cast("bigint")
+                    ).alias("bad"),
+                ).collect()
+            }
+        finally:
+            vad.unpersist()
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        self._commit(
+            run_id, "vad", [str(p) for p in pending],
+            {p: int(stats.get(p, (0, 0))[0]) for p in map(str, pending)},
+            {p: int(stats.get(p, (0, 0))[1] or 0) for p in map(str, pending)},
+            wall_ms,
+        )
+        return self.verdicts().where(
+            (F.col("stage") == "vad") & (F.col("run_id") == run_id)
+        )
+
     def run_admission(
         self,
         clips: DataFrame,
@@ -947,6 +1014,13 @@ class ValidationEngine:
         return self.io.read(
             "fp_index",
             "clip_id string, fp bigint, decode_error string, part string",
+        )
+
+    def vad_stats(self) -> DataFrame:
+        return self.io.read(
+            "vad_stats",
+            "clip_id string, speech_ratio double, n_speech_runs int, "
+            "longest_silence_ms int, decode_error string, part string",
         )
 
     # --- stage bodies -----------------------------------------------------

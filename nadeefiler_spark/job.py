@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(LSH-blocked embedding-cosine clusters -> "
                         "embedding_dups table); optional cosine threshold, "
                         "default 0.98")
+    p.add_argument("--vad", action="store_true",
+                   help="run the voice-activity audit stage (vad_stats "
+                        "table, per-partition resume; violations = clips "
+                        "with no detectable speech)")
     p.add_argument("--index", action="store_true",
                    help="build/refresh the corpus fingerprint index "
                         "(fp_index table, per-partition resume); --admit "
@@ -135,6 +139,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
             clips, resume=not args.no_resume, run_id=args.run_id
         )
         verdicts = verdicts.unionByName(cd_v)
+    if args.vad:
+        vad_v = eng.run_vad(
+            clips, resume=not args.no_resume, run_id=args.run_id
+        )
+        verdicts = verdicts.unionByName(vad_v)
     if args.index:
         idx_v = eng.run_fp_index(
             clips, resume=not args.no_resume, run_id=args.run_id

@@ -822,3 +822,19 @@ def test_windowed_expectations_stream_equals_batch(spark, tmp_path):
     assert verdict[(str(h(1)), "values_in(event_type)")] is False
     assert verdict[(str(h(2)), "max(value)")] is False
     assert verdict[(str(h(1)), "completeness(value)")] is True
+
+
+def test_job_vad_flag(spark, clips_dirs, tmp_path):
+    out = str(tmp_path / "out_vad")
+    summary = job.main(
+        ["--clips", f"{clips_dirs}/clips", "--out", out,
+         "--no-audio", "--no-drift", "--vad"],
+        spark=spark,
+    )
+    assert "vad" in summary["stages"]
+    from nadeefiler_spark.engine import ValidationEngine
+
+    eng = ValidationEngine(spark, out, rules=[])
+    stats = eng.vad_stats()
+    assert stats.count() == spark.read.parquet(f"{clips_dirs}/clips").count()
+    assert stats.where("speech_ratio IS NOT NULL").count() > 0
