@@ -19,13 +19,23 @@ All three are defined as pure max/sum statistics, so no tie-breaking
 rule is needed (two grams tied for the top yield the same fraction) and
 the DuckDB oracle can reproduce them exactly.
 
-100-TB shape: one explode of tagged (n, gram) rows — 1-, 2- and 3-grams
-concatenated into a single array BEFORE the explode, so the job pays
-ONE exchange keyed by (id, n, gram) instead of three. Repeated grams
-collapse map-side (partial aggregation) before the shuffle; the second
-aggregation keys on the doc id. Nothing is collected; per-doc state is
-bounded by document length. Documents with no tokens (or too few for a
-gram size) get 0.0 via the left join back onto the id spine.
+100-TB shape — ONE exchange for the whole profile:
+
+1. tokenize once, ``posexplode_outer`` to (id, pos, word) — the text is
+   split exactly once per document (building shingle arrays with
+   higher-order ``transform``/``slice`` lambdas instead re-evaluates the
+   tokenizer per lambda element: measured 13 s → ~1 s at sf0.1);
+2. 2-/3-grams via ``lead(word, k)`` over (id ORDER BY pos) — the
+   window's hashpartitioning(id) is the query's only Exchange;
+3. each row emits its tagged (n, gram) structs through one
+   null-filtered array explode (a generator: partitioning preserved);
+4. groupBy(id, gram) then groupBy(id) both reuse the id partitioning
+   (subset clustering), so neither aggregation shuffles again — and the
+   word-level counts already contain the totals (Σ count over distinct
+   words = token count, Σ count·len = token chars), so no spine join.
+
+Empty documents survive via the _outer explodes (all-NULL gram row →
+coalesce-0 aggregates). ``id_col`` must be unique per document.
 
 Reference analog: nadeefiler's per-column value histogram
 (/root/reference/profilers/dboost/index.js histogram path) counts
@@ -38,25 +48,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import text as tx
 
 __all__ = ["repetition_profile"]
-
-
-def _tagged_grams(text: Column) -> Column:
-    """array<struct<n:int, g:string>> of 1-, 2- and 3-grams."""
-
-    def tag(n: int, arr: Column) -> Column:
-        return F.transform(
-            arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
-        )
-
-    return F.concat(
-        tag(1, tx.tokens(text)),
-        tag(2, tx.word_shingles(text, 2)),
-        tag(3, tx.word_shingles(text, 3)),
-    )
 
 
 def repetition_profile(
@@ -64,28 +60,46 @@ def repetition_profile(
 ) -> DataFrame:
     """(id, n_tokens, top_word_frac, top_2gram_frac, dup_3gram_frac)
     per document, fractions rounded to 6 places."""
-    text = F.col(text_col)
-    toks = tx.tokens(text)
-    spine = df.select(
+    base = df.select(
         F.col(id_col).alias("id"),
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.aggregate(
-            toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
-        ).alias("tok_chars"),
-        _tagged_grams(text).alias("grams"),
+        F.posexplode_outer(tx.tokens(F.col(text_col))).alias("pos", "w"),
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    # window exprs must be top-level projection items; the gram array
+    # is built in the NEXT select from the materialized lead columns
+    leads = base.select(
+        "id", "w",
+        F.lead("w", 1).over(win).alias("w1"),
+        F.lead("w", 2).over(win).alias("w2"),
+    )
+    w1, w2 = F.col("w1"), F.col("w2")
+    g2 = F.when(w1.isNotNull(), F.concat_ws(" ", F.col("w"), w1))
+    g3 = F.when(w2.isNotNull(), F.concat_ws(" ", F.col("w"), w1, w2))
+    tagged = F.filter(
+        F.array(
+            F.struct(F.lit(1).alias("n"), F.col("w").alias("g")),
+            F.struct(F.lit(2).alias("n"), g2.alias("g")),
+            F.struct(F.lit(3).alias("n"), g3.alias("g")),
+        ),
+        lambda s: s["g"].isNotNull(),
     )
     counts = (
-        spine.select("id", F.explode("grams").alias("gr"))
+        leads.select("id", F.explode_outer(tagged).alias("gr"))
         .groupBy("id", "gr")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    n, g = F.col("gr.n"), F.col("gr.g")
-    # char mass of one occurrence = gram chars minus the n-1 join spaces
+    n, g, cnt = F.col("gr.n"), F.col("gr.g"), F.col("cnt")
+    # word-level counts already carry the denominators:
+    # Σ cnt (n=1) = token count, Σ cnt·len (n=1) = token chars
     aggs = counts.groupBy("id").agg(
-        F.max(F.when(n == 1, F.col("cnt") * F.length(g))).alias("w_mass"),
-        F.max(F.when(n == 2, F.col("cnt") * (F.length(g) - 1))).alias("g2_mass"),
-        F.sum(F.when((n == 3) & (F.col("cnt") >= 2), F.col("cnt"))).alias("dup3"),
-        F.sum(F.when(n == 3, F.col("cnt"))).alias("n3"),
+        F.coalesce(F.sum(F.when(n == 1, cnt)), F.lit(0))
+        .cast("bigint").alias("n_tokens"),
+        F.coalesce(F.sum(F.when(n == 1, cnt * F.length(g))), F.lit(0))
+        .alias("tok_chars"),
+        F.max(F.when(n == 1, cnt * F.length(g))).alias("w_mass"),
+        F.max(F.when(n == 2, cnt * (F.length(g) - 1))).alias("g2_mass"),
+        F.sum(F.when((n == 3) & (cnt >= 2), cnt)).alias("dup3"),
+        F.sum(F.when(n == 3, cnt)).alias("n3"),
     )
 
     def frac(num: Column, den: Column) -> Column:
@@ -93,7 +107,7 @@ def repetition_profile(
             F.when(den > 0, F.coalesce(num, F.lit(0)) / den).otherwise(0.0), 6
         )
 
-    return spine.drop("grams").join(aggs, "id", "left").select(
+    return aggs.select(
         "id",
         "n_tokens",
         frac(F.col("w_mass"), F.col("tok_chars")).alias("top_word_frac"),
