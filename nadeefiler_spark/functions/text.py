@@ -108,13 +108,23 @@ def fingerprint(c: Column | str) -> Column:
 
 
 def word_shingles(c: Column | str, n: int = 3) -> Column:
-    """Array of word n-gram shingle strings (distinct not applied)."""
+    """Array of word n-gram shingle strings (distinct not applied).
+
+    Built by zipping n shifted slices of the token array and joining
+    each zipped struct — NOT by a ``transform(sequence(...), i ->
+    slice(toks, i, n))`` lambda: a lambda that captures the token
+    array re-evaluates the tokenizer once PER ELEMENT (Catalyst does
+    no common-subexpression elimination across lambda boundaries),
+    which measured 2.9 s vs 0.6 s for the shingle explode alone at
+    sf0.1 (BENCH/BASELINE.md, sixth-session record). The zip form
+    evaluates the tokenizer a constant n+1 times per row and stays
+    map-side (no window, no shuffle)."""
     toks = tokens(c)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
-    ).otherwise(F.expr("cast(array() as array<string>)"))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
+    return F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
+    )
 
 
 def token_chunks(c: Column | str, size: int, overlap: int = 0) -> Column:
