@@ -4310,6 +4310,62 @@ def _sql_quality_slices() -> str:
     """
 
 
+_LINE_W = 8  # tokens per synthesized line (documents carry no newlines)
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup / boilerplate removal
+    (operators/linededup.dedup_lines): documents are line-structured
+    deterministically (8-token non-overlapping chunks joined by \\n —
+    the synthetic table has no newlines), then every line occurring in
+    >= 2 distinct documents is removed from all of them. One output row
+    per document; the rewritten text is md5'd to keep rows small."""
+    from nadeefiler_spark.operators.linededup import dedup_lines
+
+    d = _t(spark, sf_dir, "documents").where(tx.token_count("text") > 0)
+    lined = d.select(
+        "doc_id",
+        F.concat_ws("\n", tx.token_chunks("text", _LINE_W, 0)).alias("text"),
+    )
+    return dedup_lines(lined, "doc_id", "text", min_docs=2).select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_lines",
+        "n_removed",
+    )
+
+
+_SQL_LINE_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+ln AS (
+  SELECT doc_id, tk,
+         unnest(range(0, CAST(ceil(len(tk) / {_LINE_W}.0) AS INT))) AS line_no
+  FROM toks WHERE len(tk) > 0
+),
+l2 AS (
+  SELECT doc_id, line_no,
+         array_to_string(tk[line_no * {_LINE_W} + 1 : (line_no + 1) * {_LINE_W}],
+                         ' ') AS line
+  FROM ln
+),
+flag AS (
+  SELECT line FROM l2 GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT l.doc_id,
+       md5(coalesce(
+         string_agg(l.line, chr(10) ORDER BY l.line_no)
+           FILTER (WHERE f.line IS NULL), '')) AS clean_md5,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE f.line IS NOT NULL) AS BIGINT) AS n_removed
+FROM l2 l LEFT JOIN flag f USING (line)
+GROUP BY l.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4414,6 +4470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_advisor": _q_layout_advisor,
         "chi2_drift": _q_chi2_drift,
         "quality_slices": _q_quality_slices,
+        "line_dedup": _q_line_dedup,
     }
 
 
@@ -4505,6 +4562,7 @@ def oracle_sql() -> dict[str, str]:
         "layout_advisor": _sql_layout_advisor(),
         "chi2_drift": _SQL_CHI2_DRIFT,
         "quality_slices": _sql_quality_slices(),
+        "line_dedup": _SQL_LINE_DEDUP,
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py
         # binary_meta / audio_validate: binary audio payloads (pandas-UDF

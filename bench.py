@@ -126,6 +126,7 @@ HEADLINE_QUERIES = (
     "layout_advisor",
     "chi2_drift",
     "quality_slices",
+    "line_dedup",
 )
 
 
