@@ -4366,6 +4366,85 @@ GROUP BY l.doc_id
 """
 
 
+def _q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity quality scores (operators/lm.py): add-0.5
+    smoothing, self-trained on the corpus (the contamination-free
+    exact mode the oracle can replay); documents with <2 tokens are
+    excluded so no NULL doubles reach the hash compare."""
+    from nadeefiler_spark.operators.lm import perplexity_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return perplexity_scores(d, "doc_id", "text", alpha=0.5).where(
+        F.col("n_bigrams") >= 1
+    )
+
+
+_SQL_LM_SCORES = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(tk) AS w, unnest(range(1, len(tk) + 1)) AS p
+  FROM toks
+),
+pairs AS (
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+  FROM pos QUALIFY w2 IS NOT NULL
+),
+uni AS (SELECT w, count(*) AS c1 FROM pos GROUP BY 1),
+big AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+v AS (SELECT count(*) AS vv FROM uni),
+nll AS (
+  SELECT p.doc_id,
+         -ln((coalesce(b.c2, 0) + 0.5) / (coalesce(u.c1, 0) + 0.5 * v.vv))
+           AS nll,
+         b.c2 IS NULL AS unseen
+  FROM pairs p
+  LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+  LEFT JOIN uni u ON p.w1 = u.w
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(count(*) FILTER (WHERE unseen) AS BIGINT) AS n_unseen,
+       round(avg(nll), 6) AS avg_nll,
+       round(exp(avg(nll)), 6) AS ppl
+FROM nll GROUP BY doc_id HAVING count(*) >= 1
+"""
+
+
+def _q_vocab_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary statistics (operators/lm.vocab_profile):
+    type-token ratio, hapax share, top-type token share — the template-
+    spam / tokenizer-breakage screens, no global sort anywhere."""
+    from nadeefiler_spark.operators.lm import vocab_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_profile(d, "text", ("lang",))
+
+
+_SQL_VOCAB_PROFILE = """
+WITH pos AS (
+  SELECT lang, unnest(
+    list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS w
+  FROM documents
+),
+counts AS (SELECT lang, w, count(*) AS c FROM pos GROUP BY 1, 2)
+SELECT lang,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(count(*) * 1.0 / sum(c), 6) AS ttr,
+       CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS hapax_types,
+       round(count(*) FILTER (WHERE c = 1) * 1.0 / count(*), 6)
+         AS hapax_ratio,
+       round(max(c) * 1.0 / sum(c), 6) AS top1_share
+FROM counts GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4471,6 +4550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_drift": _q_chi2_drift,
         "quality_slices": _q_quality_slices,
         "line_dedup": _q_line_dedup,
+        "lm_scores": _q_lm_scores,
+        "vocab_profile": _q_vocab_profile,
     }
 
 
@@ -4563,6 +4644,8 @@ def oracle_sql() -> dict[str, str]:
         "chi2_drift": _SQL_CHI2_DRIFT,
         "quality_slices": _sql_quality_slices(),
         "line_dedup": _SQL_LINE_DEDUP,
+        "lm_scores": _SQL_LM_SCORES,
+        "vocab_profile": _SQL_VOCAB_PROFILE,
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py
         # binary_meta / audio_validate: binary audio payloads (pandas-UDF

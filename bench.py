@@ -127,6 +127,8 @@ HEADLINE_QUERIES = (
     "chi2_drift",
     "quality_slices",
     "line_dedup",
+    "lm_scores",
+    "vocab_profile",
 )
 
 

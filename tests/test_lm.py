@@ -1,0 +1,79 @@
+"""Bigram-LM scoring + vocab profile (operators/lm.py): hand-computed
+probabilities, pruning/unseen semantics, short-doc NULLs, grouping."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from nadeefiler_spark.operators.lm import (
+    lm_score,
+    ngram_lm,
+    perplexity_scores,
+    vocab_profile,
+)
+
+
+def _df(spark):
+    # unigrams: a:3 b:3 z:1 q:3 -> V=4; bigrams: "a b":3 "b a":1 "q q":2
+    return spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "z"), (4, "q q q")],
+        "doc_id long, text string",
+    )
+
+
+def test_self_perplexity_hand_values(spark):
+    got = {
+        r["doc_id"]: r
+        for r in perplexity_scores(_df(spark), alpha=0.5).collect()
+    }
+    # doc 2, pair "a b": p = (3+.5)/(3+.5*4) = 0.7
+    assert got[2]["avg_nll"] == round(-math.log(0.7), 6)
+    assert got[2]["ppl"] == round(1 / 0.7, 6)
+    assert (got[2]["n_bigrams"], got[2]["n_unseen"]) == (1, 0)
+    # doc 4, pairs "q q" x2: p = (2+.5)/(3+2) = 0.5 each
+    assert got[4]["avg_nll"] == round(math.log(2.0), 6)
+    # doc 3 has one token: emitted with NULL score
+    assert got[3]["n_bigrams"] == 0 and got[3]["avg_nll"] is None
+    assert len(got) == 4
+
+
+def test_cross_corpus_unseen_and_pruning(spark):
+    train = _df(spark)
+    score_me = spark.createDataFrame(
+        [(9, "a b x y")], "doc_id long, text string"
+    )
+    uni, big = ngram_lm(train, min_count=1)
+    row = lm_score(
+        score_me, uni, big, alpha=0.5, broadcast_model=True
+    ).collect()[0]
+    # pairs: "a b" seen, "b x" and "x y" unseen
+    assert (row["n_bigrams"], row["n_unseen"]) == (3, 2)
+    p_ab = 3.5 / 5.0       # (3+.5)/(3+.5*4)
+    p_bx = 0.5 / 5.0       # unseen bigram, seen context b
+    p_xy = 0.5 / 2.0       # both unseen: (0+.5)/(0+.5*4)
+    expect = -(math.log(p_ab) + math.log(p_bx) + math.log(p_xy)) / 3
+    assert row["avg_nll"] == round(expect, 6)
+
+    # min_count=2 prunes "b a" (c=1) and z; V shrinks to 3
+    uni2, big2 = ngram_lm(train, min_count=2)
+    assert uni2.count() == 3 and big2.count() == 2
+    row2 = lm_score(
+        spark.createDataFrame([(9, "b a")], "doc_id long, text string"),
+        uni2, big2, alpha=0.5,
+    ).collect()[0]
+    assert row2["n_unseen"] == 1  # "b a" fell out of the model
+    assert row2["avg_nll"] == round(-math.log(0.5 / (3 + 0.5 * 3)), 6)
+
+
+def test_vocab_profile_values_and_groups(spark):
+    row = vocab_profile(_df(spark)).collect()[0]
+    assert (row["n_tokens"], row["n_types"], row["hapax_types"]) == (10, 4, 1)
+    assert row["ttr"] == 0.4 and row["top1_share"] == 0.3
+    by_lang = vocab_profile(
+        _df(spark).withColumn("lang", F.when(F.col("doc_id") <= 2, "en")
+                              .otherwise("de")),
+        group_cols=("lang",),
+    )
+    got = {r["lang"]: r for r in by_lang.collect()}
+    assert got["en"]["n_tokens"] == 6 and got["de"]["n_tokens"] == 4
+    assert got["de"]["n_types"] == 2  # z, q
