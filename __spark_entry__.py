@@ -4445,6 +4445,53 @@ FROM counts GROUP BY lang
 """
 
 
+def _q_metric_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-history anomaly detection (drift.metric_anomaly): the daily
+    per-event-type volume series screened against its trailing 7-point
+    mean ± 2σ — the Deequ-style repeated-validation check the engine
+    metrics table feeds in production."""
+    from nadeefiler_spark.drift import metric_anomaly
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    return metric_anomaly(
+        series, "v", "day", key_cols=("event_type",), window=7, k=2.0
+    ).withColumn("day", F.col("day").cast("string"))
+
+
+_SQL_METRIC_ANOMALY = """
+WITH series AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, day, v,
+         count(v) OVER win AS n_prev,
+         avg(v) OVER win AS mean_prev,
+         stddev_samp(v) OVER win AS std_prev
+  FROM series
+  WINDOW win AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       round(v, 6) AS value,
+       CAST(n_prev AS BIGINT) AS n_prev,
+       round(CASE WHEN n_prev >= 3 THEN mean_prev ELSE 0 END, 6)
+         AS mean_prev,
+       round(CASE WHEN n_prev >= 3 AND std_prev > 0
+                  THEN (v - mean_prev) / std_prev ELSE 0 END, 6) AS z,
+       coalesce(CASE WHEN n_prev >= 3 THEN
+           CASE WHEN std_prev > 0
+                THEN abs((v - mean_prev) / std_prev) > 2.0
+                ELSE v <> mean_prev END
+         END, false) AS anomaly
+FROM w
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4552,6 +4599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "lm_scores": _q_lm_scores,
         "vocab_profile": _q_vocab_profile,
+        "metric_anomaly": _q_metric_anomaly,
     }
 
 
@@ -4646,6 +4694,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _SQL_LINE_DEDUP,
         "lm_scores": _SQL_LM_SCORES,
         "vocab_profile": _SQL_VOCAB_PROFILE,
+        "metric_anomaly": _SQL_METRIC_ANOMALY,
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py
         # binary_meta / audio_validate: binary audio payloads (pandas-UDF

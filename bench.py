@@ -129,6 +129,7 @@ HEADLINE_QUERIES = (
     "line_dedup",
     "lm_scores",
     "vocab_profile",
+    "metric_anomaly",
 )
 
 

@@ -305,3 +305,65 @@ def snapshot_diff(
     return joined.select("id", change.alias("change")).where(
         F.col("change").isNotNull()
     )
+
+
+def metric_anomaly(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    key_cols: tuple[str, ...] = (),
+    window: int = 7,
+    k: float = 3.0,
+    min_history: int = 3,
+) -> DataFrame:
+    """Trailing-window anomaly detection over a metric history — the
+    repeated-validation screen (Deequ's anomaly checks): each point in
+    a per-key metric series is compared against the mean/std of its
+    previous ``window`` points, and flagged when it falls outside
+    mean ± k·std.
+
+    Input: one row per (key…, order) observation — e.g. the engine
+    metrics table's (stage, run) wall_ms/n_violations, or a daily
+    count series. Output keeps every input row and adds:
+
+    - ``n_prev``: trailing points actually available (< ``window`` at
+      a series' head),
+    - ``mean_prev`` / ``z``: trailing mean and the point's z-score
+      (both 0.0 — not NULL — when undefined: fewer than
+      ``max(min_history, 2)`` trailing points, or zero spread; read
+      ``anomaly``, not z, for the verdict),
+    - ``anomaly``: non-NULL boolean — |z| > k, or, when the trailing
+      window has zero spread, any departure from that constant.
+
+    Scale notes: the input is an AGGREGATED series (rows ∝ #series ×
+    #runs, never ∝ data rows), so the per-key window sort is over a
+    handful of points; with thousands of series the partitionBy
+    spreads them across the cluster. Doubles rounded to 6 dp.
+    """
+    eff_min = max(min_history, 2)  # stddev_samp needs >= 2 points
+    w = (
+        Window.partitionBy(*[F.col(c) for c in key_cols])
+        .orderBy(order_col)
+        .rowsBetween(-window, -1)
+    )
+    v = F.col(value_col)
+    n_prev = F.count(v).over(w)
+    mean_prev = F.avg(v).over(w)
+    std_prev = F.stddev_samp(v).over(w)
+    enough = n_prev >= F.lit(eff_min)
+    z = F.when(enough & (std_prev > 0), (v - mean_prev) / std_prev)
+    anomaly = F.when(
+        enough,
+        F.when(std_prev > 0, F.abs(z) > k).otherwise(v != mean_prev),
+    )
+    return df.select(
+        *key_cols,
+        order_col,
+        F.round(v.cast("double"), 6).alias("value"),
+        n_prev.cast("bigint").alias("n_prev"),
+        F.round(F.coalesce(F.when(enough, mean_prev), F.lit(0.0)), 6).alias(
+            "mean_prev"
+        ),
+        F.round(F.coalesce(z, F.lit(0.0)), 6).alias("z"),
+        F.coalesce(anomaly, F.lit(False)).alias("anomaly"),
+    )
