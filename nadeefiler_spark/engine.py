@@ -107,6 +107,33 @@ class ValidationEngine:
 
         return global_baseline(self.profile_hist())
 
+    def metric_anomalies(
+        self,
+        value_col: str = "n_violations",
+        window: int = 7,
+        k: float = 3.0,
+        min_history: int = 3,
+    ) -> DataFrame:
+        """Screen this engine's own run history for anomalies: each
+        (part, stage) series of ``value_col`` (n_violations, n_rows, or
+        wall_ms from the manifest) against its trailing-window mean ±
+        k·σ (drift.metric_anomaly) — "which partition's violation count
+        jumped this run", the repeated-validation check that catches
+        upstream regressions a single run's pass/fail cannot. The
+        manifest is sketch-sized (#parts × #stages × #runs), so this is
+        driver-cheap at any corpus scale."""
+        from .drift import metric_anomaly
+
+        return metric_anomaly(
+            self.manifest(),
+            value_col,
+            "completed_at",
+            key_cols=("part", "stage"),
+            window=window,
+            k=k,
+            min_history=min_history,
+        )
+
     # --- run -------------------------------------------------------------
     def run(
         self,

@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--admit-id", default=None,
                    help="delivery id for --admit (default: batch path "
                         "basename); the resume/idempotency unit")
+    p.add_argument("--history-anomalies", action="store_true",
+                   help="after the run, screen the manifest's run history "
+                        "(per part+stage n_violations series) for trailing-"
+                        "window anomalies and report the count")
     p.add_argument("--run-id", default=None)
     return p
 
@@ -171,6 +175,13 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
         "n_violations": sum(r["n_violations"] for r in rows),
         "out": args.out,
     }
+    if args.history_anomalies:
+        anom = eng.metric_anomalies().where(F.col("anomaly")).select(
+            "part", "stage"
+        ).collect()  # manifest-sized: O(#parts x #stages x #runs)
+        summary["history_anomalies"] = sorted(
+            {f"{r['part']}/{r['stage']}" for r in anom}
+        )
     print(json.dumps(summary))
     return summary
 

@@ -838,3 +838,14 @@ def test_job_vad_flag(spark, clips_dirs, tmp_path):
     stats = eng.vad_stats()
     assert stats.count() == spark.read.parquet(f"{clips_dirs}/clips").count()
     assert stats.where("speech_ratio IS NOT NULL").count() > 0
+
+
+def test_job_history_anomalies_flag(spark, clips_dirs, tmp_path):
+    out = str(tmp_path / "hist_out")
+    args = ["--clips", f"{clips_dirs}/clips", "--out", out,
+            "--no-audio", "--no-drift", "--history-anomalies"]
+    summary = job.main(args, spark=spark)
+    # two runs of history: far below min_history, nothing can flag
+    summary2 = job.main(args + ["--no-resume"], spark=spark)
+    assert summary["history_anomalies"] == []
+    assert summary2["history_anomalies"] == []

@@ -53,3 +53,24 @@ def test_z_math_with_spread(spark):
     assert got[4]["anomaly"]
     # t=3: prev 1,2,3 -> mean 2, std 1, z 0 -> fine
     assert got[3]["z"] == 0.0 and not got[3]["anomaly"]
+
+
+def test_engine_run_history_screen(spark, tmp_path):
+    """engine.metric_anomalies over the manifest: a planted violation
+    spike in one partition's run history flags; the quiet series never
+    does."""
+    from nadeefiler_spark.engine import ValidationEngine
+    from nadeefiler_spark.profiler import ProfileConfig
+
+    eng = ValidationEngine(
+        spark, str(tmp_path / "hist"), rules=[],
+        profile_cfg=ProfileConfig(part_col="part"),
+    )
+    for i in range(8):
+        eng._commit(f"r{i}", "profile", ["p", "q"],
+                    {"p": 10, "q": 10},
+                    {"p": 2, "q": 50 if i == 7 else 2}, 5)
+    got = eng.metric_anomalies(window=7, k=2.0).collect()
+    flagged = {(r["part"], r["value"]) for r in got if r["anomaly"]}
+    assert flagged == {("q", 50.0)}
+    assert len(got) == 16  # every manifest row screened
