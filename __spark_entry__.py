@@ -4492,6 +4492,52 @@ FROM w
 """
 
 
+def _q_domain_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style domain importance scores (operators/lm.
+    domain_logratio_scores): every document scored by ln(p_target /
+    p_raw) summed over its tokens, target = the German subset —
+    the importance-sampling signal for tilting a mix toward a domain."""
+    from nadeefiler_spark.operators.lm import domain_logratio_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return domain_logratio_scores(
+        d, d.where(F.col("lang") == "de"), "doc_id", "text", alpha=0.5
+    ).where(F.col("n_tokens") >= 1)
+
+
+_SQL_DOMAIN_SCORES = """
+WITH pos AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            t -> t <> '')) AS w
+  FROM documents
+),
+r AS (SELECT w, count(*) AS c_r FROM pos GROUP BY 1),
+t AS (SELECT w, count(*) AS c_t FROM pos WHERE lang = 'de' GROUP BY 1),
+scal AS (
+  SELECT (SELECT count(DISTINCT w)
+          FROM (SELECT w FROM r UNION ALL SELECT w FROM t)) AS vv,
+         (SELECT sum(c_r) FROM r) AS n_r,
+         (SELECT coalesce(sum(c_t), 0) FROM t) AS n_t
+)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(
+         ln((coalesce(t.c_t, 0) + 0.5) / (s.n_t + 0.5 * s.vv))
+         - ln((r.c_r + 0.5) / (s.n_r + 0.5 * s.vv))
+       ), 6) AS sum_log_ratio,
+       round(sum(
+         ln((coalesce(t.c_t, 0) + 0.5) / (s.n_t + 0.5 * s.vv))
+         - ln((r.c_r + 0.5) / (s.n_r + 0.5 * s.vv))
+       ) / count(*), 6) AS avg_log_ratio
+FROM pos p
+JOIN r ON p.w = r.w
+LEFT JOIN t ON p.w = t.w
+CROSS JOIN scal s
+GROUP BY p.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4600,6 +4646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_scores": _q_lm_scores,
         "vocab_profile": _q_vocab_profile,
         "metric_anomaly": _q_metric_anomaly,
+        "domain_scores": _q_domain_scores,
     }
 
 
@@ -4695,6 +4742,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_scores": _SQL_LM_SCORES,
         "vocab_profile": _SQL_VOCAB_PROFILE,
         "metric_anomaly": _SQL_METRIC_ANOMALY,
+        "domain_scores": _SQL_DOMAIN_SCORES,
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py
         # binary_meta / audio_validate: binary audio payloads (pandas-UDF

@@ -130,6 +130,7 @@ HEADLINE_QUERIES = (
     "lm_scores",
     "vocab_profile",
     "metric_anomaly",
+    "domain_scores",
 )
 
 

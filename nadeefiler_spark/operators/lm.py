@@ -197,3 +197,83 @@ def vocab_profile(
             ),
         )
     )
+
+
+def domain_logratio_scores(
+    df: DataFrame,
+    target_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Domain-relevance importance scores (the DSIR recipe, unigram
+    variant): score every raw-corpus document by how much more likely
+    its tokens are under a TARGET domain sample than under the raw
+    corpus itself,
+
+        score(d) = sum_{w in d} ln( p_target(w) / p_raw(w) ),
+
+    with both unigram models add-``alpha`` smoothed over the union
+    vocabulary. High scorers read like the target domain; sampling
+    raw data weighted by these scores tilts a pre-training mix toward
+    the target without hand-written filters.
+
+    Returns (``id_col``, n_tokens, sum_log_ratio, avg_log_ratio) —
+    row-for-row with ``df``; zero-token documents carry 0.0 scores.
+    Doubles rounded to 6 dp.
+
+    100-TB shape: the target sample is small by definition and the raw
+    counts come from a hash sample in production, so both lookup
+    tables broadcast (``broadcast_model=True``) and scoring is one
+    corpus scan + one groupBy(doc); the three scalars (token totals,
+    union-vocab size) ride along as a one-row broadcast cross join.
+    The contract query runs the exact full-corpus mode the oracle can
+    replay.
+    """
+    raw_uni, _ = ngram_lm(df, text_col)
+    tgt_uni, _ = ngram_lm(target_df, text_col)
+    scalars = (
+        raw_uni.select("w")
+        .unionByName(tgt_uni.select("w"))
+        .agg(F.count_distinct("w").alias("__v"))
+        .crossJoin(raw_uni.agg(F.sum("c").alias("__n_r")))
+        .crossJoin(tgt_uni.agg(F.sum("c").alias("__n_t")))
+    )
+    r = raw_uni.select("w", F.col("c").alias("__c_r"))
+    t = tgt_uni.select("w", F.col("c").alias("__c_t"))
+    if broadcast_model:
+        r, t = F.broadcast(r), F.broadcast(t)
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(tx.tokens(text_col)).alias("w"),
+    )
+    a = F.lit(alpha)
+    lr = F.log(
+        (F.coalesce(F.col("__c_t"), F.lit(0)) + a)
+        / (F.col("__n_t") + a * F.col("__v"))
+    ) - F.log(
+        (F.coalesce(F.col("__c_r"), F.lit(0)) + a)
+        / (F.col("__n_r") + a * F.col("__v"))
+    )
+    has_tok = F.col("w").isNotNull()
+    return (
+        toks.join(r, "w", "left")
+        .join(t, "w", "left")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("__id")
+        .agg(
+            F.sum(has_tok.cast("bigint")).alias("n_tokens"),
+            F.sum(F.when(has_tok, lr)).alias("__sum"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            F.round(F.coalesce(F.col("__sum"), F.lit(0.0)), 6).alias(
+                "sum_log_ratio"
+            ),
+            F.round(
+                F.coalesce(F.col("__sum") / F.col("n_tokens"), F.lit(0.0)), 6
+            ).alias("avg_log_ratio"),
+        )
+    )

@@ -77,3 +77,46 @@ def test_vocab_profile_values_and_groups(spark):
     got = {r["lang"]: r for r in by_lang.collect()}
     assert got["en"]["n_tokens"] == 6 and got["de"]["n_tokens"] == 4
     assert got["de"]["n_types"] == 2  # z, q
+
+
+def test_domain_logratio_hand_values(spark):
+    from nadeefiler_spark.operators.lm import domain_logratio_scores
+    import math
+
+    raw = spark.createDataFrame(
+        [(1, "x x"), (2, "y"), (3, "")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame([(9, "x")], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in domain_logratio_scores(raw, target, alpha=0.5).collect()
+    }
+    # raw counts: x:2 y:1 (N_r=3); target: x:1 (N_t=1); V = |{x,y}| = 2
+    lr_x = math.log(1.5 / 2.0) - math.log(2.5 / 4.0)
+    lr_y = math.log(0.5 / 2.0) - math.log(1.5 / 4.0)
+    assert got[1]["sum_log_ratio"] == round(2 * lr_x, 6)
+    assert got[1]["avg_log_ratio"] == round(lr_x, 6)
+    assert got[2]["sum_log_ratio"] == round(lr_y, 6)
+    assert lr_x > 0 > lr_y  # target-like tokens score up, others down
+    # zero-token doc kept, zero scores
+    assert (got[3]["n_tokens"], got[3]["sum_log_ratio"]) == (0, 0.0)
+    assert len(got) == 3
+
+
+def test_domain_scores_rank_target_language(spark):
+    """On the synthetic corpus, the target-language docs must rank above
+    the rest on average (the whole point of the signal)."""
+    from nadeefiler_spark.operators.lm import domain_logratio_scores
+    from pyspark.sql import functions as F2
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scores = domain_logratio_scores(
+        d, d.where(F2.col("lang") == "de"), broadcast_model=True
+    ).join(d.select("doc_id", "lang"), "doc_id")
+    m = {
+        r["is_de"]: r["m"]
+        for r in scores.groupBy((F2.col("lang") == "de").alias("is_de"))
+        .agg(F2.avg("avg_log_ratio").alias("m"))
+        .collect()
+    }
+    assert m[True] > m[False]
