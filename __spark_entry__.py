@@ -4538,6 +4538,48 @@ GROUP BY p.doc_id
 """
 
 
+_GROUP_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof eval splits (operators/sample.with_split_by_group):
+    split assigned by the content fingerprint, so exact-duplicate
+    documents land in the same split by construction."""
+    from nadeefiler_spark.operators.sample import with_split_by_group
+
+    d = _t(spark, sf_dir, "documents")
+    return with_split_by_group(
+        d, tx.fingerprint("text"), _GROUP_SPLIT_FRACTIONS, salt=17
+    ).select("doc_id", "split")
+
+
+def _sql_group_split() -> str:
+    from nadeefiler_spark.operators import sample as smp
+
+    t_train = smp.threshold(0.8)
+    t_val = smp.threshold(0.8 + 0.1)
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'), t -> t <> ''))),
+               ' ')) AS fp
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id,
+             ((CAST(('0x' || substr(md5(fp), 1, 15)) AS BIGINT)
+               % 2147483648) * 2654435761 + 17) % 2147483648 AS key
+      FROM base
+    )
+    SELECT doc_id,
+           CASE WHEN key < {t_train} THEN 'train'
+                WHEN key < {t_val} THEN 'val'
+                ELSE 'test' END AS split
+    FROM k
+    """
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4647,6 +4689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_profile": _q_vocab_profile,
         "metric_anomaly": _q_metric_anomaly,
         "domain_scores": _q_domain_scores,
+        "group_split": _q_group_split,
     }
 
 
@@ -4743,6 +4786,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_profile": _SQL_VOCAB_PROFILE,
         "metric_anomaly": _SQL_METRIC_ANOMALY,
         "domain_scores": _SQL_DOMAIN_SCORES,
+        "group_split": _sql_group_split(),
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py
         # binary_meta / audio_validate: binary audio payloads (pandas-UDF

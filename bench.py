@@ -131,6 +131,7 @@ HEADLINE_QUERIES = (
     "vocab_profile",
     "metric_anomaly",
     "domain_scores",
+    "group_split",
 )
 
 

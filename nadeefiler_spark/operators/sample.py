@@ -78,6 +78,26 @@ def stratified_hash_sample(
     return df.where(sample_key(id_col, salt) < thr)
 
 
+def _split_expr(key: Column, fractions: Mapping[str, float]) -> Column:
+    """Cumulative-threshold CASE mapping a key in [0, 2^31) to a split
+    name (NULL for the remainder)."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total}, must be <= 1")
+    expr: Column | None = None
+    cum = 0.0
+    lo = 0
+    for name, frac in fractions.items():
+        cum += frac
+        hi = threshold(min(cum, 1.0))
+        cond = (key >= F.lit(lo)) & (key < F.lit(hi))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    if expr is None:
+        raise ValueError("fractions must not be empty")
+    return expr.otherwise(F.lit(None).cast("string"))
+
+
 def with_split(
     df: DataFrame,
     id_col: str,
@@ -97,19 +117,40 @@ def with_split(
     is monotone in the thresholds), the property eval-split maintenance
     needs when a corpus is re-released.
     """
-    total = sum(fractions.values())
-    if total > 1.0 + 1e-9:
-        raise ValueError(f"fractions sum to {total}, must be <= 1")
-    key = sample_key(id_col, salt)
-    expr: Column | None = None
-    cum = 0.0
-    lo = 0
-    for name, frac in fractions.items():
-        cum += frac
-        hi = threshold(min(cum, 1.0))
-        cond = (key >= F.lit(lo)) & (key < F.lit(hi))
-        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-        lo = hi
-    if expr is None:
-        raise ValueError("fractions must not be empty")
-    return df.withColumn("split", expr.otherwise(F.lit(None).cast("string")))
+    return df.withColumn("split", _split_expr(sample_key(id_col, salt), fractions))
+
+
+def group_split_key(group_col: Column | str, salt: int = 17) -> Column:
+    """Deterministic key in [0, 2^31) from a STRING group key: the
+    first 15 hex digits of md5 parsed as int64 (portable — Spark
+    ``conv`` and DuckDB's '0x' cast agree bit-for-bit), then the same
+    affine scramble as sample_key."""
+    c = F.col(group_col) if isinstance(group_col, str) else group_col
+    h = F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    return ((h % _MOD) * F.lit(_MULT) + F.lit(salt)) % _MOD
+
+
+def with_split_by_group(
+    df: DataFrame,
+    group_col: Column | str,
+    fractions: Mapping[str, float],
+    salt: int = 17,
+) -> DataFrame:
+    """df + ``split`` assigned by a GROUP key instead of the row id —
+    the leakage-proof eval split.
+
+    Splitting by row id puts two copies of one document in different
+    splits whenever content duplicates span ids (what
+    decontam.split_leakage measures after the fact); splitting by a
+    content key — ``functions.text.fingerprint`` for exact dups, the
+    dup-cluster root from components.connected_components for near
+    dups — makes cross-split content leakage structurally impossible:
+    equal key ⇒ equal split. Costs nothing over with_split: the key is
+    one md5 expression in the same scan-stage CASE (no shuffle; the
+    upstream clustering, if used, already paid its own cost). Split
+    SIZES now deviate from the fractions by the dup-group size skew —
+    by design: the alternative is leakage.
+    """
+    return df.withColumn(
+        "split", _split_expr(group_split_key(group_col, salt), fractions)
+    )

@@ -226,3 +226,45 @@ def test_split_leakage_matches_python_twin(spark):
         expected[s] = (n + 1, leaked + int(hit))
     assert got == expected
     assert sum(v[1] for v in got.values()) > 0  # the plant actually leaks
+
+
+def test_group_split_no_cross_split_content(spark):
+    """with_split_by_group: equal group key => equal split, including
+    planted exact duplicates spread across distant ids."""
+    from nadeefiler_spark.functions import text as tx
+    from nadeefiler_spark.operators.sample import with_split_by_group
+
+    rows = [(i, f"unique doc {i} body {i * 7}") for i in range(200)]
+    rows += [(1000 + i, f"unique doc {i} body {i * 7}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = with_split_by_group(
+        df, tx.fingerprint("text"), {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).withColumn("fp", tx.fingerprint("text"))
+    per_fp = out.groupBy("fp").agg(
+        F.count_distinct("split").alias("n_splits"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert per_fp.where("n_splits > 1").count() == 0
+    assert per_fp.where("n >= 2").count() == 50  # the planted dup pairs
+    # fractions sum to 1: nobody unassigned, all splits populated
+    got = dict(out.groupBy("split").count().collect())
+    assert None not in got and set(got) == {"train", "val", "test"}
+    assert got["train"] > got["val"] and got["train"] > got["test"]
+
+
+def test_group_split_key_matches_python_twin(spark):
+    """group_split_key must equal the independent pure-Python
+    reimplementation (hashlib md5, int arithmetic)."""
+    import hashlib
+
+    from nadeefiler_spark.operators.sample import group_split_key
+
+    vals = ["", "abc", "fp-like-0123456789abcdef", "ünïcode"]
+    df = spark.createDataFrame([(v,) for v in vals], "g string")
+    got = {
+        r["g"]: r["k"]
+        for r in df.select("g", group_split_key("g", salt=17).alias("k")).collect()
+    }
+    for v in vals:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        assert got[v] == ((h % 2**31) * 2654435761 + 17) % 2**31
