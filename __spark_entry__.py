@@ -4580,6 +4580,54 @@ def _sql_group_split() -> str:
     """
 
 
+def _loudness_planted_clips(spark: SparkSession) -> DataFrame:
+    """Three deterministic level-calibration clips (full-scale square,
+    −20 dBFS-peak sine, digital silence) — shared by the audio_loudness
+    query and its pure-numpy twin test so the two can't drift."""
+    import numpy as np
+
+    from nadeefiler_spark import audio
+
+    sr, n = 16000, 1600
+    t = np.arange(n)
+    rows = []
+    for cid, pcm in (
+        ("loud-square", np.where((t // 8) % 2 == 0, 32767, -32768)),
+        ("loud-sine01", np.round(3276.8 * np.sin(2 * np.pi * 440.0 * t / sr))),
+        ("loud-silent", np.zeros(n)),
+        # sparse full-scale impulses: high crest factor, the clip whose
+        # RMS-normalizing gain pushes the peak past full scale
+        ("loud-spikes", np.where(t % 400 == 0, 32767, 0)),
+    ):
+        blob = audio.encode(pcm.astype(np.int16), sr, "pcm_s16le")
+        rows.append((cid, bytearray(blob), sr, 100, "pcm_s16le", "ld", "pcm_s16le"))
+    return spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string, part string",
+    )
+
+
+def _q_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gain-normalization manifest (rules.audio_rules.loudness_stats):
+    per-clip RMS/peak dBFS and the gain to a −20 dBFS target, with a
+    would-clip flag, computed on the SAME decoded-PCM pass as every
+    other audio fact — planted level-calibration clips ride along a
+    synthetic corpus. No DuckDB oracle (binary decode); pinned by the
+    pure-numpy twin in tests/test_audio.py::test_loudness_stats_twin."""
+    from nadeefiler_spark.rules.audio_rules import loudness_stats
+
+    _ensure_pkg_shipped(spark)
+    cfg = datagen.GenConfig(n_rows=1200, seed=31, dur_min_ms=40, dur_max_ms=200)
+    clips = datagen.clips_df(spark, cfg).unionByName(_loudness_planted_clips(spark))
+    return (
+        loudness_stats(clips, target_dbfs=-20.0)
+        .where(F.col("decode_error").isNull())
+        .select("clip_id", "rms_dbfs", "peak_dbfs", "gain_db", "would_clip")
+        .orderBy("clip_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4690,6 +4738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_anomaly": _q_metric_anomaly,
         "domain_scores": _q_domain_scores,
         "group_split": _q_group_split,
+        "audio_loudness": _q_audio_loudness,
     }
 
 

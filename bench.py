@@ -132,6 +132,7 @@ HEADLINE_QUERIES = (
     "metric_anomaly",
     "domain_scores",
     "group_split",
+    "audio_loudness",
 )
 
 

@@ -79,6 +79,7 @@ def vad_stats(pcm: "np.ndarray", sr_hz: int) -> tuple[float, int, int]:
 def decode_facts(
     clips: DataFrame, with_snr: bool = True, with_fp: bool = False,
     with_qc: bool = False, with_vad: bool = False,
+    with_loudness: bool = False,
 ) -> DataFrame:
     """One narrow mapInPandas pass: bytes -> decoded facts per clip.
 
@@ -103,6 +104,12 @@ def decode_facts(
     above 32000 of int16 full scale — digital clipping), ``silence_ratio``
     (fraction within 1% of full scale of zero — dead air), and
     ``dc_offset`` (mean sample / 32768 — a miswired capture chain).
+
+    ``with_loudness`` appends level stats from the SAME decoded PCM:
+    ``rms_dbfs`` / ``peak_dbfs`` relative to int16 full scale, floored
+    at −120 dBFS (digital silence) — the inputs to a gain-normalization
+    manifest (:func:`loudness_stats`). Off by default like the other
+    opt-ins.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -126,6 +133,9 @@ def decode_facts(
                 out["speech_ratio"] = []
                 out["n_speech_runs"] = []
                 out["longest_silence_ms"] = []
+            if with_loudness:
+                out["rms_dbfs"] = []
+                out["peak_dbfs"] = []
             for part, cid, sr, dur, codec, blob in zip(
                 pdf["part"], pdf["clip_id"], pdf["sr_hz"], pdf["dur_ms"],
                 pdf["codec"], pdf["bytes"],
@@ -174,6 +184,21 @@ def decode_facts(
                         out["speech_ratio"].append(ratio)
                         out["n_speech_runs"].append(runs)
                         out["longest_silence_ms"].append(sil_ms)
+                    if with_loudness:
+                        if len(pcm):
+                            x = pcm.astype(np.float64) / 32768.0
+                            rms = float(np.sqrt(np.mean(x * x)))
+                            peak = float(np.max(np.abs(x)))
+                        else:
+                            rms = peak = 0.0
+                        out["rms_dbfs"].append(
+                            max(-120.0, 20.0 * float(np.log10(rms)))
+                            if rms > 0 else -120.0
+                        )
+                        out["peak_dbfs"].append(
+                            max(-120.0, 20.0 * float(np.log10(peak)))
+                            if peak > 0 else -120.0
+                        )
                 except Exception as exc:  # garbage container
                     out["dec_codec"].append(None)
                     out["dec_sr"].append(None)
@@ -191,6 +216,9 @@ def decode_facts(
                         out["speech_ratio"].append(None)
                         out["n_speech_runs"].append(None)
                         out["longest_silence_ms"].append(None)
+                    if with_loudness:
+                        out["rms_dbfs"].append(None)
+                        out["peak_dbfs"].append(None)
             if with_fp:
                 out["fp"] = pd.array(out["fp"], dtype="Int64")
             yield pd.DataFrame(out)
@@ -201,7 +229,36 @@ def decode_facts(
         schema += ", clip_ratio double, silence_ratio double, dc_offset double"
     if with_vad:
         schema += ", speech_ratio double, n_speech_runs int, longest_silence_ms int"
+    if with_loudness:
+        schema += ", rms_dbfs double, peak_dbfs double"
     return clips.select(*cols).mapInPandas(run, schema)
+
+
+def loudness_stats(clips: DataFrame, target_dbfs: float = -20.0) -> DataFrame:
+    """Gain-normalization manifest: per clip, the measured level and the
+    gain that would bring it to ``target_dbfs`` RMS.
+
+    (part, clip_id, rms_dbfs, peak_dbfs, gain_db, would_clip,
+    decode_error): ``gain_db = target_dbfs − rms_dbfs`` and
+    ``would_clip`` is true when applying that gain pushes the measured
+    peak above full scale — those clips need a limiter (or a lower
+    target) rather than plain gain. The level stats ride the shared
+    decode pass (``decode_facts(with_loudness=True)`` — zero extra
+    decodes); this wrapper is pure column math. Doubles rounded to 6 dp.
+    """
+    facts = decode_facts(clips, with_snr=False, with_loudness=True)
+    gain = F.lit(target_dbfs) - F.col("rms_dbfs")
+    return facts.select(
+        "part",
+        "clip_id",
+        F.round("rms_dbfs", 6).alias("rms_dbfs"),
+        F.round("peak_dbfs", 6).alias("peak_dbfs"),
+        F.round(gain, 6).alias("gain_db"),
+        F.coalesce(
+            (F.col("peak_dbfs") + gain) > 0.0, F.lit(False)
+        ).alias("would_clip"),
+        "decode_error",
+    )
 
 
 @dataclass

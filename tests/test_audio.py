@@ -238,3 +238,57 @@ def test_engine_vad_stage(spark, tiny_cfg, clips_dir, tmp_path_factory):
         .count()
     )
     assert int(v["n_violations"].sum()) == bad_direct
+
+
+def test_loudness_stats_twin(spark):
+    """Spark-side loudness stats must equal a pure-numpy recomputation
+    on the planted calibration clips, through the full
+    decode_facts(with_loudness=True) + loudness_stats path."""
+    import math
+
+    import numpy as np
+
+    import __spark_entry__ as entry
+    from nadeefiler_spark.rules.audio_rules import loudness_stats
+
+    clips = entry._loudness_planted_clips(spark)
+    got = {
+        r["clip_id"]: r
+        for r in loudness_stats(clips, target_dbfs=-20.0).collect()
+    }
+
+    # independent twin: same waveform formulas, hashlib-free numpy math
+    sr, n = 16000, 1600
+    t = np.arange(n)
+    waves = {
+        "loud-square": np.where((t // 8) % 2 == 0, 32767, -32768).astype(np.int16),
+        "loud-sine01": np.round(
+            3276.8 * np.sin(2 * np.pi * 440.0 * t / sr)
+        ).astype(np.int16),
+        "loud-silent": np.zeros(n, dtype=np.int16),
+        "loud-spikes": np.where(t % 400 == 0, 32767, 0).astype(np.int16),
+    }
+    for cid, pcm in waves.items():
+        x = pcm.astype(np.float64) / 32768.0
+        rms = math.sqrt(float(np.mean(x * x)))
+        peak = float(np.max(np.abs(x)))
+        exp_rms = max(-120.0, 20 * math.log10(rms)) if rms > 0 else -120.0
+        exp_peak = max(-120.0, 20 * math.log10(peak)) if peak > 0 else -120.0
+        r = got[cid]
+        assert r["rms_dbfs"] == round(exp_rms, 6)
+        assert r["peak_dbfs"] == round(exp_peak, 6)
+        assert r["gain_db"] == round(-20.0 - exp_rms, 6)
+        assert r["would_clip"] == (exp_peak + (-20.0 - exp_rms) > 0)
+
+    # physics sanity: full-scale square ~0 dBFS both, gain negative,
+    # no clip risk when attenuating; silence floors at -120 and a +100dB
+    # "gain" still cannot clip it; the 0.1-FS sine (crest 3 dB) lands at
+    # -17 dBFS peak after the +3 dB normalize - safe. Only the sparse-
+    # impulse clip (crest ~26 dB) overshoots full scale: limiter needed.
+    assert got["loud-square"]["would_clip"] is False
+    assert got["loud-silent"]["rms_dbfs"] == -120.0
+    assert not got["loud-silent"]["would_clip"]
+    assert abs(got["loud-sine01"]["peak_dbfs"] - (-20.0)) < 0.02
+    assert got["loud-sine01"]["would_clip"] is False
+    assert got["loud-spikes"]["peak_dbfs"] == round(20 * math.log10(32767 / 32768.0), 6)
+    assert got["loud-spikes"]["would_clip"] is True
