@@ -4628,6 +4628,44 @@ def _q_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+_MIX_BUDGET = 1_000_000
+
+
+def _q_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training data-mixing plan (operators/curate.mixing_plan):
+    per source, measured token supply vs the target mix's ask and the
+    repeat factor that closes the gap."""
+    from nadeefiler_spark.operators.curate import mixing_plan
+
+    d = _t(spark, sf_dir, "documents")
+    return mixing_plan(d, "text", "source", _MIX_WEIGHTS, _MIX_BUDGET)
+
+
+def _sql_mixing_plan() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+    WITH agg AS (
+      SELECT source, count(*) AS n_docs,
+             sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t <> ''))) AS n_tokens,
+             CASE source {cases} ELSE 0.0 END AS w
+      FROM documents GROUP BY source
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(w, 6) AS weight,
+           CAST(round(w * {_MIX_BUDGET}.0) AS BIGINT) AS target_tokens,
+           round(CASE WHEN n_tokens > 0
+                      THEN w * {_MIX_BUDGET}.0 / n_tokens
+                      ELSE 0.0 END, 6) AS epochs
+    FROM agg
+    """
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4739,6 +4777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_scores": _q_domain_scores,
         "group_split": _q_group_split,
         "audio_loudness": _q_audio_loudness,
+        "mixing_plan": _q_mixing_plan,
     }
 
 
@@ -4836,6 +4875,7 @@ def oracle_sql() -> dict[str, str]:
         "metric_anomaly": _SQL_METRIC_ANOMALY,
         "domain_scores": _SQL_DOMAIN_SCORES,
         "group_split": _sql_group_split(),
+        "mixing_plan": _sql_mixing_plan(),
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py
         # binary_meta / audio_validate: binary audio payloads (pandas-UDF

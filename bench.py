@@ -133,6 +133,7 @@ HEADLINE_QUERIES = (
     "domain_scores",
     "group_split",
     "audio_loudness",
+    "mixing_plan",
 )
 
 

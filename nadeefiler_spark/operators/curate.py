@@ -141,3 +141,55 @@ def corpus_card(
         .alias("n_dup_docs"),
         F.round(F.avg(F.length(text_col)), 6).alias("avg_chars"),
     )
+
+
+def mixing_plan(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    weights: "dict[str, float]",
+    token_budget: int,
+) -> DataFrame:
+    """Pre-training data-mixing plan: per source, the measured token
+    supply vs the tokens the target mix asks for, and the repeat factor
+    (epochs) that closes the gap.
+
+    ``weights`` maps source name -> target share of ``token_budget``
+    (sources absent from the map get weight 0 — excluded from the mix);
+    the Pile/Llama-style recipe where each source is up/down-sampled to
+    hit a prescribed share. Output one row per source present in the
+    corpus: (source, n_docs, n_tokens, weight, target_tokens, epochs) —
+    ``epochs`` > 1 means the source repeats (oversampled), < 1 means a
+    ``sample.hash_sample`` at that fraction implements the plan.
+
+    One aggregation over the corpus (groupBy(source), map-side partial
+    agg); the weights enter as a CASE literal so the plan is one scan
+    at any scale. Doubles rounded to 6 dp; a zero-token source reports
+    0.0 epochs.
+    """
+    w = F.lit(0.0)
+    for name, frac in sorted(weights.items()):
+        w = F.when(F.col(source_col) == name, F.lit(float(frac))).otherwise(w)
+    return (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tx.token_count(text_col)).alias("n_tokens"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(w, 6).alias("weight"),
+            F.round(w * F.lit(float(token_budget))).cast("bigint").alias(
+                "target_tokens"
+            ),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    w * F.lit(float(token_budget)) / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("epochs"),
+        )
+    )

@@ -67,3 +67,30 @@ def test_corpus_card_planted(spark):
     assert r["en_frac"] == 0.5
     assert r["n_dup_docs"] == 1  # docs 0/1 share a fingerprint
     assert r["avg_chars"] == (16 + 17 + 13 + 4) / 4
+
+
+def test_mixing_plan_hand_values(spark):
+    from pyspark.sql import functions as F
+
+    from nadeefiler_spark.operators.curate import mixing_plan
+
+    df = spark.createDataFrame(
+        [(1, "a b c d", "web"), (2, "e f", "web"),
+         (3, "g h i", "code"), (4, "", "junk")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: r
+        for r in mixing_plan(
+            df, "text", "source", {"web": 0.75, "code": 0.25}, 1200
+        ).collect()
+    }
+    # web: 6 tokens, target 900 -> 150 epochs (oversample)
+    assert (got["web"]["n_docs"], got["web"]["n_tokens"]) == (2, 6)
+    assert got["web"]["target_tokens"] == 900
+    assert got["web"]["epochs"] == 150.0
+    # code: 3 tokens, target 300 -> 100 epochs
+    assert got["code"]["epochs"] == 100.0
+    # unlisted source: weight 0, excluded from the mix but reported
+    assert (got["junk"]["weight"], got["junk"]["target_tokens"]) == (0.0, 0)
+    assert got["junk"]["epochs"] == 0.0  # zero tokens: no div-by-zero
