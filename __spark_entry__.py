@@ -4666,6 +4666,55 @@ def _sql_mixing_plan() -> str:
     """
 
 
+def _bandwidth_planted_clips(spark: SparkSession) -> DataFrame:
+    """Three provenance-calibration clips: deterministic full-band hash
+    noise, the same noise squeezed through 8 kHz (down+up resample —
+    the upsample-provenance signature), and a pure tone. Shared by the
+    audio_bandwidth query and its pure-numpy twin test."""
+    import numpy as np
+
+    from nadeefiler_spark import audio
+    from nadeefiler_spark.operators.audio_features import resample_pcm
+
+    sr, n = 16000, 3200
+    t = np.arange(n)
+    noise = ((((t * 2654435761 + 12345) % 65536) - 32768) * 0.3).astype(np.int16)
+    squeezed = resample_pcm(resample_pcm(noise, sr, 8000), 8000, sr)
+    tone = np.round(8000 * np.sin(2 * np.pi * 440.0 * t / sr)).astype(np.int16)
+    rows = [
+        (cid, bytearray(audio.encode(pcm, sr, "pcm_s16le")), sr, 200,
+         "pcm_s16le", "bw", "pcm_s16le")
+        for cid, pcm in (
+            ("bw-noise", noise), ("bw-upsampled", squeezed), ("bw-tone", tone),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string, part string",
+    )
+
+
+def _q_audio_bandwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-bandwidth / upsample-provenance audit
+    (operators/audio_features.bandwidth_stats): per-clip spectral
+    rolloff and its ratio to the declared Nyquist — planted full-band
+    vs 8 kHz-squeezed calibration clips ride along a synthetic corpus.
+    No DuckDB oracle (binary decode + FFT); pinned by the pure-numpy
+    twin in tests/test_audio_features.py::test_bandwidth_stats_twin."""
+    from nadeefiler_spark.operators.audio_features import bandwidth_stats
+
+    _ensure_pkg_shipped(spark)
+    cfg = datagen.GenConfig(n_rows=1200, seed=37, dur_min_ms=40, dur_max_ms=200)
+    clips = datagen.clips_df(spark, cfg).unionByName(_bandwidth_planted_clips(spark))
+    return (
+        bandwidth_stats(clips)
+        .where(F.col("bandwidth_error").isNull())
+        .select("clip_id", "dec_sr", "rolloff_hz", "bw_ratio")
+        .orderBy("clip_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4778,6 +4827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_split": _q_group_split,
         "audio_loudness": _q_audio_loudness,
         "mixing_plan": _q_mixing_plan,
+        "audio_bandwidth": _q_audio_bandwidth,
     }
 
 

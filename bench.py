@@ -134,6 +134,7 @@ HEADLINE_QUERIES = (
     "group_split",
     "audio_loudness",
     "mixing_plan",
+    "audio_bandwidth",
 )
 
 

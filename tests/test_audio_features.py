@@ -194,3 +194,50 @@ def test_feature_contrast():
     sims = vecs @ vecs.T
     off = sims[~np.eye(30, dtype=bool)]
     assert off.mean() < 0.5, off.mean()
+
+
+def test_bandwidth_stats_twin(spark):
+    """Spark-side bandwidth audit must equal the pure-numpy rolloff on
+    the planted calibration clips, and the physics must hold: full-band
+    noise fills the declared rate, the 8 kHz-squeezed copy does not."""
+    import numpy as np
+
+    import __spark_entry__ as entry
+    from nadeefiler_spark.operators.audio_features import (
+        bandwidth_stats,
+        resample_pcm,
+        spectral_rolloff,
+    )
+
+    clips = entry._bandwidth_planted_clips(spark)
+    got = {r["clip_id"]: r for r in bandwidth_stats(clips).collect()}
+
+    sr, n = 16000, 3200
+    t = np.arange(n)
+    noise = ((((t * 2654435761 + 12345) % 65536) - 32768) * 0.3).astype(np.int16)
+    waves = {
+        "bw-noise": noise,
+        "bw-upsampled": resample_pcm(resample_pcm(noise, sr, 8000), 8000, sr),
+        "bw-tone": np.round(8000 * np.sin(2 * np.pi * 440.0 * t / sr)).astype(np.int16),
+    }
+    for cid, pcm in waves.items():
+        r = spectral_rolloff(pcm, sr)
+        assert got[cid]["rolloff_hz"] == round(r, 6)
+        assert got[cid]["bw_ratio"] == round(r / (sr / 2.0), 6)
+    # provenance physics: hash noise is full-band; squeezing it through
+    # 8 kHz removes everything above the old Nyquist (and linear-interp
+    # imaging stays weak), so the ratio collapses; a tone is narrowband
+    assert got["bw-noise"]["bw_ratio"] > 0.9
+    assert got["bw-upsampled"]["bw_ratio"] < got["bw-noise"]["bw_ratio"] - 0.3
+    assert got["bw-tone"]["rolloff_hz"] == 440.0
+
+
+def test_spectral_rolloff_edges():
+    import numpy as np
+
+    from nadeefiler_spark.operators.audio_features import spectral_rolloff
+
+    assert spectral_rolloff(np.array([], dtype=np.int16), 16000) == 0.0
+    assert spectral_rolloff(np.zeros(1000, dtype=np.int16), 16000) == 0.0
+    # DC-only signal: all energy in bin 0
+    assert spectral_rolloff(1000 * np.ones(1000, dtype=np.int16), 16000) == 0.0

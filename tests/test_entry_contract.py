@@ -59,7 +59,7 @@ def test_queries_and_oracles_align():
         "minhash_pairs", "simhash_pairs", "audio_validate", "binary_meta",
         "audio_fp_dups", "audio_feature_ann", "audio_embedding_dups",
         "audio_qc", "clip_admission", "transcript_conflicts",
-        "audio_vad", "audio_loudness",
+        "audio_vad", "audio_loudness", "audio_bandwidth",
     }
 
 
