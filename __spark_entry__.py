@@ -4715,6 +4715,46 @@ def _q_audio_bandwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_suggest_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suggestion (expectations.suggest_checks): the
+    expectation suite the lineitem profile currently satisfies —
+    profile→rules closed mechanically, built ON the profile_summary
+    contract query's exact output."""
+    from nadeefiler_spark.expectations import suggest_checks
+
+    prof_df = _q_profile_summary(spark, sf_dir)
+    return suggest_checks(prof_df, null_tolerance=0.05, low_card_max=25)
+
+
+def _sql_suggest_checks() -> str:
+    # built ON the profile_summary oracle: same pooled stats
+    return f"""
+    WITH p AS ({_sql_profile_summary()}),
+    k AS (
+      SELECT key, sum(n_rows) AS n, sum(n_nulls) AS nulls,
+             sum(ndv) AS sum_ndv,
+             min(TRY_CAST("min" AS DOUBLE)) AS min_num,
+             max(TRY_CAST("max" AS DOUBLE)) AS max_num,
+             bool_and(ndv = n_rows - n_nulls) AS uniq_all,
+             bool_and(TRY_CAST("min" AS DOUBLE) IS NOT NULL
+                      AND TRY_CAST("max" AS DOUBLE) IS NOT NULL) AS is_num
+      FROM p GROUP BY key
+    )
+    SELECT key, 'completeness' AS check,
+           round(1.0 - nulls * 1.0 / greatest(n, 1), 6) AS lo, 1.0 AS hi
+    FROM k WHERE nulls * 1.0 / greatest(n, 1) <= 0.05
+    UNION ALL
+    SELECT key, 'uniqueness', 1.0, 1.0
+    FROM k WHERE uniq_all AND n - nulls > 0
+    UNION ALL
+    SELECT key, 'range', round(min_num, 6), round(max_num, 6)
+    FROM k WHERE is_num
+    UNION ALL
+    SELECT key, 'low_cardinality', 0.0, CAST(sum_ndv AS DOUBLE)
+    FROM k WHERE sum_ndv > 0 AND sum_ndv <= 25
+    """
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4828,6 +4868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_loudness": _q_audio_loudness,
         "mixing_plan": _q_mixing_plan,
         "audio_bandwidth": _q_audio_bandwidth,
+        "suggest_checks": _q_suggest_checks,
     }
 
 
@@ -4926,6 +4967,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_scores": _SQL_DOMAIN_SCORES,
         "group_split": _sql_group_split(),
         "mixing_plan": _sql_mixing_plan(),
+        "suggest_checks": _sql_suggest_checks(),
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py
         # binary_meta / audio_validate: binary audio payloads (pandas-UDF

@@ -135,6 +135,7 @@ HEADLINE_QUERIES = (
     "audio_loudness",
     "mixing_plan",
     "audio_bandwidth",
+    "suggest_checks",
 )
 
 

@@ -252,3 +252,73 @@ def schema_conformance(
         f"SELECT col1 AS `check`, col2 AS `column`, col3 AS expected, "
         f"col4 AS actual, col5 AS passed FROM VALUES {vals}"
     )
+
+
+def suggest_checks(
+    profile: DataFrame,
+    null_tolerance: float = 0.05,
+    low_card_max: int = 20,
+) -> DataFrame:
+    """Constraint suggestion (the Deequ ConstraintSuggestion analog):
+    read a profile_summary table (profiler.SUMMARY_SCHEMA long format)
+    and propose the expectation suite the data currently satisfies —
+    the profile→rules loop closed mechanically, so a new dataset's
+    first suite is generated, reviewed, and pinned rather than written
+    from scratch.
+
+    One row per (column, check) suggested, (key, check, lo, hi):
+
+    - ``completeness``: observed null ratio <= ``null_tolerance``;
+      lo = the observed completeness (the bound the data already meets).
+    - ``uniqueness``: ndv == non-null count in EVERY partition — a
+      necessary (per-partition) condition for a key; global uniqueness
+      still needs the uniqueness check itself to confirm (partitions
+      could share values), which is exactly what the suggestion is for.
+    - ``range``: min/max parse as numbers in every partition;
+      lo/hi = the observed global envelope.
+    - ``low_cardinality``: the summed per-partition NDV (an upper bound
+      on global NDV) stays under ``low_card_max`` — a values_in
+      candidate; hi carries the NDV bound.
+
+    Input is the already-aggregated profile (rows ∝ #parts × #cols), so
+    everything here is sketch-sized; the expensive scan happened in the
+    profile stage. Doubles rounded to 6 dp.
+    """
+    num_min = F.col("min").try_cast("double")
+    num_max = F.col("max").try_cast("double")
+    k = profile.groupBy("key").agg(
+        F.sum("n_rows").alias("n"),
+        F.sum("n_nulls").alias("nulls"),
+        F.sum("ndv").alias("sum_ndv"),
+        F.min(num_min).alias("min_num"),
+        F.max(num_max).alias("max_num"),
+        F.min((F.col("ndv") == F.col("n_rows") - F.col("n_nulls"))
+              .cast("int")).alias("uniq_all"),
+        F.min((num_min.isNotNull() & num_max.isNotNull()).cast("int"))
+         .alias("is_num"),
+    )
+    null_ratio = F.col("nulls") / F.greatest(F.col("n"), F.lit(1))
+    rows = [
+        k.where(null_ratio <= null_tolerance).select(
+            "key", F.lit("completeness").alias("check"),
+            F.round(1.0 - null_ratio, 6).alias("lo"), F.lit(1.0).alias("hi"),
+        ),
+        k.where((F.col("uniq_all") == 1)
+                & (F.col("n") - F.col("nulls") > 0)).select(
+            "key", F.lit("uniqueness").alias("check"),
+            F.lit(1.0).alias("lo"), F.lit(1.0).alias("hi"),
+        ),
+        k.where(F.col("is_num") == 1).select(
+            "key", F.lit("range").alias("check"),
+            F.round("min_num", 6).alias("lo"), F.round("max_num", 6).alias("hi"),
+        ),
+        k.where((F.col("sum_ndv") > 0)
+                & (F.col("sum_ndv") <= low_card_max)).select(
+            "key", F.lit("low_cardinality").alias("check"),
+            F.lit(0.0).alias("lo"), F.col("sum_ndv").cast("double").alias("hi"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

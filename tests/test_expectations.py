@@ -130,3 +130,77 @@ def test_uniqueness_approx_variant(spark):
     df = spark.range(1000).select(F.col("id"))
     v = _by_check(E.verify(df, [E.uniqueness("id", 0.9, exact=False)]))
     assert v["uniqueness(id)"]["passed"]
+
+
+def test_suggest_checks_from_planted_profile(spark):
+    """Each suggestion class fires on exactly the columns built to
+    trigger it, and the pooled math is right."""
+    rows = [
+        # uid: unique in both parts; no nulls; numeric 1..8
+        ("a", "uid", 4, 0, 4, "1", "4"),
+        ("b", "uid", 4, 0, 4, "5", "8"),
+        # cat: low cardinality, some nulls over tolerance (2/8 = 25%)
+        ("a", "cat", 4, 2, 2, "x", "y"),
+        ("b", "cat", 4, 0, 2, "x", "y"),
+        # txt: high cardinality strings, 1 null (12.5% > 5%)
+        ("a", "txt", 4, 1, 3, "aaa", "zzz"),
+        ("b", "txt", 4, 0, 30, "aaa", "zzz"),
+    ]
+    prof = spark.createDataFrame(
+        rows,
+        "part string, key string, n_rows long, n_nulls long, ndv long, "
+        "min string, max string",
+    )
+    from nadeefiler_spark.expectations import suggest_checks
+
+    got = {
+        (r["key"], r["check"]): (r["lo"], r["hi"])
+        for r in suggest_checks(prof, null_tolerance=0.05, low_card_max=5).collect()
+    }
+    assert got[("uid", "completeness")] == (1.0, 1.0)
+    assert got[("uid", "uniqueness")] == (1.0, 1.0)
+    assert got[("uid", "range")] == (1.0, 8.0)
+    assert ("uid", "low_cardinality") not in got  # sum_ndv 8 > 5
+    assert got[("cat", "low_cardinality")] == (0.0, 4.0)
+    assert ("cat", "completeness") not in got  # 25% nulls
+    assert ("cat", "uniqueness") not in got
+    assert ("cat", "range") not in got  # strings
+    assert set(k[0] for k in got) == {"uid", "cat"}  # txt suggests nothing
+
+
+def test_suggested_suite_passes_on_source_data(spark):
+    """The loop closes: suggestions derived from a profile must verify
+    green against the very data that produced the profile."""
+    from nadeefiler_spark import profiler
+    from nadeefiler_spark.expectations import (
+        completeness,
+        max_at_most,
+        min_at_least,
+        suggest_checks,
+        uniqueness,
+        verify,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"v{i % 3}", "p" if i < 50 else "q") for i in range(100)],
+        "id long, cat string, part string",
+    )
+    prof = profiler.profile_summary(
+        df.select("id", "cat", "part"),
+        profiler.ProfileConfig(exact_ndv=True, part_col="part"),
+    ).select("part", "key", "n_rows", "n_nulls", "ndv", "min", "max")
+    sugg = {
+        (r["key"], r["check"]): r
+        for r in suggest_checks(prof).collect()
+    }
+    checks = []
+    for (key, kind), r in sugg.items():
+        if kind == "completeness":
+            checks.append(completeness(key, r["lo"]))
+        elif kind == "uniqueness":
+            checks.append(uniqueness(key))
+        elif kind == "range":
+            checks += [min_at_least(key, r["lo"]), max_at_most(key, r["hi"])]
+    assert ("id", "uniqueness") in sugg and checks
+    verdicts = verify(df, checks)
+    assert all(r["passed"] for r in verdicts.collect())
