@@ -211,6 +211,16 @@ Operator → query map (SURVEY §2 ids in brackets):
 - binary_meta_docs       [pipeline: multimodal metadata, DuckDB-oracled]
 - audio_validate         [north_star audio rules]       (no DuckDB oracle:
                           binary audio — exact datagen golden, tests/test_hash_twins.py)
+- bloom_referential      [constraints at scale: bloom runtime-filter
+                          semi join — broadcast bits-array probe in
+                          codegen prunes the fact scan before the exact
+                          verify join shuffles survivors]
+- heavy_tokens           [profiling at scale: exact heavy hitters via
+                          per-partition pigeonhole candidates (zero-
+                          shuffle mapInPandas) + candidate-only recount]
+- coverage_gaps          [continuous validation: per-partition time-
+                          coverage holes — the feed-continuity gate for
+                          windowed drift verdicts]
 """
 
 from __future__ import annotations
@@ -4760,6 +4770,97 @@ def _sql_suggest_checks() -> str:
 # ---------------------------------------------------------------------------
 
 
+def _q_bloom_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom runtime-filter semi join (operators.bloomjoin.bloom_semi_join):
+    events whose user is a BUILDING-segment customer. The bloom stage is a
+    one-row broadcast bits array probed in whole-stage codegen, so at scale
+    the exact verify join shuffles only bloom survivors instead of the full
+    fact table; the result is EXACT (bloom filters have no false
+    negatives). The optimizer-injected analog is
+    spark.sql.optimizer.runtime.bloomFilter.enabled; this is the
+    explicit, composable form the engine's referential rules can use
+    unconditionally."""
+    from nadeefiler_spark.operators.bloomjoin import bloom_semi_join
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return bloom_semi_join(ev, cust, "user_id", "c_custkey").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+_SQL_BLOOM_REFERENTIAL = """
+SELECT event_id, user_id, event_type FROM events
+WHERE user_id IN (SELECT c_custkey FROM customer
+                  WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+def _q_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters without a full-NDV shuffle
+    (operators.heavy.heavy_hitters): every token holding >1/200 of the
+    documents corpus' token mass, exact counts. Phase 1 finds candidates
+    with ZERO shuffle (per-partition pigeonhole counts in one Arrow
+    mapInPandas pass — a value above the global threshold must be above
+    the local threshold somewhere); phase 2 recounts only candidates.
+    Same result as groupBy+HAVING over all distinct tokens, a fraction
+    of the shuffle at web-corpus NDV."""
+    from nadeefiler_spark.operators.heavy import heavy_hitters
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), r"\s+", -1)).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    return heavy_hitters(toks, "tok", inv_phi=200)
+
+
+_SQL_HEAVY_TOKENS = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                            t -> t <> '')) AS value
+  FROM documents
+)
+SELECT value, CAST(count(*) AS BIGINT) AS cnt
+FROM tok GROUP BY value
+HAVING count(*) * 200 > (SELECT count(*) FROM tok)
+"""
+
+
+def _q_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-coverage gap audit (operators.temporal.coverage_gaps): every
+    >2.5h hole in each event_type's feed — the continuity check that
+    gates windowed drift verdicts (a silent ingestion outage makes a
+    'no drift' verdict over the hole vacuous). One window shuffle, rows
+    out = #gaps."""
+    from nadeefiler_spark.operators.temporal import coverage_gaps
+
+    out = coverage_gaps(_t(spark, sf_dir, "events"), "event_type", "ts", 9000)
+    return out.select(
+        "part",
+        F.col("gap_start").cast("string").alias("gap_start"),
+        F.col("gap_end").cast("string").alias("gap_end"),
+        "gap_s",
+    )
+
+
+_SQL_COVERAGE_GAPS = """
+WITH g AS (
+  SELECT event_type AS part,
+         lag(ts) OVER (PARTITION BY event_type ORDER BY ts) AS prev_ts,
+         ts,
+         floor(epoch(ts)) - floor(epoch(lag(ts) OVER (
+             PARTITION BY event_type ORDER BY ts))) AS gap_s
+  FROM events
+)
+SELECT part, CAST(prev_ts AS VARCHAR) AS gap_start,
+       CAST(ts AS VARCHAR) AS gap_end, CAST(gap_s AS BIGINT) AS gap_s
+FROM g WHERE gap_s > 9000
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_summary": _q_profile_summary,
@@ -4869,6 +4970,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixing_plan": _q_mixing_plan,
         "audio_bandwidth": _q_audio_bandwidth,
         "suggest_checks": _q_suggest_checks,
+        "bloom_referential": _q_bloom_referential,
+        "heavy_tokens": _q_heavy_tokens,
+        "coverage_gaps": _q_coverage_gaps,
     }
 
 
@@ -4968,6 +5072,9 @@ def oracle_sql() -> dict[str, str]:
         "group_split": _sql_group_split(),
         "mixing_plan": _sql_mixing_plan(),
         "suggest_checks": _sql_suggest_checks(),
+        "bloom_referential": _SQL_BLOOM_REFERENTIAL,
+        "heavy_tokens": _SQL_HEAVY_TOKENS,
+        "coverage_gaps": _SQL_COVERAGE_GAPS,
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py
         # binary_meta / audio_validate: binary audio payloads (pandas-UDF

@@ -136,6 +136,9 @@ HEADLINE_QUERIES = (
     "mixing_plan",
     "audio_bandwidth",
     "suggest_checks",
+    "bloom_referential",
+    "heavy_tokens",
+    "coverage_gaps",
 )
 
 

@@ -1,0 +1,153 @@
+"""Bloom-filter runtime pruning for semi joins (referential checks at scale).
+
+The reference's referential rule streams every child row to the worker and
+probes a Mongo index per row (api/controllers/*, row-at-a-time). The Spark
+analog of "probe a compact index before paying for the join" is a runtime
+bloom filter: build a bits-array summary of the SMALL side's keys (one
+aggregation over distinct keys), broadcast the ~100 KB array to every task,
+and drop big-side rows whose key cannot be in the small side BEFORE any
+shuffle of the big side. Spark's own optimizer injects these
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``) only under join-size
+heuristics; this operator makes the pattern explicit and composable so the
+engine's referential checks can apply it unconditionally.
+
+Why it matters at 100 TB: a transcript→clip referential check shuffles the
+full transcript table on the join key. When only a fraction of transcripts
+are orphans-or-matches of a *filtered* clip subset, the bloom probe removes
+the non-matching bulk at the scan (whole-stage codegen, JVM-side), so the
+exact verify join shuffles only survivors. The filter is a single broadcast
+row — no driver-side per-row state, no Python in the hot path.
+
+Exactness: a bloom filter has false positives but NO false negatives, so
+``bloom_filter_rows`` returns a superset of the true matches and
+``bloom_semi_join`` (probe + exact verify join) returns exactly the
+semi-join result. With ``n_bits=2**20`` and ``n_hashes=5`` the false-
+positive rate at 10^5 keys is ~0.8% (pruning power >99% on disjoint keys).
+
+100-TB shape
+------------
+build:  scan(small) -> distinct keys -> explode n_hashes bit positions
+        -> groupBy(word) bit_or           (shuffle of <= n_bits/64 groups)
+        -> one-row dense words array      (collected into ONE broadcast row)
+probe:  scan(big) x broadcast(words) -> bit tests in codegen (no shuffle)
+verify: survivors left-semi small         (shuffle of survivors only)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_N_BITS = 1 << 20
+DEFAULT_N_HASHES = 5
+
+
+def _check_pow2(n_bits: int) -> None:
+    if n_bits <= 0 or n_bits & (n_bits - 1):
+        raise ValueError(f"n_bits must be a power of two, got {n_bits}")
+
+
+def key_bloom(
+    df: DataFrame,
+    key_col: str,
+    n_bits: int = DEFAULT_N_BITS,
+    n_hashes: int = DEFAULT_N_HASHES,
+) -> DataFrame:
+    """One-row DataFrame ``(__bloom_words: array<bigint>)`` summarising the
+    distinct non-null values of ``key_col``.
+
+    Bit positions are ``xxhash64(key, i) & (n_bits-1)`` for hash index
+    ``i`` — deterministic across partitioning and parallelism (xxhash64 is
+    a pure row function), so a bloom built at N executors prunes
+    identically at 4N.
+    """
+    _check_pow2(n_bits)
+    mask = n_bits - 1
+    n_words = n_bits // 64
+    pos = F.explode(
+        F.array(
+            *[
+                F.xxhash64(F.col(key_col), F.lit(i)).bitwiseAND(F.lit(mask))
+                for i in range(n_hashes)
+            ]
+        )
+    ).alias("pos")
+    words = (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.col(key_col))
+        .distinct()
+        .select(pos)
+        .select(
+            F.expr("CAST(shiftright(pos, 6) AS INT)").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos & 63 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("m"))
+        .select(
+            F.expr(
+                f"transform(sequence(0, {n_words - 1}), "
+                "i -> coalesce(try_element_at(m, CAST(i AS INT)), CAST(0 AS BIGINT)))"
+            ).alias("__bloom_words")
+        )
+    )
+    return words
+
+
+def bloom_filter_rows(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    n_bits: int = DEFAULT_N_BITS,
+    n_hashes: int = DEFAULT_N_HASHES,
+) -> DataFrame:
+    """Rows of ``df`` whose ``key_col`` *may* be in the bloom — a superset
+    of the true matches (null keys never match, mirroring SQL ``IN``).
+
+    The probe is pure Catalyst: the one-row words array arrives via a
+    broadcast nested-loop join (1 row — free), and every bit test runs in
+    whole-stage codegen on the scan side.
+    """
+    _check_pow2(n_bits)
+    mask = n_bits - 1
+    hashes = [
+        F.xxhash64(F.col(key_col), F.lit(i)).bitwiseAND(F.lit(mask)).alias(f"__h{i}")
+        for i in range(n_hashes)
+    ]
+    probed = df.join(F.broadcast(bloom)).select("*", *hashes)
+    tests = [
+        F.expr(
+            f"(shiftright(element_at(__bloom_words, CAST(shiftright(__h{i}, 6) AS INT) + 1), "
+            f"CAST(__h{i} & 63 AS INT)) & 1) = 1"
+        )
+        for i in range(n_hashes)
+    ]
+    cond = tests[0]
+    for t in tests[1:]:
+        cond = cond & t
+    keep = F.col(key_col).isNotNull() & cond
+    drop = ["__bloom_words"] + [f"__h{i}" for i in range(n_hashes)]
+    return probed.where(keep).drop(*drop)
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str | None = None,
+    n_bits: int = DEFAULT_N_BITS,
+    n_hashes: int = DEFAULT_N_HASHES,
+) -> DataFrame:
+    """EXACT left-semi join of ``big`` against ``small``'s keys, with a
+    bloom pre-filter so the verify join shuffles only bloom survivors.
+
+    Equivalent to ``big WHERE big_key IN (SELECT small_key FROM small)``;
+    the bloom stage only removes guaranteed non-matches.
+    """
+    small_key = small_key or big_key
+    keys = small.select(F.col(small_key).alias(big_key)).where(
+        F.col(big_key).isNotNull()
+    )
+    bloom = key_bloom(keys, big_key, n_bits=n_bits, n_hashes=n_hashes)
+    survivors = bloom_filter_rows(big, big_key, bloom, n_bits=n_bits, n_hashes=n_hashes)
+    return survivors.join(keys.distinct(), big_key, "left_semi")

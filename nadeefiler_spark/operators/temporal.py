@@ -157,3 +157,44 @@ def interval_point_join(
         .drop(iv[_BIN])
         .drop(pt[_BIN])
     )
+
+
+def coverage_gaps(
+    df: DataFrame,
+    part_col: str,
+    ts_col: str,
+    max_gap_s: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Time-coverage gap detection: per ``part_col`` partition, every
+    consecutive-event gap exceeding ``max_gap_s`` seconds — the
+    "is this feed actually continuous?" freshness/completeness check a
+    validation engine runs before trusting per-window statistics
+    (a silent 2-day ingestion outage makes every windowed drift verdict
+    over that span vacuous, not green).
+
+    Output: ``(part, gap_start, gap_end, gap_s)``, one row per violating
+    gap. Gap seconds are whole-second (floor-epoch) differences so the
+    result is exactly reproducible in ANSI SQL.
+
+    Scale: ONE shuffle (window partitioned by ``part_col``), then a
+    filter — rows out is #gaps, not #events. Skew note: a partition's
+    events sort within one task, the same bound as sessionization
+    (operators.sessions); salt or sub-bucket by time range upstream when
+    a single partition key exceeds task memory.
+    """
+    order = [F.col(ts_col)]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(part_col).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    gap = F.unix_timestamp(ts_col) - F.unix_timestamp(prev)
+    return (
+        df.select(
+            F.col(part_col).alias("part"),
+            prev.alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+            gap.alias("gap_s"),
+        )
+        .where(F.col("gap_s") > max_gap_s)
+    )
