@@ -28,9 +28,20 @@ positive rate at 10^5 keys is ~0.8% (pruning power >99% on disjoint keys).
 ------------
 build:  scan(small) -> distinct keys -> explode n_hashes bit positions
         -> groupBy(word) bit_or           (shuffle of <= n_bits/64 groups)
-        -> one-row dense words array      (collected into ONE broadcast row)
-probe:  scan(big) x broadcast(words) -> bit tests in codegen (no shuffle)
+        -> one-row dense words array      (collected to the driver,
+                                           O(n_bits/8) bytes — what
+                                           InjectRuntimeFilter broadcasts)
+probe:  scan(big) -> Filter(bit tests on ONE array literal) in codegen
+        (a plain deterministic Filter sinks to the scan; a one-row
+        bloom JOIN instead gets hoisted above the verify semi join by
+        PushDownLeftSemiAntiJoin, un-pruning the shuffle — measured)
 verify: survivors left-semi small         (shuffle of survivors only)
+
+Sizing: the words literal is n_bits/8 bytes on the driver and in each
+task's constant pool — fine to ~10^9 build keys (~1.2 GB at 1% fpp is
+too big; ~10^8 keys / 120 MB is the practical ceiling, same ceiling as
+Spark's own runtime filter). Beyond that, skip the bloom and let the
+shuffled join run — the summary no longer fits anywhere.
 """
 
 from __future__ import annotations
@@ -97,27 +108,36 @@ def key_bloom(
 def bloom_filter_rows(
     df: DataFrame,
     key_col: str,
-    bloom: DataFrame,
+    bloom: DataFrame | list,
     n_bits: int = DEFAULT_N_BITS,
     n_hashes: int = DEFAULT_N_HASHES,
 ) -> DataFrame:
     """Rows of ``df`` whose ``key_col`` *may* be in the bloom — a superset
     of the true matches (null keys never match, mirroring SQL ``IN``).
 
-    The probe is pure Catalyst: the one-row words array arrives via a
-    broadcast nested-loop join (1 row — free), and every bit test runs in
-    whole-stage codegen on the scan side.
+    The words array is collected to the driver (O(n_bits/8) bytes —
+    the same thing Spark's own InjectRuntimeFilter broadcasts) and
+    inlined as ONE array literal inside a plain ``Filter``, so the probe
+    (a) runs in whole-stage codegen at the scan (the literal is a single
+    constant reference, not a per-row allocation), and (b) stays BELOW
+    any later join: a deterministic filter sinks toward the scan, while
+    a one-row bloom *join* would be hoisted above a downstream semi join
+    by PushDownLeftSemiAntiJoin — measured on this exact plan — making
+    the verify join shuffle the unpruned table and the bloom pure
+    overhead. ``bloom`` may be the ``key_bloom`` DataFrame or an
+    already-collected words list.
     """
     _check_pow2(n_bits)
     mask = n_bits - 1
+    words = bloom if isinstance(bloom, list) else bloom.collect()[0][0]
     hashes = [
         F.xxhash64(F.col(key_col), F.lit(i)).bitwiseAND(F.lit(mask)).alias(f"__h{i}")
         for i in range(n_hashes)
     ]
-    probed = df.join(F.broadcast(bloom)).select("*", *hashes)
+    probed = df.select("*", F.lit(words).alias("__bw"), *hashes)
     tests = [
         F.expr(
-            f"(shiftright(element_at(__bloom_words, CAST(shiftright(__h{i}, 6) AS INT) + 1), "
+            f"(shiftright(element_at(__bw, CAST(shiftright(__h{i}, 6) AS INT) + 1), "
             f"CAST(__h{i} & 63 AS INT)) & 1) = 1"
         )
         for i in range(n_hashes)
@@ -126,7 +146,7 @@ def bloom_filter_rows(
     for t in tests[1:]:
         cond = cond & t
     keep = F.col(key_col).isNotNull() & cond
-    drop = ["__bloom_words"] + [f"__h{i}" for i in range(n_hashes)]
+    drop = ["__bw"] + [f"__h{i}" for i in range(n_hashes)]
     return probed.where(keep).drop(*drop)
 
 
