@@ -221,6 +221,12 @@ Operator → query map (SURVEY §2 ids in brackets):
 - coverage_gaps          [continuous validation: per-partition time-
                           coverage holes — the feed-continuity gate for
                           windowed drift verdicts]
+- embedding_drift        [drift x embeddings: per-group centroid cosine
+                          / L2 shift vs the global centroid, one corpus
+                          scan (dim-wide sums, sketch-sized shuffle)]
+- record_outliers        [profiling: record-LEVEL diagonal-Mahalanobis
+                          outlier score across numeric columns — joint
+                          anomalies univariate z-gates miss]
 """
 
 from __future__ import annotations
@@ -4861,6 +4867,140 @@ FROM g WHERE gap_s > 9000
 """
 
 
+def _q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-SPACE drift (drift.embedding_drift): per label, the
+    centroid's cosine to / L2 distance from the global centroid, in one
+    corpus scan (dim-wide sum aggregates; global re-aggregated from the
+    per-group sums). Planted: label 3's vectors shifted by +0.5 on every
+    dimension (a centroid mover), NULL vector on vec_id %53, truncated
+    vector on %59 (excluded + counted as n_bad)."""
+    from nadeefiler_spark.drift import embedding_drift
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "label",
+        F.when(F.col("vec_id") % 53 == 0, F.lit(None).cast("array<float>"))
+        .when(
+            F.col("vec_id") % 59 == 0,
+            F.slice("embedding", 1, F.size("embedding") - 1),
+        )
+        .when(
+            F.col("label") == 3,
+            F.transform(
+                "embedding",
+                lambda x: (x.cast("double") + F.lit(0.5)).cast("float"),
+            ),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("v"),
+    )
+    return embedding_drift(e, "v", "label", dim=64)
+
+
+def _sql_embedding_drift(dim: int = 64) -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN ok THEN CAST(v[{i + 1}] AS DOUBLE) END) AS s{i}"
+        for i in range(dim)
+    )
+    gsums = ", ".join(f"sum(s{i}) AS gs{i}" for i in range(dim))
+    cent = [f"(s.s{i} / s.n_vecs)" for i in range(dim)]
+    gcent = [f"(g.gs{i} / g.gn)" for i in range(dim)]
+    dot = " + ".join(f"{c} * {gc}" for c, gc in zip(cent, gcent))
+    norm = "sqrt(" + " + ".join(f"{c} * {c}" for c in cent) + ")"
+    gnorm = "sqrt(" + " + ".join(f"{gc} * {gc}" for gc in gcent) + ")"
+    shift = "sqrt(" + " + ".join(
+        f"({c} - {gc}) * ({c} - {gc})" for c, gc in zip(cent, gcent)
+    ) + ")"
+    return f"""
+WITH p AS (
+  SELECT label,
+         CASE WHEN vec_id % 53 = 0 THEN NULL
+              WHEN vec_id % 59 = 0 THEN embedding[1:len(embedding)-1]
+              WHEN label = 3 THEN list_transform(
+                embedding, x -> CAST(CAST(x AS DOUBLE) + 0.5 AS FLOAT))
+              ELSE embedding END AS v
+  FROM embeddings
+), f AS (
+  SELECT label, v, (v IS NOT NULL AND len(v) = {dim}) AS ok FROM p
+), s AS (
+  SELECT label,
+         CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_vecs,
+         CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_bad,
+         {sums}
+  FROM f GROUP BY label
+), g AS (
+  SELECT sum(n_vecs) AS gn, {gsums} FROM s
+)
+SELECT s.label, s.n_vecs, s.n_bad,
+       round({norm}, 6) AS centroid_norm,
+       round(CASE WHEN {norm} > 0 AND {gnorm} > 0
+                  THEN ({dot}) / ({norm} * {gnorm}) END, 6) AS global_cos,
+       round({shift}, 6) AS centroid_shift
+FROM s CROSS JOIN g
+WHERE s.n_vecs > 0
+"""
+
+
+_MVO_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _q_record_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-level multivariate outlier score (outliers.
+    multivariate_outliers): diagonal-Mahalanobis distance^2 across four
+    lineitem measures, one stats aggregate broadcast back to one scoring
+    scan. Planted: l_extendedprice x10 on l_orderkey %997 (drives the
+    joint score far past the 50.0 gate; natural bounded-uniform TPC-H
+    rows top out near 12)."""
+    from nadeefiler_spark.outliers import multivariate_outliers
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.when(
+            F.col("l_orderkey") % 997 == 0, F.col("l_extendedprice") * 10.0
+        )
+        .otherwise(F.col("l_extendedprice"))
+        .alias("l_extendedprice"),
+        "l_discount",
+        "l_tax",
+    )
+    return multivariate_outliers(
+        li, _MVO_COLS, ["l_orderkey", "l_linenumber"], threshold=50.0
+    )
+
+
+def _sql_record_outliers() -> str:
+    stats = ", ".join(
+        f"avg({c}) AS m_{c}, stddev_pop({c}) AS sd_{c}" for c in _MVO_COLS
+    )
+    terms = " + ".join(
+        f"(CASE WHEN {c} IS NOT NULL AND sd_{c} > 0"
+        f" THEN pow(({c} - m_{c}) / sd_{c}, 2) ELSE 0.0 END)"
+        for c in _MVO_COLS
+    )
+    n_used = " + ".join(
+        f"(CASE WHEN {c} IS NOT NULL AND sd_{c} > 0 THEN 1 ELSE 0 END)"
+        for c in _MVO_COLS
+    )
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         CASE WHEN l_orderkey % 997 = 0 THEN l_extendedprice * 10.0
+              ELSE l_extendedprice END AS l_extendedprice,
+         l_discount, l_tax
+  FROM lineitem
+), st AS (
+  SELECT {stats} FROM li
+), scored AS (
+  SELECT li.*, {terms} AS score, {n_used} AS n_used
+  FROM li CROSS JOIN st
+)
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
+       l_tax, round(score, 6) AS score, CAST(n_used AS INT) AS n_cols_used
+FROM scored WHERE score > 50.0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_summary": _q_profile_summary,
@@ -4973,6 +5113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_referential": _q_bloom_referential,
         "heavy_tokens": _q_heavy_tokens,
         "coverage_gaps": _q_coverage_gaps,
+        "embedding_drift": _q_embedding_drift,
+        "record_outliers": _q_record_outliers,
     }
 
 
@@ -5075,6 +5217,8 @@ def oracle_sql() -> dict[str, str]:
         "bloom_referential": _SQL_BLOOM_REFERENTIAL,
         "heavy_tokens": _SQL_HEAVY_TOKENS,
         "coverage_gaps": _SQL_COVERAGE_GAPS,
+        "embedding_drift": _sql_embedding_drift(),
+        "record_outliers": _sql_record_outliers(),
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py
         # binary_meta / audio_validate: binary audio payloads (pandas-UDF

@@ -367,3 +367,72 @@ def metric_anomaly(
         F.round(F.coalesce(z, F.lit(0.0)), 6).alias("z"),
         F.coalesce(anomaly, F.lit(False)).alias("anomaly"),
     )
+
+
+def embedding_drift(
+    df: DataFrame, vec_col: str, group_col: str, dim: int
+) -> DataFrame:
+    """Per-group embedding-SPACE drift vs the global centroid.
+
+    The scalar drift tests above (PSI/KS/chi2) watch individual numeric
+    or categorical columns; a training pipeline also needs to know when
+    a *vector* column moves — an embedding-model version bump, an
+    upstream featurizer change, or a source whose content genuinely
+    shifted. The standard cheap detector is centroid geometry: for each
+    group (source/snapshot/partition), the mean vector's cosine to the
+    corpus-wide mean vector and the L2 distance between them.
+
+    One corpus scan, Spark-first: per-group per-dimension sums are
+    ``dim`` plain ``F.sum`` aggregates over ``element_at`` (whole-stage
+    codegen, map-side combinable — the shuffle carries #groups x dim
+    doubles, never a row per vector; an explode-based formulation would
+    shuffle rows x dim). The GLOBAL centroid re-aggregates the per-group
+    sums — sketch-sized input, no second scan — and is broadcast back.
+
+    Vectors that are NULL or not exactly ``dim`` long are excluded (and
+    counted): a truncated vector would silently corrupt every dimension
+    sum after its break point.
+
+    Returns one row per group:
+      (group, n_vecs, n_bad, centroid_norm, global_cos, centroid_shift)
+    global_cos is NULL when either centroid has zero norm.
+
+    No reference analog (beyond-reference operator); complements
+    profiler.embedding_qc (per-vector validity) with group-level
+    distribution monitoring.
+    """
+    v = F.col(vec_col)
+    ok = v.isNotNull() & (F.size(v) == dim)
+    sums = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(ok.cast("bigint")).alias("n_vecs"),
+        F.sum((~ok).cast("bigint")).alias("n_bad"),
+        *[
+            F.sum(
+                F.when(ok, F.element_at(v, i + 1).cast("double"))
+            ).alias(f"_s{i}")
+            for i in range(dim)
+        ],
+    )
+    glob = sums.agg(
+        F.sum("n_vecs").alias("_gn"),
+        *[F.sum(f"_s{i}").alias(f"_g{i}") for i in range(dim)],
+    )
+    j = sums.where(F.col("n_vecs") > 0).crossJoin(F.broadcast(glob))
+    cent = [F.col(f"_s{i}") / F.col("n_vecs") for i in range(dim)]
+    gcent = [F.col(f"_g{i}") / F.col("_gn") for i in range(dim)]
+    dot = sum((c * g for c, g in zip(cent, gcent)), F.lit(0.0))
+    norm = F.sqrt(sum((c * c for c in cent), F.lit(0.0)))
+    gnorm = F.sqrt(sum((g * g for g in gcent), F.lit(0.0)))
+    shift = F.sqrt(
+        sum(((c - g) * (c - g) for c, g in zip(cent, gcent)), F.lit(0.0))
+    )
+    return j.select(
+        F.col("grp").alias(group_col),
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.col("n_bad").cast("bigint").alias("n_bad"),
+        F.round(norm, 6).alias("centroid_norm"),
+        F.round(
+            F.when((norm > 0) & (gnorm > 0), dot / (norm * gnorm)), 6
+        ).alias("global_cos"),
+        F.round(shift, 6).alias("centroid_shift"),
+    )

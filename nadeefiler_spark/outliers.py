@@ -214,3 +214,72 @@ def benford(
             F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), precision
         ).alias("p_benford"),
     )
+
+
+def multivariate_outliers(
+    df: DataFrame,
+    cols: list[str],
+    id_cols: list[str],
+    threshold: float,
+) -> DataFrame:
+    """Record-LEVEL outlier score over several numeric columns at once.
+
+    zscore_outliers flags one column at a time; a record that is only
+    mildly unusual on each of four columns but unusual on ALL of them
+    slips every univariate gate. The standard cheap multivariate score
+    is the diagonal-covariance Mahalanobis distance squared:
+
+        score = sum_c ((x_c - mean_c) / stddev_pop_c)^2
+
+    (chi-square distributed with len(cols) degrees of freedom under
+    normality, so thresholds have a principled scale — e.g. 18.47 is
+    the 99.9th percentile at 4 dof).
+
+    Two passes, both scan-shaped: one aggregate for all means/stddevs
+    (a single 1-row result, broadcast back), then one scan computing
+    the score — no row shuffle, no window over the corpus. NULL column
+    values and zero-variance columns contribute 0 to the score (the
+    record is judged on the evidence it has).
+
+    Returns rows with score > threshold:
+      (*id_cols, *cols, score, n_cols_used)
+
+    Reference analog: dBoost's per-column histogram outliers
+    (/root/reference/profilers/outliers/index.js:16-18) generalized to
+    joint record scoring (beyond-reference operator).
+    """
+    stats = df.agg(
+        *[F.avg(F.col(c).cast("double")).alias(f"_m_{c}") for c in cols],
+        *[
+            F.stddev_pop(F.col(c).cast("double")).alias(f"_sd_{c}")
+            for c in cols
+        ],
+    )
+    j = df.crossJoin(F.broadcast(stats))
+    usable = [
+        F.col(c).isNotNull() & (F.col(f"_sd_{c}") > 0) for c in cols
+    ]
+    terms = [
+        F.when(
+            u,
+            F.pow(
+                (F.col(c).cast("double") - F.col(f"_m_{c}"))
+                / F.col(f"_sd_{c}"),
+                F.lit(2),
+            ),
+        ).otherwise(F.lit(0.0))
+        for c, u in zip(cols, usable)
+    ]
+    score = sum(terms[1:], terms[0])
+    n_used = sum(
+        (u.cast("int") for u in usable[1:]), usable[0].cast("int")
+    )
+    return (
+        j.where(score > threshold)
+        .select(
+            *id_cols,
+            *cols,
+            F.round(score, 6).alias("score"),
+            n_used.cast("int").alias("n_cols_used"),
+        )
+    )

@@ -216,3 +216,60 @@ def test_chi2_drift_identical_and_disjoint_bins(spark):
     )
     r = chi2_drift(hist2, base).collect()[0]
     assert r["dof"] == 2 and r["chi2"] > 0
+
+
+class TestEmbeddingDrift:
+    """embedding_drift vs a numpy twin on a small planted corpus."""
+
+    def _df(self, spark):
+        rows = []
+        # groups a and b cluster near two different base vectors; c is a
+        # copy of a shifted by +2.0 on every dim (a centroid mover).
+        for g, base, delta in (("a", 1.0, 0.0), ("b", -1.0, 0.0), ("c", 1.0, 2.0)):
+            for i in range(5):
+                vec = [float(base + delta + 0.01 * i * (d + 1)) for d in range(4)]
+                rows.append((g, vec))
+        rows.append(("a", None))  # null vector -> n_bad
+        rows.append(("b", [1.0, 2.0]))  # truncated -> n_bad
+        return spark.createDataFrame(rows, "grp string, v array<float>"), rows
+
+    def test_matches_numpy_twin(self, spark):
+        df, rows = self._df(spark)
+        out = {
+            r["grp"]: r
+            for r in drift.embedding_drift(df, "v", "grp", dim=4).collect()
+        }
+        good = {}
+        for g, vec in rows:
+            if vec is not None and len(vec) == 4:
+                good.setdefault(g, []).append(np.array(vec, dtype=np.float32))
+        gmean = np.mean(
+            np.stack([v for vs in good.values() for v in vs]).astype("float64"),
+            axis=0,
+        )
+        for g, vs in good.items():
+            cent = np.mean(np.stack(vs).astype("float64"), axis=0)
+            r = out[g]
+            assert r["n_vecs"] == len(vs)
+            assert r["centroid_norm"] == pytest.approx(
+                float(np.linalg.norm(cent)), abs=1e-6
+            )
+            cos = float(
+                cent @ gmean / (np.linalg.norm(cent) * np.linalg.norm(gmean))
+            )
+            assert r["global_cos"] == pytest.approx(cos, abs=1e-6)
+            assert r["centroid_shift"] == pytest.approx(
+                float(np.linalg.norm(cent - gmean)), abs=1e-6
+            )
+        assert out["a"]["n_bad"] == 1 and out["b"]["n_bad"] == 1
+        # b points away from the global centroid; a and c align with it
+        assert out["b"]["global_cos"] < 0 < out["a"]["global_cos"]
+        # the shifted copy of a sits farther from the global centroid than a
+        assert out["c"]["centroid_shift"] > out["a"]["centroid_shift"]
+
+    def test_all_bad_group_dropped(self, spark):
+        df = spark.createDataFrame(
+            [("x", None), ("y", [1.0, 0.0])], "grp string, v array<float>"
+        )
+        rows = drift.embedding_drift(df, "v", "grp", dim=2).collect()
+        assert [r["grp"] for r in rows] == ["y"]

@@ -85,3 +85,65 @@ def test_group_stat_outliers_zero_mad(spark):
     out = {r["grp"]: r for r in group_stat_outliers(df, "grp", "v").collect()}
     assert out["f"]["z"] is None and out["f"]["is_outlier"] is True
     assert out["a"]["is_outlier"] is False
+
+
+def test_multivariate_outliers_joint_vs_univariate(spark):
+    """A record mildly off on EVERY column is caught jointly even though
+    no single column crosses a 3-sigma univariate gate."""
+    import random
+
+    from nadeefiler_spark.outliers import multivariate_outliers
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.gauss(0.0, 1.0), rng.gauss(10.0, 2.0), rng.gauss(-5.0, 0.5))
+        for i in range(400)
+    ]
+    rows.append((900, 2.6, 15.2, -3.7))  # ~2.6 sigma on each of 3 cols
+    df = spark.createDataFrame(rows, "id bigint, a double, b double, c double")
+    out = multivariate_outliers(df, ["a", "b", "c"], ["id"], threshold=16.27)
+    ids = [r["id"] for r in out.collect()]
+    assert 900 in ids
+    # univariate gate at the same 99.9% confidence misses it on every column
+    from nadeefiler_spark.outliers import zscore_outliers
+
+    from pyspark.sql import functions as F
+
+    one = df.withColumn("p", F.lit("x"))
+    for c in ("a", "b", "c"):
+        hits = [r["id"] for r in zscore_outliers(one, c, "p", k=3.29).collect()]
+        assert 900 not in hits
+
+
+def test_multivariate_outliers_null_and_constant_cols(spark):
+    from nadeefiler_spark.outliers import multivariate_outliers
+
+    rows = [(i, float(i % 10), 5.0, None if i % 2 else float(i % 7)) for i in range(50)]
+    rows.append((999, 1000.0, 5.0, None))
+    df = spark.createDataFrame(rows, "id bigint, a double, k double, c double")
+    out = {r["id"]: r for r in multivariate_outliers(
+        df, ["a", "k", "c"], ["id"], threshold=20.0).collect()}
+    assert list(out) == [999]
+    # constant column k and NULL c contribute nothing; only a was usable
+    assert out[999]["n_cols_used"] == 1
+    assert out[999]["score"] > 20.0
+
+
+def test_multivariate_outliers_score_formula(spark):
+    """Score equals the numpy diagonal-Mahalanobis twin exactly."""
+    import numpy as np
+
+    from nadeefiler_spark.outliers import multivariate_outliers
+
+    a = [1.0, 2.0, 3.0, 4.0, 100.0]
+    b = [10.0, 11.0, 9.0, 10.5, -40.0]
+    df = spark.createDataFrame(
+        [(i, a[i], b[i]) for i in range(5)], "id bigint, a double, b double"
+    )
+    out = {r["id"]: r for r in multivariate_outliers(
+        df, ["a", "b"], ["id"], threshold=0.0).collect()}
+    za = (np.array(a) - np.mean(a)) / np.std(a)
+    zb = (np.array(b) - np.mean(b)) / np.std(b)
+    want = za**2 + zb**2
+    for i in range(5):
+        assert out[i]["score"] == round(float(want[i]), 6)
