@@ -139,6 +139,8 @@ HEADLINE_QUERIES = (
     "bloom_referential",
     "heavy_tokens",
     "coverage_gaps",
+    "embedding_drift",
+    "record_outliers",
 )
 
 

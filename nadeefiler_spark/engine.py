@@ -490,6 +490,60 @@ class ValidationEngine:
             clips, "embedding_dedup", "embedding_dups", compute, resume, run_id
         )
 
+    def run_embedding_drift(
+        self,
+        clips: DataFrame,
+        min_cos: float = 0.98,
+        resume: bool = True,
+        run_id: str | None = None,
+    ) -> DataFrame:
+        """Cascade stage: embedding-SPACE drift per corpus partition.
+
+        The scalar drift stage (PSI/KS over histograms) watches declared
+        columns; this stage watches the DECODED SIGNAL — each
+        partition's audio-embedding centroid (operators.audio_features
+        band-energy vectors, one narrow decode+featurize pass with the
+        partition column carried through) against the corpus-wide
+        centroid (drift.embedding_drift). A recording-condition change,
+        codec/bandwidth shift, or content-domain swap in one delivery
+        moves that partition's centroid even when sr_hz/dur_ms
+        histograms look identical.
+
+        GLOBAL semantics (the global centroid depends on every
+        partition), so resume recomputes the whole table when any
+        partition is pending — same contract as the dedup stages.
+        Output table ``embedding_drift``: one row per corpus partition
+        (corpus_part, n_vecs, n_bad, centroid_norm, global_cos,
+        centroid_shift, drifted); ``drifted`` = global_cos < min_cos
+        (or a degenerate zero-norm centroid). Manifest lineage counts
+        every clip of a drifted partition as implicated.
+        """
+        from .drift import embedding_drift
+        from .operators.audio_features import N_FEATURE_BANDS, audio_features
+
+        def compute():
+            feats = audio_features(clips, carry_cols=(self.part_col,))
+            report = embedding_drift(
+                feats, "features", self.part_col, dim=N_FEATURE_BANDS
+            ).persist()
+            drifted = F.coalesce(F.col("global_cos") < min_cos, F.lit(True))
+            groups = report.select(
+                F.col(self.part_col).cast("string").alias("corpus_part"),
+                "n_vecs", "n_bad", "centroid_norm", "global_cos",
+                "centroid_shift", drifted.alias("drifted"),
+            ).withColumn("part", F.lit("*"))
+            implicated = clips.select("clip_id", self.part_col).join(
+                F.broadcast(
+                    report.where(drifted).select(self.part_col)
+                ),
+                self.part_col,
+            ).select(self.part_col)
+            return groups, implicated, report.unpersist
+
+        return self._run_global_stage(
+            clips, "embedding_drift", "embedding_drift", compute, resume, run_id
+        )
+
     def run_fp_index(
         self,
         clips: DataFrame,
@@ -1028,6 +1082,14 @@ class ValidationEngine:
         return self.io.read(
             "embedding_dups",
             "id string, cluster_id string, cluster_size bigint, part string",
+        )
+
+    def embedding_drift(self) -> DataFrame:
+        return self.io.read(
+            "embedding_drift",
+            "corpus_part string, n_vecs bigint, n_bad bigint, "
+            "centroid_norm double, global_cos double, "
+            "centroid_shift double, drifted boolean, part string",
         )
 
     def admissions(self) -> DataFrame:

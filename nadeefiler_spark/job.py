@@ -61,6 +61,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "(LSH-blocked embedding-cosine clusters -> "
                         "embedding_dups table); optional cosine threshold, "
                         "default 0.98")
+    p.add_argument("--embedding-drift", type=float, default=None, nargs="?",
+                   const=0.98, metavar="MIN_COS",
+                   help="run the per-partition embedding-space drift stage "
+                        "(decoded-audio centroid vs the corpus centroid -> "
+                        "embedding_drift table); optional min cosine, "
+                        "default 0.98")
+    p.add_argument("--mvo", action="store_true",
+                   help="add the record-level multivariate outlier rule "
+                        "(joint sr_hz x dur_ms Mahalanobis gate) to the "
+                        "drift stage")
     p.add_argument("--vad", action="store_true",
                    help="run the voice-activity audit stage (vad_stats "
                         "table, per-partition resume; violations = clips "
@@ -113,6 +123,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
             with_audio=not args.no_audio,
             with_drift=not args.no_drift,
             with_pii=args.pii,
+            with_mvo=args.mvo,
         ),
         profile_cfg=default_clips_config(),
     )
@@ -167,6 +178,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
             resume=not args.no_resume, run_id=args.run_id,
         )
         verdicts = verdicts.unionByName(ed_v)
+    if args.embedding_drift is not None:
+        edr_v = eng.run_embedding_drift(
+            clips, min_cos=args.embedding_drift,
+            resume=not args.no_resume, run_id=args.run_id,
+        )
+        verdicts = verdicts.unionByName(edr_v)
     rows = verdicts.orderBy("part", "stage").collect()
     summary = {
         "partitions": sorted({r["part"] for r in rows}),

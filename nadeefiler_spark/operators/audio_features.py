@@ -79,8 +79,15 @@ def audio_features(
     id_col: str = "clip_id",
     bytes_col: str = "bytes",
     n_bands: int = N_FEATURE_BANDS,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, features, feat_error): one narrow decode+featurize pass."""
+    """(id, features, feat_error): one narrow decode+featurize pass.
+
+    ``carry_cols`` names extra clip columns passed through the pandas
+    batches unchanged (e.g. the partition column) so callers that need
+    them avoid a corpus-sized join back on id.
+    """
+    carry = [c for c in carry_cols if c not in (id_col, bytes_col)]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from nadeefiler_spark import audio  # import on executor
@@ -96,9 +103,17 @@ def audio_features(
                 except Exception as exc:
                     feats.append(None)
                     errs.append(str(exc)[:200])
-            yield pd.DataFrame({"id": ids, "features": feats, "feat_error": errs})
+            out = {"id": ids, "features": feats, "feat_error": errs}
+            for c in carry:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return clips.select(id_col, bytes_col).mapInPandas(run, FEATURES_SCHEMA)
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromDDL(FEATURES_SCHEMA)
+    for c in carry:
+        schema = schema.add(clips.schema[c])
+    return clips.select(id_col, bytes_col, *carry).mapInPandas(run, schema)
 
 
 def audio_embedding_dup_pairs(

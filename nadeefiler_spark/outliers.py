@@ -283,3 +283,36 @@ def multivariate_outliers(
             n_used.cast("int").alias("n_cols_used"),
         )
     )
+
+
+@dataclass
+class MultivariateOutlierRule(Rule):
+    """Record-level joint-outlier rule over several clip columns.
+
+    The multivariate complement of OutlierRule: flags clips whose
+    diagonal-Mahalanobis score across ``columns`` (stats computed over
+    the rule's scoped clips, broadcast back — no row shuffle) exceeds
+    ``threshold``. Catches a clip mildly odd on every column at once
+    (e.g. slightly long AND slightly low-rate AND slightly large) that
+    no single-column z-gate trips on.
+    """
+
+    columns: tuple[str, ...] = ("sr_hz", "dur_ms")
+    threshold: float = 30.0
+
+    def __post_init__(self) -> None:
+        self.name = self.name or "multivariate_outlier"
+        self.stage = "drift"
+
+    def violations(self, ctx: RuleContext) -> DataFrame:
+        out = multivariate_outliers(
+            ctx.clips,
+            list(self.columns),
+            [ctx.key_col, ctx.part_col],
+            self.threshold,
+        )
+        detail = F.concat(
+            F.lit("score="), F.col("score").cast("string"),
+            F.lit(" cols="), F.lit(",".join(self.columns)),
+        )
+        return self.shape(out, ctx, self.name, detail)

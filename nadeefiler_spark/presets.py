@@ -20,6 +20,7 @@ def default_clip_rules(
     with_audio: bool = True,
     with_drift: bool = True,
     with_pii: bool = False,
+    with_mvo: bool = False,
 ) -> list[Rule]:
     rules: list[Rule] = [
         UniquenessRule(keys=("clip_id",)),
@@ -46,6 +47,14 @@ def default_clip_rules(
     if with_drift:
         # clips partitioning is derived from codec -> exclude it
         rules.append(DriftRule(exclude_keys=("codec",)))
+    if with_mvo:
+        # opt-in: joint record-level outlier gate across the numeric
+        # clip columns (diagonal Mahalanobis; catches rows every
+        # univariate z-gate passes). Off by default because its stats
+        # pass is an extra aggregate over the scoped clips.
+        from .outliers import MultivariateOutlierRule
+
+        rules.append(MultivariateOutlierRule(columns=("sr_hz", "dur_ms")))
     return rules
 
 

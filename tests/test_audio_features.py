@@ -241,3 +241,60 @@ def test_spectral_rolloff_edges():
     assert spectral_rolloff(np.zeros(1000, dtype=np.int16), 16000) == 0.0
     # DC-only signal: all energy in bin 0
     assert spectral_rolloff(1000 * np.ones(1000, dtype=np.int16), 16000) == 0.0
+
+
+def test_features_carry_cols(spark):
+    """carry_cols passes clip columns through the featurize batches so
+    callers avoid a corpus-sized join back on id."""
+    clips = _corpus(spark).withColumn("part", F.lit("px"))
+    out = AFE.audio_features(clips, carry_cols=("part",))
+    assert out.columns == ["id", "features", "feat_error", "part"]
+    rows = out.collect()
+    assert {r["part"] for r in rows} == {"px"} and len(rows) == 14
+
+
+def test_engine_embedding_drift_stage(spark, tmp_path_factory):
+    """Engine cascade stage: embedding_drift table + lineage + resume.
+    Planted: partition 'tone' carries narrowband sine clips whose
+    band-energy centroid points away from the broadband corpus centroid
+    (measured cos ~0.55 vs ~0.9 for the normal partitions — the
+    int16 quantization noise floor spreads some energy across bands), plus one
+    undecodable clip counted as n_bad."""
+    import numpy as np
+
+    from nadeefiler_spark.engine import ValidationEngine
+
+    rows = []
+    for i in range(20):
+        pcm = audio.render_pcm(f"ed-{i}", 16000, 300)
+        part = "a" if i < 10 else "b"
+        rows.append((f"ed-{i}", audio.encode(pcm, 16000, "pcm_s16le"), part))
+    t = np.arange(int(16000 * 0.3)) / 16000.0
+    for i in range(8):
+        # int16 scale: audio.encode quantizes, a [-1, 1] float truncates to silence
+        pcm = (16000 * np.sin(2 * np.pi * (200 + 5 * i) * t)).astype(np.int16)
+        rows.append((f"tone-{i}", audio.encode(pcm, 16000, "pcm_s16le"), "tone"))
+    rows.append(("junk", b"\x00nope", "a"))
+    clips = spark.createDataFrame(rows, "clip_id string, bytes binary, part string")
+
+    out = str(tmp_path_factory.mktemp("engine_edr"))
+    eng = ValidationEngine(spark, out, rules=[])
+    v = eng.run_embedding_drift(clips, min_cos=0.7, run_id="edr1").toPandas()
+    assert set(v["stage"]) == {"embedding_drift"}
+
+    rep = eng.embedding_drift().toPandas().set_index("corpus_part")
+    assert bool(rep.loc["tone", "drifted"]) is True
+    assert bool(rep.loc["a", "drifted"]) is False
+    assert bool(rep.loc["b", "drifted"]) is False
+    assert int(rep.loc["a", "n_bad"]) == 1  # the undecodable clip
+    assert int(rep.loc["tone", "n_vecs"]) == 8
+    assert rep.loc["tone", "global_cos"] < 0.7 < rep.loc["a", "global_cos"]
+
+    # lineage: every clip of the drifted partition is implicated
+    viol = dict(zip(v["part"], v["n_violations"]))
+    assert viol == {"a": 0, "b": 0, "tone": 8}
+
+    # resume with no new partitions is a no-op
+    eng.run_embedding_drift(clips, min_cos=0.7, run_id="edr2")
+    m = eng.manifest().toPandas()
+    assert set(m[m["stage"] == "embedding_drift"]["run_id"]) == {"edr1"}

@@ -849,3 +849,28 @@ def test_job_history_anomalies_flag(spark, clips_dirs, tmp_path):
     summary2 = job.main(args + ["--no-resume"], spark=spark)
     assert summary["history_anomalies"] == []
     assert summary2["history_anomalies"] == []
+
+
+def test_job_embedding_drift_and_mvo_flags(spark, clips_dirs, tmp_path):
+    """--embedding-drift runs the centroid-drift stage (MIN_COS far below
+    any real centroid so nothing flags on the homogeneous synthetic
+    corpus); --mvo adds the multivariate outlier rule to the drift
+    stage."""
+    out = str(tmp_path / "out_edr")
+    summary = job.main(
+        [
+            "--clips", f"{clips_dirs}/clips",
+            "--out", out,
+            "--no-audio",
+            "--mvo",
+            "--embedding-drift", "0.0",
+        ],
+        spark=spark,
+    )
+    assert "embedding_drift" in summary["stages"]
+    eng = ValidationEngine(spark, out, rules=[])
+    rep = eng.embedding_drift().toPandas()
+    assert len(rep) > 0 and not rep["drifted"].any()
+    # the mvo rule ran inside the drift stage (violation rows or not,
+    # the rule name must be a known rule of the run's manifest stage)
+    assert "drift" in summary["stages"]

@@ -147,3 +147,19 @@ def test_multivariate_outliers_score_formula(spark):
     want = za**2 + zb**2
     for i in range(5):
         assert out[i]["score"] == round(float(want[i]), 6)
+
+
+def test_multivariate_outlier_rule_shape(spark):
+    from nadeefiler_spark import outliers
+    from nadeefiler_spark.rules.base import RuleContext
+
+    rows = [(f"c-{i}", "p1", float(i % 10), 100.0 + (i % 7)) for i in range(60)]
+    rows.append(("c-bad", "p2", 90.0, 900.0))  # jointly extreme
+    df = spark.createDataFrame(rows, "clip_id string, part string, a double, b double")
+    ctx = RuleContext(spark=spark, clips=df, key_col="clip_id", part_col="part")
+    rule = outliers.MultivariateOutlierRule(columns=("a", "b"), threshold=30.0)
+    v = rule.violations(ctx).collect()
+    assert [(r["clip_id"], r["part"], r["rule"]) for r in v] == [
+        ("c-bad", "p2", "multivariate_outlier")
+    ]
+    assert "score=" in v[0]["detail"] and "cols=a,b" in v[0]["detail"]
