@@ -117,28 +117,44 @@ def bloom_filter_rows(
 
     The words array is collected to the driver (O(n_bits/8) bytes —
     the same thing Spark's own InjectRuntimeFilter broadcasts) and
-    inlined as ONE array literal inside a plain ``Filter``, so the probe
-    (a) runs in whole-stage codegen at the scan (the literal is a single
-    constant reference, not a per-row allocation), and (b) stays BELOW
-    any later join: a deterministic filter sinks toward the scan, while
-    a one-row bloom *join* would be hoisted above a downstream semi join
-    by PushDownLeftSemiAntiJoin — measured on this exact plan — making
+    inlined as ONE BinaryType literal inside a plain ``Filter``, so the
+    probe (a) runs in whole-stage codegen at the scan as a single
+    constant reference, and (b) stays BELOW any later join: a
+    deterministic filter sinks toward the scan, while a one-row bloom
+    *join* would be hoisted above a downstream semi join by
+    PushDownLeftSemiAntiJoin — measured on this exact plan — making
     the verify join shuffle the unpruned table and the bloom pure
     overhead. ``bloom`` may be the ``key_bloom`` DataFrame or an
     already-collected words list.
+
+    Why ONE binary literal and not ``lit(array<bigint>)``: a Python list
+    lowers to ``array(lit, lit, ...)`` — an expression with n_bits/64
+    CHILDREN — and analyzer+codegen cost on that tree is superlinear
+    (measured: 4 s to plan at 4,096 elements, 52 s at 16,384; the
+    2^20-bit default was spending ~10 s PLANNING a probe whose
+    execution takes 0.2 s). ``lit(bytes)`` is a single Literal node at
+    any size. Byte probes are O(1): ``substring`` on BinaryType is
+    byte-addressed (unlike StringType, where position lookup walks the
+    string), and the 1-byte slice converts via hex()/conv() — constant
+    work per hash, JVM-side.
     """
     _check_pow2(n_bits)
     mask = n_bits - 1
     words = bloom if isinstance(bloom, list) else bloom.collect()[0][0]
+    # dense little-endian byte image: bit p lives in byte p>>3 at p&7
+    buf = bytearray(n_bits // 8)
+    for wi, w in enumerate(words):
+        buf[wi * 8:(wi + 1) * 8] = (w & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
     hashes = [
         F.xxhash64(F.col(key_col), F.lit(i)).bitwiseAND(F.lit(mask)).alias(f"__h{i}")
         for i in range(n_hashes)
     ]
-    probed = df.select("*", F.lit(words).alias("__bw"), *hashes)
+    probed = df.select("*", F.lit(bytes(buf)).alias("__bx"), *hashes)
     tests = [
         F.expr(
-            f"(shiftright(element_at(__bw, CAST(shiftright(__h{i}, 6) AS INT) + 1), "
-            f"CAST(__h{i} & 63 AS INT)) & 1) = 1"
+            f"(shiftright(CAST(conv(hex(substring(__bx, "
+            f"CAST(shiftright(__h{i}, 3) AS INT) + 1, 1)), 16, 10) AS INT), "
+            f"CAST(__h{i} & 7 AS INT)) & 1) = 1"
         )
         for i in range(n_hashes)
     ]
@@ -146,7 +162,7 @@ def bloom_filter_rows(
     for t in tests[1:]:
         cond = cond & t
     keep = F.col(key_col).isNotNull() & cond
-    drop = ["__bw"] + [f"__h{i}" for i in range(n_hashes)]
+    drop = ["__bx"] + [f"__h{i}" for i in range(n_hashes)]
     return probed.where(keep).drop(*drop)
 
 
@@ -155,7 +171,7 @@ def bloom_semi_join(
     small: DataFrame,
     big_key: str,
     small_key: str | None = None,
-    n_bits: int = DEFAULT_N_BITS,
+    n_bits: int | None = None,
     n_hashes: int = DEFAULT_N_HASHES,
 ) -> DataFrame:
     """EXACT left-semi join of ``big`` against ``small``'s keys, with a
@@ -163,11 +179,22 @@ def bloom_semi_join(
 
     Equivalent to ``big WHERE big_key IN (SELECT small_key FROM small)``;
     the bloom stage only removes guaranteed non-matches.
+
+    ``n_bits=None`` (default) sizes the filter to the BUILD side: one
+    count of the (small, by definition) key side picks the next power
+    of two >= 16 bits/key (~0.05% fpp at 5 hashes), floored at 2^10 and
+    capped at 2^24 (2 MB literal). A fixed 2^20 spent most of its time
+    building/shipping a 128 KB filter for dim-table-sized key sets;
+    beyond ~10^6 keys the cap holds the literal at 2 MB and fpp simply
+    rises toward ~1% at 10^7 — still >99% pruning on disjoint keys.
     """
     small_key = small_key or big_key
     keys = small.select(F.col(small_key).alias(big_key)).where(
         F.col(big_key).isNotNull()
     )
+    if n_bits is None:
+        n_keys = max(keys.count(), 1)
+        n_bits = 1 << max(10, min(24, (16 * n_keys - 1).bit_length()))
     bloom = key_bloom(keys, big_key, n_bits=n_bits, n_hashes=n_hashes)
     survivors = bloom_filter_rows(big, big_key, bloom, n_bits=n_bits, n_hashes=n_hashes)
     return survivors.join(keys.distinct(), big_key, "left_semi")
