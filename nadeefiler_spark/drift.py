@@ -403,7 +403,15 @@ def embedding_drift(
     """
     v = F.col(vec_col)
     ok = v.isNotNull() & (F.size(v) == dim)
-    sums = df.groupBy(F.col(group_col).alias("grp")).agg(
+    # rollup: per-group sums AND the grand total in ONE corpus scan.
+    # Deriving the total as a second aggregate subtree (sums.agg(...))
+    # or filtering the rollup twice and cross-joining re-SCANS the
+    # corpus — Spark does not share a common subplan between two
+    # DataFrame references (verified on the physical plan, 2 scans +
+    # 2 Expands). grouping() separates the total row from a genuine
+    # NULL group value.
+    rolled = df.rollup(group_col).agg(
+        F.grouping(group_col).alias("_total"),
         F.sum(ok.cast("bigint")).alias("n_vecs"),
         F.sum((~ok).cast("bigint")).alias("n_bad"),
         *[
@@ -413,11 +421,21 @@ def embedding_drift(
             for i in range(dim)
         ],
     )
-    glob = sums.agg(
-        F.sum("n_vecs").alias("_gn"),
-        *[F.sum(f"_s{i}").alias(f"_g{i}") for i in range(dim)],
+    # attach the total row's sums to every group row with ONE
+    # unpartitioned window over the rollup output — sketch-sized input
+    # (#groups + 1 rows x dim doubles), so the single-partition window
+    # exchange is trivial and the corpus is scanned exactly once.
+    w = Window.partitionBy()
+    total = lambda c: F.max(F.when(F.col("_total") == 1, F.col(c))).over(w)  # noqa: E731
+    j = (
+        rolled.select(
+            "*",
+            total("n_vecs").alias("_gn"),
+            *[total(f"_s{i}").alias(f"_g{i}") for i in range(dim)],
+        )
+        .where((F.col("_total") == 0) & (F.col("n_vecs") > 0))
+        .withColumnRenamed(group_col, "grp")
     )
-    j = sums.where(F.col("n_vecs") > 0).crossJoin(F.broadcast(glob))
     cent = [F.col(f"_s{i}") / F.col("n_vecs") for i in range(dim)]
     gcent = [F.col(f"_g{i}") / F.col("_gn") for i in range(dim)]
     dot = sum((c * g for c, g in zip(cent, gcent)), F.lit(0.0))
