@@ -111,6 +111,11 @@ Operator → query map (SURVEY §2 ids in brackets):
 - session_concurrency    [pipeline: interval-point range join via
                           time-bin bucketing — hash equi-join on the
                           bin instead of a nested-loop range join]
+- session_concurrency_approx [the at-scale variant: HLL distinct
+                          partners folded into ONE mergeable agg —
+                          sketch row per session through the shuffle
+                          instead of a (session, partner) row; no
+                          oracle (approximate), accuracy pytest-pinned]
 - ind_mine               [profiling: inclusion-dependency discovery —
                           distinct-set containment per candidate pair,
                           the referential rule's mining counterpart]
@@ -879,14 +884,10 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type IN ('click', 'view')) t
 """
 
 
-def _q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval–point range join (operators.temporal.interval_point_join):
-    per 12h-gap user session, how many events from OTHER users landed
-    inside [t_start, t_end] — the keyless containment join Spark would
-    otherwise plan as BroadcastNestedLoopJoin. Both sides bucket into
-    1-day bins (a session spans at most ~4 days at sf0.01) so the join
-    is a plain hash equi-join on the bin; exact containment filters
-    inside buckets; left-join-back keeps zero-concurrency sessions."""
+def _session_matches(spark: SparkSession, sf_dir: str):
+    """Shared front half of the session-concurrency queries: 12h-gap
+    sessions + the bin-bucketed interval–point containment join against
+    other users' events. Returns (sessions, matches)."""
     from nadeefiler_spark.operators.sessions import session_stats
     from nadeefiler_spark.operators.temporal import interval_point_join
 
@@ -902,6 +903,18 @@ def _q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = interval_point_join(iv, pts, "t_start", "t_end", "p_ts", bin_s=86400).where(
         F.col("p_user") != F.col("user")
     )
+    return iv, m
+
+
+def _q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval–point range join (operators.temporal.interval_point_join):
+    per 12h-gap user session, how many events from OTHER users landed
+    inside [t_start, t_end] — the keyless containment join Spark would
+    otherwise plan as BroadcastNestedLoopJoin. Both sides bucket into
+    1-day bins (a session spans at most ~4 days at sf0.01) so the join
+    is a plain hash equi-join on the bin; exact containment filters
+    inside buckets; left-join-back keeps zero-concurrency sessions."""
+    iv, m = _session_matches(spark, sf_dir)
     # two stacked aggs instead of count+countDistinct in one groupBy:
     # the combined form Expands every match row once PER aggregate
     # (2x the 45M matches at sf0.1 into the shuffle), while stacking
@@ -915,6 +928,31 @@ def _q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = per_partner.groupBy("user", "session_idx").agg(
         F.sum("n_from_partner").alias("n_concurrent"),
         F.count(F.lit(1)).alias("n_other_users"),
+    )
+    return iv.join(counts, ["user", "session_idx"], "left").select(
+        "user",
+        "session_idx",
+        "n_events",
+        F.coalesce("n_concurrent", F.lit(0)).alias("n_concurrent"),
+        F.coalesce("n_other_users", F.lit(0)).alias("n_other_users"),
+    )
+
+
+def _q_session_concurrency_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AT-SCALE production path for session concurrency, shipped
+    after BENCH/BASELINE.md's decomposition showed the exact query's
+    remaining cost is inherent to exact distinct-partner counting (a
+    ~20M-row (session, partner) exchange at sf0.1 — avg multiplicity
+    only 2.3). Here n_other_users is approx_count_distinct (HLL, rsd
+    2%) folded into the SAME groupBy as the match count: one mergeable
+    aggregation, no Expand, the shuffle carries one sketch row per
+    session instead of a row per (session, partner) pair. n_concurrent
+    stays exact. No DuckDB oracle (approximate values); accuracy vs the
+    exact query is pinned in tests/test_sessions_rollup.py."""
+    iv, m = _session_matches(spark, sf_dir)
+    counts = m.groupBy("user", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_concurrent"),
+        F.approx_count_distinct("p_user", 0.02).alias("n_other_users"),
     )
     return iv.join(counts, ["user", "session_idx"], "left").select(
         "user",
@@ -5115,6 +5153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_gaps": _q_coverage_gaps,
         "embedding_drift": _q_embedding_drift,
         "record_outliers": _q_record_outliers,
+        "session_concurrency_approx": _q_session_concurrency_approx,
     }
 
 

@@ -141,6 +141,7 @@ HEADLINE_QUERIES = (
     "coverage_gaps",
     "embedding_drift",
     "record_outliers",
+    "session_concurrency_approx",
 )
 
 

@@ -221,3 +221,33 @@ def test_numeric_corr_signs_and_support(spark):
     assert out[("x", "w")]["n"] == 3  # null w row excluded from support
     assert out[("x", "y")]["n"] == 4
     assert all(r["part"] == "*" for r in out.values())
+
+
+def test_session_concurrency_approx_accuracy(spark):
+    """The approx production path must match the exact query on
+    n_concurrent EXACTLY (it is the same count) and on n_other_users
+    within HLL error (rsd 2%; distinct-partner counts here are small,
+    where HLL++ is near-exact)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["user"], r["session_idx"]): r
+        for r in entry._q_session_concurrency(spark, sf).collect()
+    }
+    approx = {
+        (r["user"], r["session_idx"]): r
+        for r in entry._q_session_concurrency_approx(spark, sf).collect()
+    }
+    assert exact.keys() == approx.keys() and len(exact) > 50
+    worst = 0.0
+    for k, er in exact.items():
+        ar = approx[k]
+        assert ar["n_events"] == er["n_events"]
+        assert ar["n_concurrent"] == er["n_concurrent"]  # exact count path
+        if er["n_other_users"]:
+            rel = abs(ar["n_other_users"] - er["n_other_users"]) / er["n_other_users"]
+            worst = max(worst, rel)
+        else:
+            assert ar["n_other_users"] == 0
+    assert worst <= 0.10, worst  # 2% rsd sketch; generous bound for tails
