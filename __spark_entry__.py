@@ -5258,6 +5258,9 @@ def oracle_sql() -> dict[str, str]:
         "coverage_gaps": _SQL_COVERAGE_GAPS,
         "embedding_drift": _sql_embedding_drift(),
         "record_outliers": _sql_record_outliers(),
+        # session_concurrency_approx: HLL-approximate by design — exact
+        #   twin is the oracled session_concurrency; accuracy bound
+        #   pinned in tests/test_sessions_rollup.py
         # minhash_pairs / simhash_pairs: xxhash64 unavailable in DuckDB —
         #   exact pure-Python pipeline twins in tests/test_hash_twins.py
         # binary_meta / audio_validate: binary audio payloads (pandas-UDF
