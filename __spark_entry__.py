@@ -226,6 +226,11 @@ Operator → query map (SURVEY §2 ids in brackets):
 - coverage_gaps          [continuous validation: per-partition time-
                           coverage holes — the feed-continuity gate for
                           windowed drift verdicts]
+- dup_spans              [pipeline: exact-substring dedup signal — per
+                          document, the fraction of 12-token windows
+                          verbatim-shared with other docs (Lee et al.
+                          2022 at window granularity); tokenize-once
+                          explode + lead() window, hash-keyed shuffles]
 - embedding_drift        [drift x embeddings: per-group centroid cosine
                           / L2 shift vs the global centroid, one corpus
                           scan (dim-wide sums, sketch-sized shuffle)]
@@ -5039,6 +5044,67 @@ FROM scored WHERE score > 50.0
 """
 
 
+_BOILER = (
+    "this work is licensed under a creative commons attribution share "
+    "alike international license terms apply"
+)
+
+
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate detection (operators.spans
+    .duplicate_spans): per document, what fraction of its 12-token
+    windows is verbatim-shared with other documents — the Lee et al.
+    2022 dedup signal at window granularity. Planted: a 15-token
+    boilerplate passage appended to every doc_id %17 document, so those
+    documents share 4 windows each while organic text stays unique."""
+    from nadeefiler_spark.operators.spans import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(F.col("text"), F.lit(" " + _BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return duplicate_spans(d, "doc_id", "text", window=12, min_docs=2)
+
+
+def _sql_dup_spans(window: int = 12) -> str:
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN text || ' {_BOILER}'
+              ELSE text END AS text
+  FROM documents
+), t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM d
+), sp AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[i:i+{window - 1}], ' ')) AS h
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, len(toks) - {window - 1})) AS i
+    FROM t WHERE len(toks) >= {window}
+  )
+), tot AS (
+  SELECT doc_id, count(*) AS n_windows FROM sp GROUP BY 1
+), dup AS (
+  SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), pd AS (
+  SELECT doc_id, count(*) AS n_dup FROM sp JOIN dup USING (h) GROUP BY 1
+)
+SELECT tot.doc_id AS id,
+       CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_windows,
+       round(coalesce(n_dup, 0) * 1.0 / n_windows, 6) AS dup_frac
+FROM tot LEFT JOIN pd USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_summary": _q_profile_summary,
@@ -5154,6 +5220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": _q_embedding_drift,
         "record_outliers": _q_record_outliers,
         "session_concurrency_approx": _q_session_concurrency_approx,
+        "dup_spans": _q_dup_spans,
     }
 
 
@@ -5258,6 +5325,7 @@ def oracle_sql() -> dict[str, str]:
         "coverage_gaps": _SQL_COVERAGE_GAPS,
         "embedding_drift": _sql_embedding_drift(),
         "record_outliers": _sql_record_outliers(),
+        "dup_spans": _sql_dup_spans(),
         # session_concurrency_approx: HLL-approximate by design — exact
         #   twin is the oracled session_concurrency; accuracy bound
         #   pinned in tests/test_sessions_rollup.py

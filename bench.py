@@ -142,6 +142,7 @@ HEADLINE_QUERIES = (
     "embedding_drift",
     "record_outliers",
     "session_concurrency_approx",
+    "dup_spans",
 )
 
 

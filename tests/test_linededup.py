@@ -61,3 +61,40 @@ def test_line_counts_distinct_doc_semantics(spark):
         .collect()
     }
     assert cnt == {3: 3}
+
+
+class TestDuplicateSpans:
+    def test_shared_passage_detected(self, spark):
+        from nadeefiler_spark.operators.spans import duplicate_spans
+
+        shared = "the quick brown fox jumps over the lazy dog again"  # 10 toks
+        rows = [
+            (1, "alpha beta gamma " + shared + " delta"),
+            (2, "one two three four " + shared),
+            (3, "completely unrelated text with enough tokens to have "
+                "several full windows of its own here now"),
+            (4, "tiny doc"),  # shorter than the window -> no rows
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["id"]: r for r in duplicate_spans(
+            df, "doc_id", "text", window=10, min_docs=2).collect()}
+        # doc 4 has no full window
+        assert set(out) == {1, 2, 3}
+        # the shared 10-token run is exactly ONE 10-token window in each
+        assert out[1]["n_dup_windows"] == 1
+        assert out[2]["n_dup_windows"] == 1
+        assert out[3]["n_dup_windows"] == 0 and out[3]["dup_frac"] == 0.0
+        # window counts: n_tokens - window + 1 (both docs have 14 tokens)
+        assert out[1]["n_windows"] == 14 - 10 + 1
+        assert out[2]["n_windows"] == 14 - 10 + 1
+        assert out[1]["dup_frac"] == round(1 / out[1]["n_windows"], 6)
+
+    def test_identical_docs_fully_covered(self, spark):
+        from nadeefiler_spark.operators.spans import duplicate_spans
+
+        text = " ".join(f"w{i}" for i in range(20))
+        df = spark.createDataFrame(
+            [(1, text), (2, text)], "doc_id bigint, text string"
+        )
+        out = duplicate_spans(df, "doc_id", "text", window=8).collect()
+        assert all(r["dup_frac"] == 1.0 and r["n_windows"] == 13 for r in out)
