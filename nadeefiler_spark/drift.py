@@ -401,8 +401,6 @@ def embedding_drift(
     profiler.embedding_qc (per-vector validity) with group-level
     distribution monitoring.
     """
-    v = F.col(vec_col)
-    ok = v.isNotNull() & (F.size(v) == dim)
     # rollup: per-group sums AND the grand total in ONE corpus scan.
     # Deriving the total as a second aggregate subtree (sums.agg(...))
     # or filtering the rollup twice and cross-joining re-SCANS the
@@ -412,14 +410,7 @@ def embedding_drift(
     # NULL group value.
     rolled = df.rollup(group_col).agg(
         F.grouping(group_col).alias("_total"),
-        F.sum(ok.cast("bigint")).alias("n_vecs"),
-        F.sum((~ok).cast("bigint")).alias("n_bad"),
-        *[
-            F.sum(
-                F.when(ok, F.element_at(v, i + 1).cast("double"))
-            ).alias(f"_s{i}")
-            for i in range(dim)
-        ],
+        *embedding_sum_exprs(vec_col, dim),
     )
     # attach the total row's sums to every group row with ONE
     # unpartitioned window over the rollup output — sketch-sized input
@@ -436,6 +427,23 @@ def embedding_drift(
         .where((F.col("_total") == 0) & (F.col("n_vecs") > 0))
         .withColumnRenamed(group_col, "grp")
     )
+    norm, cos, shift = centroid_metric_cols(dim)
+    return j.select(
+        F.col("grp").alias(group_col),
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.col("n_bad").cast("bigint").alias("n_bad"),
+        F.round(norm, 6).alias("centroid_norm"),
+        F.round(cos, 6).alias("global_cos"),
+        F.round(shift, 6).alias("centroid_shift"),
+    )
+
+
+def centroid_metric_cols(dim: int):
+    """(norm, cos, shift) expressions over rows carrying per-group sums
+    ``n_vecs, _s0.._s{dim-1}`` and reference sums ``_gn, _g0.._g{dim-1}``
+    — shared by the batch :func:`embedding_drift` and the streaming
+    windowed monitor so both alert with identical math. ``cos`` is NULL
+    when either centroid has zero norm."""
     cent = [F.col(f"_s{i}") / F.col("n_vecs") for i in range(dim)]
     gcent = [F.col(f"_g{i}") / F.col("_gn") for i in range(dim)]
     dot = sum((c * g for c, g in zip(cent, gcent)), F.lit(0.0))
@@ -444,13 +452,32 @@ def embedding_drift(
     shift = F.sqrt(
         sum(((c - g) * (c - g) for c, g in zip(cent, gcent)), F.lit(0.0))
     )
-    return j.select(
-        F.col("grp").alias(group_col),
-        F.col("n_vecs").cast("bigint").alias("n_vecs"),
-        F.col("n_bad").cast("bigint").alias("n_bad"),
-        F.round(norm, 6).alias("centroid_norm"),
-        F.round(
-            F.when((norm > 0) & (gnorm > 0), dot / (norm * gnorm)), 6
-        ).alias("global_cos"),
-        F.round(shift, 6).alias("centroid_shift"),
-    )
+    cos = F.when((norm > 0) & (gnorm > 0), dot / (norm * gnorm))
+    return norm, cos, shift
+
+
+def embedding_sum_exprs(vec_col: str, dim: int) -> list:
+    """The aggregate expressions every embedding-drift variant shares:
+    valid/invalid counts plus per-dimension conditional sums (map-side
+    combinable; the shuffle carries dim doubles per group, never a row
+    per vector)."""
+    v = F.col(vec_col)
+    ok = v.isNotNull() & (F.size(v) == dim)
+    return [
+        F.sum(ok.cast("bigint")).alias("n_vecs"),
+        F.sum((~ok).cast("bigint")).alias("n_bad"),
+        *[
+            F.sum(
+                F.when(ok, F.element_at(v, i + 1).cast("double"))
+            ).alias(f"_s{i}")
+            for i in range(dim)
+        ],
+    ]
+
+
+def embedding_baseline(df: DataFrame, vec_col: str, dim: int) -> list:
+    """One collected row ``[_gn, _g0.._g{dim-1}]`` — the known-good
+    corpus' centroid sums, the static reference a streaming monitor
+    compares windows against."""
+    row = df.agg(*embedding_sum_exprs(vec_col, dim)).collect()[0]
+    return [row["n_vecs"], *[row[f"_s{i}"] for i in range(dim)]]

@@ -538,3 +538,103 @@ def drift_monitor(
         .option("checkpointLocation", checkpoint)
         .foreachBatch(process)
     )
+
+
+def windowed_embedding_sums(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time-windowed embedding-centroid sums: (window_start,
+    n_vecs, n_bad, _s0.._s{dim-1}) via drift.embedding_sum_exprs —
+    per-dimension conditional sums, MERGEABLE, so streaming state per
+    open window is dim doubles + two counts, never a row per vector.
+
+    ONE definition, both modes (the windowed_event_stats contract):
+    batch = exact per-window sums; streaming = append mode, a window
+    finalizes and drops state when the watermark passes its end.
+    """
+    from .drift import embedding_sum_exprs
+
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    return (
+        src.select(F.window(F.col(ts_col), window).alias("w"), vec_col)
+        .groupBy("w")
+        .agg(*embedding_sum_exprs(vec_col, dim))
+        .select(F.col("w.start").alias("window_start"), "*")
+        .drop("w")
+    )
+
+
+def windowed_embedding_drift(
+    sums: DataFrame, baseline: list, dim: int, min_cos: float = 0.98
+) -> DataFrame:
+    """Per finalized window, the centroid's cosine / L2 shift vs a
+    STATIC baseline centroid (drift.embedding_baseline of a known-good
+    corpus) — the same drift.centroid_metric_cols math the batch
+    embedding_drift stage uses, so alerts match the engine's exactly.
+    ``drifted`` = cos < min_cos, or a degenerate zero-norm centroid."""
+    from .drift import centroid_metric_cols
+
+    gn, gsums = baseline[0], baseline[1:]
+    j = sums.where(F.col("n_vecs") > 0).select(
+        "*",
+        F.lit(float(gn)).alias("_gn"),
+        *[F.lit(float(g)).alias(f"_g{i}") for i, g in enumerate(gsums)],
+    )
+    norm, cos, shift = centroid_metric_cols(dim)
+    return j.select(
+        "window_start",
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.col("n_bad").cast("bigint").alias("n_bad"),
+        F.round(norm, 6).alias("centroid_norm"),
+        F.round(cos, 6).alias("global_cos"),
+        F.round(shift, 6).alias("centroid_shift"),
+        F.coalesce(cos < min_cos, F.lit(True)).alias("drifted"),
+    )
+
+
+def embedding_drift_monitor(
+    df: DataFrame,
+    baseline: list,
+    out_path: str,
+    checkpoint: str,
+    vec_col: str,
+    dim: int,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    min_cos: float = 0.98,
+):
+    """Continuous validation for VECTOR columns: stream -> windowed
+    centroid sums (append mode, finalized by the watermark) -> each
+    finalized window compared against the static baseline centroid
+    inside foreachBatch -> drift rows appended to ``out_path``.
+
+    The vector sibling of drift_monitor: streaming state is O(open
+    windows x dim), the compare runs batch-side per micro-batch over
+    finalized sketch rows, and the math is drift.centroid_metric_cols
+    — identical to the engine's run_embedding_drift stage. Returns the
+    DataStreamWriter; call .trigger(...).start() to run.
+
+    A dozen-line lit() of the baseline sums is fine here (dim ~16-64
+    scalars — NOT the large-literal trap recorded for the bloom probe,
+    which was 16k array children).
+    """
+    sums = windowed_embedding_sums(df, vec_col, dim, ts_col, window, watermark)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        windowed_embedding_drift(batch_df, baseline, dim, min_cos).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    return (
+        sums.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(process)
+    )

@@ -874,3 +874,80 @@ def test_job_embedding_drift_and_mvo_flags(spark, clips_dirs, tmp_path):
     # the mvo rule ran inside the drift stage (violation rows or not,
     # the rule name must be a known rule of the run's manifest stage)
     assert "drift" in summary["stages"]
+
+
+def test_embedding_drift_monitor_stream_equals_batch(spark, tmp_path):
+    """Vector sibling of the drift monitor: windowed centroid sums
+    finalize at the watermark, each finalized window's cosine/shift vs
+    the static baseline centroid matches the batch answer exactly, and
+    the planted drifted hour (vectors pointing elsewhere) flags."""
+    import datetime as dt
+
+    from nadeefiler_spark.drift import embedding_baseline
+    from nadeefiler_spark.streaming import (
+        embedding_drift_monitor,
+        windowed_embedding_drift,
+        windowed_embedding_sums,
+    )
+
+    def h(hour, minute=0):
+        return dt.datetime(2026, 1, 1, hour, minute)
+
+    DIM = 4
+    schema = "ts timestamp, v array<float>"
+    src = str(tmp_path / "vecs")
+    # hour 0: vectors near [1,1,0,0]; one NULL (n_bad) — healthy
+    f1 = [(h(0, m), [1.0, 1.0 + 0.01 * m, 0.0, 0.0]) for m in range(6)]
+    f1.append((h(0, 59), None))
+    # hour 1: vectors near [0,0,1,1] — drifted
+    f2 = [(h(1, m), [0.0, 0.0, 1.0, 1.0 + 0.01 * m]) for m in range(4)]
+    # flush: advances the watermark past hours 0 and 1
+    f3 = [(h(10, 0), [1.0, 1.0, 0.0, 0.0])]
+    for rows in (f1, f2, f3):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # static baseline: the healthy hour-0 corpus
+    base = embedding_baseline(
+        spark.createDataFrame(f1, schema), "v", DIM
+    )
+
+    out_path = str(tmp_path / "edrift_out")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        embedding_drift_monitor(
+            stream, base, out_path, str(tmp_path / "edrift_ckpt"),
+            vec_col="v", dim=DIM, min_cos=0.9,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        str(r["window_start"]): r
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert set(got) == {str(h(0)), str(h(1))}  # open hour-10 window absent
+    assert not got[str(h(0))]["drifted"]
+    assert got[str(h(0))]["n_bad"] == 1  # the NULL vector
+    assert got[str(h(1))]["drifted"]
+    assert got[str(h(1))]["global_cos"] < 0.1  # orthogonal centroid
+
+    # finalized windows match the batch answer exactly
+    batch = windowed_embedding_drift(
+        windowed_embedding_sums(spark.read.parquet(src), "v", DIM),
+        base, DIM, min_cos=0.9,
+    )
+    want = {
+        str(r["window_start"]): r
+        for r in batch.collect() if str(r["window_start"]) in got
+    }
+    for k, wr in want.items():
+        gr = got[k]
+        for c in ("n_vecs", "n_bad", "centroid_norm", "global_cos",
+                  "centroid_shift", "drifted"):
+            assert gr[c] == wr[c], (k, c, gr[c], wr[c])
