@@ -60,6 +60,9 @@ def test_queries_and_oracles_align():
         "audio_fp_dups", "audio_feature_ann", "audio_embedding_dups",
         "audio_qc", "clip_admission", "transcript_conflicts",
         "audio_vad", "audio_loudness", "audio_bandwidth",
+        # HLL-approximate by design; exact twin session_concurrency IS
+        # oracled, accuracy bound pinned in test_sessions_rollup.py
+        "session_concurrency_approx",
     }
 
 
