@@ -234,6 +234,18 @@ Operator → query map (SURVEY §2 ids in brackets):
 - embedding_drift        [drift x embeddings: per-group centroid cosine
                           / L2 shift vs the global centroid, one corpus
                           scan (dim-wide sums, sketch-sized shuffle)]
+- weighted_sample        [curation: Efraimidis-Spirakis weighted sample
+                          without replacement on the portable hash draw
+                          — proportional-to-weight yet fully
+                          deterministic; top-k per stratum window]
+- column_match           [versioning: instance-based schema matching —
+                          distinct-value Jaccard recovers renamed
+                          columns between releases; KMV-style md5
+                          value sampling bounds melt size at scale]
+- expectation_regressions [data-CI: suite learned on release A
+                          (suggest_checks) re-evaluated on release B's
+                          profile — newly-failing checks only;
+                          sketch-sized join of two profiles]
 - record_outliers        [profiling: record-LEVEL diagonal-Mahalanobis
                           outlier score across numeric columns — joint
                           anomalies univariate z-gates miss]
@@ -441,7 +453,7 @@ def _q_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_profile_summary() -> str:
+def _sql_profile_summary(table: str = "lineitem") -> str:
     cols = ["l_orderkey", "l_linenumber", "l_linestatus", "l_shipdate"]
     parts = []
     for c in cols:
@@ -454,7 +466,7 @@ def _sql_profile_summary() -> str:
             CAST(sum(CASE WHEN {null_pred} THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
             count(DISTINCT {c}) AS ndv,
             CAST(min({c}) AS VARCHAR) AS "min", CAST(max({c}) AS VARCHAR) AS "max"
-            FROM lineitem GROUP BY l_returnflag"""
+            FROM {table} GROUP BY l_returnflag"""
         )
     return " UNION ALL ".join(parts)
 
@@ -4785,11 +4797,10 @@ def _q_suggest_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_checks(prof_df, null_tolerance=0.05, low_card_max=25)
 
 
-def _sql_suggest_checks() -> str:
-    # built ON the profile_summary oracle: same pooled stats
+def _sql_suite_stats(profile_cte: str) -> str:
+    """Per-key pooled suite stats over a profile CTE (mirror of
+    expectations._suite_key_stats)."""
     return f"""
-    WITH p AS ({_sql_profile_summary()}),
-    k AS (
       SELECT key, sum(n_rows) AS n, sum(n_nulls) AS nulls,
              sum(ndv) AS sum_ndv,
              min(TRY_CAST("min" AS DOUBLE)) AS min_num,
@@ -4797,20 +4808,35 @@ def _sql_suggest_checks() -> str:
              bool_and(ndv = n_rows - n_nulls) AS uniq_all,
              bool_and(TRY_CAST("min" AS DOUBLE) IS NOT NULL
                       AND TRY_CAST("max" AS DOUBLE) IS NOT NULL) AS is_num
-      FROM p GROUP BY key
-    )
+      FROM {profile_cte} GROUP BY key
+    """
+
+
+def _sql_suite_from(k_cte: str) -> str:
+    """The 4-way suggestion UNION over a suite-stats CTE (mirror of
+    expectations.suggest_checks, tolerance 0.05 / low-card max 25)."""
+    return f"""
     SELECT key, 'completeness' AS check,
            round(1.0 - nulls * 1.0 / greatest(n, 1), 6) AS lo, 1.0 AS hi
-    FROM k WHERE nulls * 1.0 / greatest(n, 1) <= 0.05
+    FROM {k_cte} WHERE nulls * 1.0 / greatest(n, 1) <= 0.05
     UNION ALL
     SELECT key, 'uniqueness', 1.0, 1.0
-    FROM k WHERE uniq_all AND n - nulls > 0
+    FROM {k_cte} WHERE uniq_all AND n - nulls > 0
     UNION ALL
     SELECT key, 'range', round(min_num, 6), round(max_num, 6)
-    FROM k WHERE is_num
+    FROM {k_cte} WHERE is_num
     UNION ALL
     SELECT key, 'low_cardinality', 0.0, CAST(sum_ndv AS DOUBLE)
-    FROM k WHERE sum_ndv > 0 AND sum_ndv <= 25
+    FROM {k_cte} WHERE sum_ndv > 0 AND sum_ndv <= 25
+    """
+
+
+def _sql_suggest_checks() -> str:
+    # built ON the profile_summary oracle: same pooled stats
+    return f"""
+    WITH p AS ({_sql_profile_summary()}),
+    k AS ({_sql_suite_stats("p")})
+    {_sql_suite_from("k")}
     """
 
 
@@ -5105,6 +5131,206 @@ FROM tot LEFT JOIN pd USING (doc_id)
 """
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (operators.sample
+    .weighted_sample): the Efraimidis-Spirakis A-ES scheme on the
+    portable hash draw — per source, the 5 documents with the largest
+    ln(u)/w, w = n_chars + 1, so longer documents are
+    proportional-to-size more likely yet membership is a pure function
+    of (doc_id, weight, salt). The oracle recomputes the identical
+    integer key, uniform draw, and score in SQL."""
+    from nadeefiler_spark.operators import sample as smp
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "w", (F.col("n_chars") + 1).cast("double")
+    )
+    out = smp.weighted_sample(d, "doc_id", "w", k=5, strata_col="source")
+    return out.select(
+        "source",
+        F.col("es_rank").cast("bigint").alias("es_rank"),
+        "doc_id",
+        "n_chars",
+    )
+
+
+_SQL_WEIGHTED_SAMPLE = """
+WITH scored AS (
+  SELECT doc_id, source, n_chars,
+         ln((((doc_id % 2147483648) * 2654435761 + 17) % 2147483648) * 2 + 1
+            ) - ln(4294967296.0) AS lnu
+  FROM documents
+), ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY lnu / (n_chars + 1) DESC, doc_id ASC
+                           ) AS es_rank
+  FROM scored
+)
+SELECT source, CAST(es_rank AS BIGINT) AS es_rank, doc_id, n_chars
+FROM ranked WHERE es_rank <= 5
+"""
+
+
+_CM_OLD_COLS = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment", "c_custkey"]
+_CM_RENAMES = {
+    "c_name": "cust_name",
+    "c_nationkey": "nation",
+    "c_acctbal": "balance",
+    "c_mktsegment": "segment",
+}
+
+
+def _q_column_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instance-based column matching (operators.colmatch.column_match):
+    recover the column correspondence between two releases after a
+    rename, from distinct-value Jaccard overlap alone. The "new"
+    release is customer with 4 columns renamed and ids %7==3 removed;
+    c_custkey has no renamed counterpart, so its only candidates are
+    accidental value collisions (nationkey's 0-24 inside the custkey
+    range) at near-zero jaccard — the discrimination the ranking must
+    show. acctbal is pinned to DECIMAL(12,2) on both sides so the
+    value-to-string rendering is engine-portable."""
+    from nadeefiler_spark.operators import colmatch
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "c_acctbal", F.col("c_acctbal").cast("decimal(12,2)")
+    )
+    new = c.where(F.col("c_custkey") % 7 != 3).select(
+        *[F.col(o).alias(n) for o, n in _CM_RENAMES.items()]
+    )
+    out = colmatch.column_match(
+        c, new, _CM_OLD_COLS, sorted(_CM_RENAMES.values())
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def _sql_column_match() -> str:
+    def _val(col: str) -> str:
+        if col in ("c_acctbal", "balance"):
+            return f"CAST(CAST({col} AS DECIMAL(12,2)) AS VARCHAR)"
+        return f"CAST({col} AS VARCHAR)"
+
+    old_melt = " UNION ALL ".join(
+        f"SELECT DISTINCT '{c}' AS col, {_val(c)} AS value FROM customer "
+        f"WHERE {c} IS NOT NULL"
+        for c in _CM_OLD_COLS
+    )
+    new_melt = " UNION ALL ".join(
+        f"SELECT DISTINCT '{n}' AS col, {_val(o)} AS value FROM new_rel "
+        f"WHERE {o} IS NOT NULL"
+        for o, n in _CM_RENAMES.items()
+    )
+    return f"""
+WITH new_rel AS (
+  SELECT * FROM customer WHERE c_custkey % 7 <> 3
+), old_m AS ({old_melt}), new_m AS ({new_melt}),
+ndv_o AS (SELECT col, count(*) AS ndv_old FROM old_m GROUP BY 1),
+ndv_n AS (SELECT col, count(*) AS ndv_new FROM new_m GROUP BY 1),
+inter AS (
+  SELECT o.col AS col_old, n.col AS col_new, count(*) AS n_common
+  FROM old_m o JOIN new_m n USING (value) GROUP BY 1, 2
+), pairs AS (
+  SELECT col_old, col_new, ndv_old, ndv_new, n_common,
+         n_common * 1.0 / (ndv_old + ndv_new - n_common) AS j
+  FROM inter
+  JOIN ndv_o ON inter.col_old = ndv_o.col
+  JOIN ndv_n ON inter.col_new = ndv_n.col
+)
+SELECT col_old, col_new,
+       CAST(ndv_old AS BIGINT) AS ndv_old,
+       CAST(ndv_new AS BIGINT) AS ndv_new,
+       CAST(n_common AS BIGINT) AS n_common,
+       round(j, 6) AS jaccard,
+       CAST(row_number() OVER (PARTITION BY col_old
+                               ORDER BY j DESC, col_new ASC) AS BIGINT) AS rank
+FROM pairs
+"""
+
+
+def _lineitem_release_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'next release' of lineitem with planted quality
+    regressions: ids %11==4 lose l_linenumber (completeness), ids
+    %13==6 shift it +100 (range escape + NDV growth), ids %17==8 get a
+    novel l_linestatus 'X' (low-cardinality growth). WHEN order matters
+    (an id can hit several classes) and is mirrored in the oracle."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_linestatus", "l_shipdate"
+    )
+    return li.withColumns(
+        {
+            "l_linenumber": F.when(
+                F.col("l_orderkey") % 11 == 4, F.lit(None).cast("int")
+            )
+            .when(F.col("l_orderkey") % 13 == 6, F.col("l_linenumber") + 100)
+            .otherwise(F.col("l_linenumber")),
+            "l_linestatus": F.when(
+                F.col("l_orderkey") % 17 == 8, F.lit("X")
+            ).otherwise(F.col("l_linestatus")),
+        }
+    )
+
+
+def _q_expectation_regressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-CI between releases (expectations.suite_regressions): the
+    suite release A satisfies (suggest_checks on its profile),
+    re-evaluated on release B's profile — one row per newly-failing
+    check. Both inputs are already-aggregated profiles, so the whole
+    comparison is sketch-sized regardless of corpus size."""
+    from nadeefiler_spark.expectations import suite_regressions
+
+    prof_a = _q_profile_summary(spark, sf_dir)
+    cfg = profiler.ProfileConfig(exact_ndv=True, part_col="l_returnflag")
+    prof_b = profiler.profile_summary(
+        _lineitem_release_b(spark, sf_dir), cfg
+    ).select("part", "key", "n_rows", "n_nulls", "ndv", "min", "max")
+    return suite_regressions(prof_a, prof_b, null_tolerance=0.05, low_card_max=25)
+
+
+def _sql_expectation_regressions() -> str:
+    return f"""
+    WITH lineitem_new AS (
+      SELECT l_returnflag, l_orderkey,
+             CASE WHEN l_orderkey % 11 = 4 THEN NULL
+                  WHEN l_orderkey % 13 = 6 THEN l_linenumber + 100
+                  ELSE l_linenumber END AS l_linenumber,
+             CASE WHEN l_orderkey % 17 = 8 THEN 'X'
+                  ELSE l_linestatus END AS l_linestatus,
+             l_shipdate
+      FROM lineitem
+    ),
+    p_old AS ({_sql_profile_summary()}),
+    p_new AS ({_sql_profile_summary("lineitem_new")}),
+    k_old AS ({_sql_suite_stats("p_old")}),
+    k_new AS ({_sql_suite_stats("p_new")}),
+    sugg AS ({_sql_suite_from("k_old")}),
+    stats AS (
+      SELECT key,
+             round(1.0 - nulls * 1.0 / greatest(n, 1), 6) AS compl,
+             uniq_all, is_num,
+             round(min_num, 6) AS mn, round(max_num, 6) AS mx,
+             CAST(sum_ndv AS DOUBLE) AS ndv_new,
+             CASE WHEN n - nulls > 0
+                  THEN round(sum_ndv * 1.0 / (n - nulls), 6) END AS uratio,
+             1 AS present
+      FROM k_new
+    )
+    SELECT s.key, s.check, s.lo, s.hi,
+           CASE s.check WHEN 'completeness' THEN compl
+                        WHEN 'uniqueness' THEN uratio
+                        WHEN 'range' THEN mn END AS observed_lo,
+           CASE s.check WHEN 'range' THEN mx
+                        WHEN 'low_cardinality' THEN ndv_new END AS observed_hi
+    FROM sugg s LEFT JOIN stats t ON s.key = t.key
+    WHERE present IS NULL OR NOT coalesce(
+      CASE s.check
+        WHEN 'completeness' THEN compl >= s.lo
+        WHEN 'uniqueness' THEN uniq_all
+        WHEN 'range' THEN is_num AND mn >= s.lo AND mx <= s.hi
+        WHEN 'low_cardinality' THEN ndv_new <= s.hi
+      END, false)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_summary": _q_profile_summary,
@@ -5221,6 +5447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_outliers": _q_record_outliers,
         "session_concurrency_approx": _q_session_concurrency_approx,
         "dup_spans": _q_dup_spans,
+        "weighted_sample": _q_weighted_sample,
+        "column_match": _q_column_match,
+        "expectation_regressions": _q_expectation_regressions,
     }
 
 
@@ -5326,6 +5555,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_drift": _sql_embedding_drift(),
         "record_outliers": _sql_record_outliers(),
         "dup_spans": _sql_dup_spans(),
+        "weighted_sample": _SQL_WEIGHTED_SAMPLE,
+        "column_match": _sql_column_match(),
+        "expectation_regressions": _sql_expectation_regressions(),
         # session_concurrency_approx: HLL-approximate by design — exact
         #   twin is the oracled session_concurrency; accuracy bound
         #   pinned in tests/test_sessions_rollup.py

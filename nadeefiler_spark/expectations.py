@@ -254,6 +254,102 @@ def schema_conformance(
     )
 
 
+def _suite_key_stats(profile: DataFrame) -> DataFrame:
+    """Per-key pooled suite stats from a profile_summary long-format
+    table — shared by suggest_checks (learn) and suite_regressions
+    (re-evaluate). Sketch-sized input, one tiny aggregate."""
+    num_min = F.col("min").try_cast("double")
+    num_max = F.col("max").try_cast("double")
+    return profile.groupBy("key").agg(
+        F.sum("n_rows").alias("n"),
+        F.sum("n_nulls").alias("nulls"),
+        F.sum("ndv").alias("sum_ndv"),
+        F.min(num_min).alias("min_num"),
+        F.max(num_max).alias("max_num"),
+        F.min((F.col("ndv") == F.col("n_rows") - F.col("n_nulls"))
+              .cast("int")).alias("uniq_all"),
+        F.min((num_min.isNotNull() & num_max.isNotNull()).cast("int"))
+         .alias("is_num"),
+    )
+
+
+def suite_regressions(
+    profile_old: DataFrame,
+    profile_new: DataFrame,
+    null_tolerance: float = 0.05,
+    low_card_max: int = 20,
+) -> DataFrame:
+    """Data-CI between releases: the expectation suite release A
+    already satisfies (suggest_checks on its profile), re-evaluated on
+    release B's profile — one row per NEWLY-FAILING check, i.e. the
+    data-quality regressions the new release introduces.
+
+    Output (key, check, lo, hi, observed_lo, observed_hi): the learned
+    bound plus what release B actually measures —
+
+    - ``completeness``: fails when B's completeness drops below the
+      learned lo; observed_lo = B's completeness.
+    - ``uniqueness``: fails when any B partition has duplicate values;
+      observed_lo = B's pooled ndv / non-null ratio (1.0 = still key-like).
+    - ``range``: fails when B's numeric envelope escapes [lo, hi] or
+      the column stopped parsing numeric; observed = B's envelope.
+    - ``low_cardinality``: fails when B's summed per-partition NDV
+      exceeds the learned bound; observed_hi = B's NDV sum.
+    - A key absent from B entirely (column dropped) fails every check
+      learned for it, with NULL observations.
+
+    Both inputs are already-aggregated profiles, so the whole
+    comparison is sketch-sized — the corpus scans happened in the two
+    releases' profile stages; at 10^12 rows this join touches
+    #cols x #checks rows. Rounding mirrors suggest_checks (6 dp) so a
+    bound learned from A compares exactly against B re-measured by the
+    same arithmetic on any engine.
+    """
+    sugg = suggest_checks(profile_old, null_tolerance, low_card_max)
+    s = _suite_key_stats(profile_new)
+    nonnull = F.col("n") - F.col("nulls")
+    stats = s.select(
+        "key",
+        F.round(1.0 - F.col("nulls") / F.greatest(F.col("n"), F.lit(1)), 6)
+         .alias("_compl"),
+        F.col("uniq_all").alias("_uniq"),
+        F.col("is_num").alias("_isnum"),
+        F.round("min_num", 6).alias("_min"),
+        F.round("max_num", 6).alias("_max"),
+        F.col("sum_ndv").cast("double").alias("_ndv"),
+        F.when(nonnull > 0, F.round(F.col("sum_ndv") / nonnull, 6))
+         .alias("_uratio"),
+        F.lit(1).alias("_present"),
+    )
+    j = sugg.join(stats, "key", "left")
+    c = F.col("check")
+    ok = (
+        F.when(c == "completeness", F.col("_compl") >= F.col("lo"))
+        .when(c == "uniqueness", F.col("_uniq") == 1)
+        .when(
+            c == "range",
+            (F.col("_isnum") == 1)
+            & (F.col("_min") >= F.col("lo"))
+            & (F.col("_max") <= F.col("hi")),
+        )
+        .when(c == "low_cardinality", F.col("_ndv") <= F.col("hi"))
+    )
+    failed = j.where(F.col("_present").isNull() | ~F.coalesce(ok, F.lit(False)))
+    obs_lo = (
+        F.when(c == "completeness", F.col("_compl"))
+        .when(c == "uniqueness", F.col("_uratio"))
+        .when(c == "range", F.col("_min"))
+    )
+    obs_hi = (
+        F.when(c == "range", F.col("_max"))
+        .when(c == "low_cardinality", F.col("_ndv"))
+    )
+    return failed.select(
+        "key", "check", "lo", "hi",
+        obs_lo.alias("observed_lo"), obs_hi.alias("observed_hi"),
+    )
+
+
 def suggest_checks(
     profile: DataFrame,
     null_tolerance: float = 0.05,
@@ -284,19 +380,7 @@ def suggest_checks(
     everything here is sketch-sized; the expensive scan happened in the
     profile stage. Doubles rounded to 6 dp.
     """
-    num_min = F.col("min").try_cast("double")
-    num_max = F.col("max").try_cast("double")
-    k = profile.groupBy("key").agg(
-        F.sum("n_rows").alias("n"),
-        F.sum("n_nulls").alias("nulls"),
-        F.sum("ndv").alias("sum_ndv"),
-        F.min(num_min).alias("min_num"),
-        F.max(num_max).alias("max_num"),
-        F.min((F.col("ndv") == F.col("n_rows") - F.col("n_nulls"))
-              .cast("int")).alias("uniq_all"),
-        F.min((num_min.isNotNull() & num_max.isNotNull()).cast("int"))
-         .alias("is_num"),
-    )
+    k = _suite_key_stats(profile)
     null_ratio = F.col("nulls") / F.greatest(F.col("n"), F.lit(1))
     rows = [
         k.where(null_ratio <= null_tolerance).select(

