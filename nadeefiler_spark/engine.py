@@ -1007,6 +1007,72 @@ class ValidationEngine:
             (F.col("stage") == "expectations") & (F.col("run_id") == run_id)
         )
 
+    def run_suite_regression(
+        self,
+        baseline_profile: DataFrame,
+        baseline_id: str,
+        null_tolerance: float = 0.05,
+        low_card_max: int = 20,
+        resume: bool = True,
+        run_id: str | None = None,
+    ) -> DataFrame:
+        """Data-CI stage: the expectation suite the BASELINE release's
+        profile satisfies (expectations.suggest_checks), re-evaluated
+        against THIS run's materialized ``profile_summary`` — each
+        newly-failing check lands in ``suite_regression_results``
+        (part=baseline_id). Requires the profile stage to have run
+        first (raises otherwise rather than reporting every baseline
+        column as dropped).
+
+        Like run_admission, the resume unit is LOGICAL — the baseline
+        identity: the same baseline_id never re-runs, a new baseline
+        always does. Everything here is sketch-sized (two profile
+        tables joined on #cols x #checks rows); the corpus scans
+        happened in the two releases' profile stages — which is the
+        whole point of doing data-CI on profiles at 10^12 rows.
+        Manifest n_violations = number of regressed checks.
+        """
+        from . import expectations as ex
+
+        run_id = run_id or uuid.uuid4().hex[:12]
+        if resume and not self.manifest().where(
+            (F.col("stage") == "suite_regression")
+            & (F.col("part") == baseline_id)
+        ).isEmpty():
+            return self.verdicts().where(
+                (F.col("stage") == "suite_regression")
+                & (F.col("run_id") == run_id)
+            )
+        current = self.profile_summary()
+        if current.isEmpty():
+            raise ValueError(
+                "run_suite_regression needs a materialized profile_summary — "
+                "run the profile stage first"
+            )
+        t0 = time.monotonic()
+        out = ex.suite_regressions(
+            baseline_profile, current,
+            null_tolerance=null_tolerance, low_card_max=low_card_max,
+        ).select(
+            F.lit(baseline_id).alias("part"),
+            "key", "check", "lo", "hi", "observed_lo", "observed_hi",
+        )
+        self.io.replace_partitions(
+            out, "suite_regression_results", "part", [baseline_id]
+        )
+        # counts from the (tiny) result table, never a re-scan
+        n = self.suite_regression_results().where(
+            F.col("part") == baseline_id
+        ).count()
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        self._commit(
+            run_id, "suite_regression", [baseline_id],
+            {baseline_id: int(n)}, {baseline_id: int(n)}, wall_ms,
+        )
+        return self.verdicts().where(
+            (F.col("stage") == "suite_regression") & (F.col("run_id") == run_id)
+        )
+
     def clean_clips(
         self,
         clips: DataFrame,
@@ -1069,6 +1135,13 @@ class ValidationEngine:
             "expectation_results",
             "part string, check string, column string, value double, "
             "lo double, hi double, passed boolean",
+        )
+
+    def suite_regression_results(self) -> DataFrame:
+        return self.io.read(
+            "suite_regression_results",
+            "part string, key string, check string, lo double, hi double, "
+            "observed_lo double, observed_hi double",
         )
 
     def content_dups(self) -> DataFrame:

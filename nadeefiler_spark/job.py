@@ -85,6 +85,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "this parquet path against the corpus (byte / "
                         "content-fingerprint / hamming tiers) into the "
                         "admissions table")
+    p.add_argument("--regress-baseline", default=None, metavar="OUT_DIR",
+                   help="run the data-CI suite-regression stage against a "
+                        "previous run's out_dir: the expectation suite its "
+                        "profile_summary satisfies, re-evaluated on this "
+                        "run's profile (suite_regression_results table, "
+                        "stage='suite_regression', part=baseline id)")
+    p.add_argument("--regress-id", default=None,
+                   help="baseline id for --regress-baseline (default: the "
+                        "baseline dir's basename)")
     p.add_argument("--admit-id", default=None,
                    help="delivery id for --admit (default: batch path "
                         "basename); the resume/idempotency unit")
@@ -184,6 +193,20 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
             resume=not args.no_resume, run_id=args.run_id,
         )
         verdicts = verdicts.unionByName(edr_v)
+    if args.regress_baseline:
+        from nadeefiler_spark import profiler as prof
+        from nadeefiler_spark.tableio import default_io
+
+        base_io = default_io(spark, args.regress_baseline)
+        baseline = base_io.read("profile_summary", prof.SUMMARY_SCHEMA)
+        base_id = args.regress_id or args.regress_baseline.rstrip("/").rsplit(
+            "/", 1
+        )[-1]
+        reg_v = eng.run_suite_regression(
+            baseline, baseline_id=base_id,
+            resume=not args.no_resume, run_id=args.run_id,
+        )
+        verdicts = verdicts.unionByName(reg_v)
     rows = verdicts.orderBy("part", "stage").collect()
     summary = {
         "partitions": sorted({r["part"] for r in rows}),

@@ -80,3 +80,53 @@ def test_job_cli_expect_flag(spark, clips_dir, tmp_path_factory):
     assert "expectations" in summary["stages"]
     eng = ValidationEngine(spark, out, rules=[])
     assert eng.expectation_results().count() > 0
+
+
+def test_suite_regression_stage(spark, clips_dir, tmp_path_factory):
+    """Data-CI stage: suite learned from release A's profile regresses
+    on release B's planted breaks; resume unit is the baseline id."""
+    import pyspark.sql.functions as F
+
+    clips = spark.read.parquet(f"{clips_dir}/clips")
+    out_a = str(tmp_path_factory.mktemp("rel_a"))
+    out_b = str(tmp_path_factory.mktemp("rel_b"))
+    eng_a = ValidationEngine(spark, out_a, rules=[],
+                             profile_cfg=default_clips_config())
+    eng_a.run(clips, run_id="a1")
+
+    # release B: a duration escapes the learned envelope and a novel
+    # codec value appears
+    clips_b = clips.withColumns({
+        "dur_ms": F.when(F.col("clip_id").endswith("3"), F.lit(10_000_000))
+                   .otherwise(F.col("dur_ms")),
+        "codec": F.when(F.col("clip_id").endswith("7"), F.lit("zz_new"))
+                  .otherwise(F.col("codec")),
+    })
+    eng_b = ValidationEngine(spark, out_b, rules=[],
+                             profile_cfg=default_clips_config())
+
+    # guard: regression before profiling must refuse, not lie
+    with pytest.raises(ValueError):
+        eng_b.run_suite_regression(eng_a.profile_summary(), "relA")
+
+    eng_b.run(clips_b, run_id="b1")
+    v = eng_b.run_suite_regression(
+        eng_a.profile_summary(), "relA", low_card_max=100, run_id="r1"
+    ).collect()
+    assert [r["part"] for r in v] == ["relA"]
+    assert v[0]["stage"] == "suite_regression" and v[0]["n_violations"] > 0
+
+    res = {(r["key"], r["check"]): r
+           for r in eng_b.suite_regression_results().collect()}
+    assert ("dur_ms", "range") in res
+    assert res[("dur_ms", "range")]["observed_hi"] == 10_000_000.0
+    assert ("codec", "low_cardinality") in res
+    # nothing regressed for untouched sr_hz's envelope
+    assert ("sr_hz", "range") not in res
+
+    # same baseline id resumes (no second manifest row)
+    n_manifest = eng_b.manifest().where(
+        F.col("stage") == "suite_regression").count()
+    eng_b.run_suite_regression(eng_a.profile_summary(), "relA", run_id="r2")
+    assert eng_b.manifest().where(
+        F.col("stage") == "suite_regression").count() == n_manifest

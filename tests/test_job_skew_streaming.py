@@ -951,3 +951,40 @@ def test_embedding_drift_monitor_stream_equals_batch(spark, tmp_path):
         for c in ("n_vecs", "n_bad", "centroid_norm", "global_cos",
                   "centroid_shift", "drifted"):
             assert gr[c] == wr[c], (k, c, gr[c], wr[c])
+
+
+def test_job_regress_baseline_flag(spark, clips_dirs, tmp_path):
+    """--regress-baseline runs the data-CI stage against a previous
+    run's out_dir and lands regressions in suite_regression_results."""
+    out_a = str(tmp_path / "rel_a")
+    job.main(
+        ["--clips", f"{clips_dirs}/clips", "--out", out_a,
+         "--no-drift", "--no-audio"],
+        spark=spark,
+    )
+    # release B: same corpus with an escaped duration
+    clips_b = (
+        spark.read.parquet(f"{clips_dirs}/clips")
+        .withColumn(
+            "dur_ms",
+            F.when(F.col("clip_id").endswith("3"), F.lit(10_000_000))
+             .otherwise(F.col("dur_ms")),
+        )
+    )
+    b_dir = str(tmp_path / "clips_b")
+    clips_b.write.parquet(b_dir)
+    out_b = str(tmp_path / "rel_b")
+    summary = job.main(
+        ["--clips", b_dir, "--out", out_b, "--no-drift", "--no-audio",
+         "--regress-baseline", out_a, "--regress-id", "relA"],
+        spark=spark,
+    )
+    assert "suite_regression" in summary["stages"]
+    eng = ValidationEngine(spark, out_b, rules=[],
+                           profile_cfg=default_clips_config())
+    res = {(r["key"], r["check"]) for r in
+           eng.suite_regression_results().collect()}
+    assert ("dur_ms", "range") in res
+    assert eng.manifest().where(
+        (F.col("stage") == "suite_regression") & (F.col("part") == "relA")
+    ).count() == 1
