@@ -4769,10 +4769,12 @@ def _bandwidth_planted_clips(spark: SparkSession) -> DataFrame:
 def _q_audio_bandwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Effective-bandwidth / upsample-provenance audit
     (operators/audio_features.bandwidth_stats): per-clip spectral
-    rolloff and its ratio to the declared Nyquist — planted full-band
-    vs 8 kHz-squeezed calibration clips ride along a synthetic corpus.
-    No DuckDB oracle (binary decode + FFT); pinned by the pure-numpy
-    twin in tests/test_audio_features.py::test_bandwidth_stats_twin."""
+    rolloff, its ratio to the declared Nyquist, and spectral flatness
+    (tonal vs noise-like — disambiguates WHY a rolloff is low) —
+    planted full-band vs 8 kHz-squeezed calibration clips ride along a
+    synthetic corpus. No DuckDB oracle (binary decode + FFT); pinned by
+    the pure-numpy twin in
+    tests/test_audio_features.py::test_bandwidth_stats_twin."""
     from nadeefiler_spark.operators.audio_features import bandwidth_stats
 
     _ensure_pkg_shipped(spark)
@@ -4781,7 +4783,7 @@ def _q_audio_bandwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bandwidth_stats(clips)
         .where(F.col("bandwidth_error").isNull())
-        .select("clip_id", "dec_sr", "rolloff_hz", "bw_ratio")
+        .select("clip_id", "dec_sr", "rolloff_hz", "bw_ratio", "flatness")
         .orderBy("clip_id")
     )
 

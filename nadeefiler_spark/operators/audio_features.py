@@ -219,12 +219,47 @@ def spectral_rolloff(pcm: np.ndarray, sr_hz: int, q: float = 0.95) -> float:
     x = np.asarray(pcm, dtype=np.float32)
     if len(x) == 0:
         return 0.0
-    mag2 = np.abs(np.fft.rfft(x)) ** 2
+    return _rolloff_from_power(np.abs(np.fft.rfft(x)) ** 2, sr_hz, len(x), q)
+
+
+def _rolloff_from_power(mag2: np.ndarray, sr_hz: int, n: int, q: float) -> float:
+    if len(mag2) == 0:
+        return 0.0
     total = float(mag2.sum())
     if total <= 0.0:
         return 0.0
     idx = int(np.searchsorted(np.cumsum(mag2, dtype=np.float64), q * total))
-    return float(min(idx, len(mag2) - 1) * sr_hz / len(x))
+    return float(min(idx, len(mag2) - 1) * sr_hz / n)
+
+
+def _flatness_from_power(mag2: np.ndarray, n_bands: int = 48) -> float:
+    # band-averaged (MPEG-7 style): raw per-bin flatness is dragged to 0
+    # by the chi-square nulls even for white noise; averaging bins into
+    # bands first measures envelope flatness, which is the signal
+    p = mag2[1:].astype(np.float64)
+    if len(p) == 0 or float(p.sum()) <= 0.0:
+        return 0.0
+    bm = np.array([b.mean() for b in np.array_split(p, min(n_bands, len(p)))])
+    m = float(bm.mean())
+    if m <= 0.0:
+        return 0.0
+    return float(np.exp(np.log(bm + 1e-30).mean()) / (m + 1e-30))
+
+
+def spectral_flatness(pcm: np.ndarray) -> float:
+    """Band-averaged Wiener entropy of the power spectrum: geometric
+    mean over arithmetic mean of 48 equal-band power means, in (0, 1].
+    Near 0 = tonal (a pure tone, a test beep, strongly harmonic
+    content); near 1 = noise-like (white noise, heavy codec damage).
+    Band averaging first is the MPEG-7 AudioSpectralFlatness shape —
+    raw per-bin flatness reads ~0 even for white noise because the
+    per-bin chi-square nulls crush the geometric mean. DC is excluded
+    so a constant offset doesn't read as tone. Empty / silent
+    PCM -> 0.0."""
+    x = np.asarray(pcm, dtype=np.float32)
+    if len(x) == 0:
+        return 0.0
+    return _flatness_from_power(np.abs(np.fft.rfft(x)) ** 2)
 
 
 def bandwidth_stats(
@@ -233,16 +268,19 @@ def bandwidth_stats(
     bytes_col: str = "bytes",
     q: float = 0.95,
 ) -> DataFrame:
-    """Effective-bandwidth audit: (id, dec_sr, rolloff_hz, bw_ratio,
-    bandwidth_error) per clip, ``bw_ratio = rolloff / Nyquist`` — the
-    upsample-provenance screen. bw_ratio near 1 means content fills the
-    declared rate; a cluster near 0.5 is a corpus segment that was
-    2x-upsampled. One narrow decode pass (id + bytes only, Arrow
-    batches); undecodable rows carry the error instead of failing.
-    Tonal/synthetic content legitimately concentrates energy at low
-    frequencies, so bw_ratio is a PROFILE signal (compare within a
-    corpus / against siblings), not an absolute per-clip verdict —
-    the contract query reports stats, no threshold. Rounded to 6 dp.
+    """Effective-bandwidth + tonality audit: (id, dec_sr, rolloff_hz,
+    bw_ratio, flatness, bandwidth_error) per clip, ``bw_ratio =
+    rolloff / Nyquist`` — the upsample-provenance screen. bw_ratio near
+    1 means content fills the declared rate; a cluster near 0.5 is a
+    corpus segment that was 2x-upsampled. ``flatness`` (spectral
+    flatness, 0 tonal → 1 noise-like) separates the two benign causes
+    of a low rolloff: tonal/synthetic content legitimately concentrates
+    energy at low frequencies (low flatness), while an upsampled
+    speech segment keeps speech-like flatness with a pinched rolloff —
+    so the pair, not either number alone, is the provenance signal.
+    One narrow decode pass (id + bytes only, Arrow batches); the FFT is
+    computed once per clip and feeds both stats; undecodable rows carry
+    the error instead of failing. Rounded to 6 dp.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -250,25 +288,32 @@ def bandwidth_stats(
 
         for pdf in batches:
             out = {k: [] for k in
-                   ("__id", "dec_sr", "rolloff_hz", "bw_ratio", "bandwidth_error")}
+                   ("__id", "dec_sr", "rolloff_hz", "bw_ratio", "flatness",
+                    "bandwidth_error")}
             for cid, blob in zip(pdf[id_col], pdf[bytes_col]):
                 out["__id"].append(cid)
                 try:
                     _c, sr, pcm = audio.decode(bytes(blob))
-                    r = spectral_rolloff(pcm, int(sr), q)
+                    x = np.asarray(pcm, dtype=np.float32)
+                    mag2 = (np.abs(np.fft.rfft(x)) ** 2
+                            if len(x) else np.zeros(0))
+                    r = _rolloff_from_power(mag2, int(sr), len(x), q)
+                    f = _flatness_from_power(mag2)
                     out["dec_sr"].append(int(sr))
                     out["rolloff_hz"].append(round(r, 6))
                     out["bw_ratio"].append(round(r / (sr / 2.0), 6) if sr else 0.0)
+                    out["flatness"].append(round(f, 6))
                     out["bandwidth_error"].append(None)
                 except Exception as exc:
                     out["dec_sr"].append(None)
                     out["rolloff_hz"].append(None)
                     out["bw_ratio"].append(None)
+                    out["flatness"].append(None)
                     out["bandwidth_error"].append(str(exc)[:200])
             yield pd.DataFrame(out)
 
     schema = (f"__id string, dec_sr int, rolloff_hz double, "
-              f"bw_ratio double, bandwidth_error string")
+              f"bw_ratio double, flatness double, bandwidth_error string")
     return clips.select(
         F.col(id_col).alias(id_col), F.col(bytes_col)
     ).mapInPandas(run, schema).withColumnRenamed("__id", id_col)

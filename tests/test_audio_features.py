@@ -220,16 +220,43 @@ def test_bandwidth_stats_twin(spark):
         "bw-upsampled": resample_pcm(resample_pcm(noise, sr, 8000), 8000, sr),
         "bw-tone": np.round(8000 * np.sin(2 * np.pi * 440.0 * t / sr)).astype(np.int16),
     }
+    from nadeefiler_spark.operators.audio_features import spectral_flatness
+
     for cid, pcm in waves.items():
         r = spectral_rolloff(pcm, sr)
         assert got[cid]["rolloff_hz"] == round(r, 6)
         assert got[cid]["bw_ratio"] == round(r / (sr / 2.0), 6)
+        assert got[cid]["flatness"] == round(spectral_flatness(pcm), 6)
     # provenance physics: hash noise is full-band; squeezing it through
     # 8 kHz removes everything above the old Nyquist (and linear-interp
     # imaging stays weak), so the ratio collapses; a tone is narrowband
     assert got["bw-noise"]["bw_ratio"] > 0.9
     assert got["bw-upsampled"]["bw_ratio"] < got["bw-noise"]["bw_ratio"] - 0.3
     assert got["bw-tone"]["rolloff_hz"] == 440.0
+    # tonality physics: the 440 Hz tone is spectrally flat-0; the LCG
+    # ramp is harmonic-rich (a structured sawtooth, honestly mid-low
+    # flatness) yet orders of magnitude above the tone — the
+    # disambiguation flatness adds to a low rolloff
+    assert got["bw-tone"]["flatness"] < 1e-6
+    assert got["bw-noise"]["flatness"] > 0.05
+    assert got["bw-upsampled"]["flatness"] > 0.01
+    # true white noise reads near 1 (band averaging beats chi-square nulls)
+    rng_noise = np.random.default_rng(7).integers(
+        -20000, 20000, n
+    ).astype(np.int16)
+    assert spectral_flatness(rng_noise) > 0.9
+
+
+def test_spectral_flatness_edges():
+    import numpy as np
+
+    from nadeefiler_spark.operators.audio_features import spectral_flatness
+
+    assert spectral_flatness(np.array([], dtype=np.int16)) == 0.0
+    assert spectral_flatness(np.zeros(1000, dtype=np.int16)) == 0.0
+    # DC-only: energy sits in the excluded bin 0; the rest is float32
+    # FFT leakage -> essentially zero, never read as content
+    assert spectral_flatness(1000 * np.ones(1000, dtype=np.int16)) < 1e-3
 
 
 def test_spectral_rolloff_edges():
