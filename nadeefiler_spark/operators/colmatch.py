@@ -43,20 +43,23 @@ from pyspark.sql import functions as F
 def melt_distinct(
     df: DataFrame, cols: list[str], sample_hex: str | None = None
 ) -> DataFrame:
-    """DISTINCT (col, value-as-string) pairs for the given columns.
+    """DISTINCT (col, value-as-string) pairs for the given columns, in
+    ONE table scan (typedetect.melt_values' explode melt — the
+    per-column UNION ALL formulation was measured to plan one FileScan
+    per column, multiplying per-scan scheduling/row-group overhead by
+    the column count at no I/O benefit on columnar storage).
 
     NULLs are dropped (they match everything and mean nothing);
     ``sample_hex`` keeps only values with ``md5(value) < sample_hex``
     (lowercase-hex string compare — e.g. ``"4"`` keeps the quarter of
     value space whose first hex digit is 0-3)."""
-    parts = []
-    for c in cols:
-        v = F.col(c).cast("string")
-        p = df.where(v.isNotNull()).select(F.lit(c).alias("col"), v.alias("value"))
-        parts.append(p)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    from ..typedetect import melt_values
+
+    out = (
+        melt_values(df, list(cols))
+        .withColumnRenamed("key", "col")
+        .where(F.col("value").isNotNull())
+    )
     if sample_hex is not None:
         out = out.where(F.md5(F.col("value")) < F.lit(sample_hex))
     return out.distinct()
@@ -69,6 +72,7 @@ def column_match(
     cols_new: list[str],
     min_jaccard: float = 0.0,
     sample_hex: str | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Ranked instance-based column correspondences old -> new.
 
@@ -76,9 +80,18 @@ def column_match(
     ``jaccard >= min_jaccard``: (col_old, col_new, ndv_old, ndv_new,
     n_common, jaccard, rank) — rank 1 is the best new-side candidate
     for that old column (ties beyond float resolution break on
-    col_new)."""
-    m_old = melt_distinct(old, cols_old, sample_hex)
-    m_new = melt_distinct(new, cols_new, sample_hex)
+    col_new).
+
+    Each melt feeds BOTH its NDV aggregate and the intersection join;
+    Spark does not share a subplan between two DataFrame references, so
+    the melts are persisted and (with ``eager``, the default) released
+    as soon as the small result is materialized — two base-table scans
+    total instead of four. ``eager=False`` keeps lazy semantics and
+    leaves intermediate lifetimes to the caller."""
+    from .dedup import _finalize
+
+    m_old = melt_distinct(old, cols_old, sample_hex).persist()
+    m_new = melt_distinct(new, cols_new, sample_hex).persist()
     ndv_old = m_old.groupBy("col").agg(F.count("*").alias("ndv_old"))
     ndv_new = m_new.groupBy("col").agg(F.count("*").alias("ndv_new"))
     inter = (
@@ -100,7 +113,7 @@ def column_match(
     win = Window.partitionBy("col_old").orderBy(
         F.col("jaccard").desc(), F.col("col_new")
     )
-    return pairs.select(
+    out = pairs.select(
         "col_old",
         "col_new",
         "ndv_old",
@@ -109,3 +122,4 @@ def column_match(
         F.round("jaccard", 6).alias("jaccard"),
         F.row_number().over(win).alias("rank"),
     )
+    return _finalize(out, m_old, m_new, eager=eager)

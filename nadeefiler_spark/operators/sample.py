@@ -152,11 +152,12 @@ def weighted_sample(
     Ranking uses ``ln(u)/w`` (monotone in ``u^(1/w)``, numerically flat
     where pow underflows for huge weights); ties beyond float
     resolution break on the id. 100-TB shape: one row_number window
-    partitioned by stratum — a single shuffle keyed on the stratum; for
-    a single global stratum at extreme scale, pre-filter with an
-    approximate score cutoff (quantile of ln(u)/w) so the window sees
-    only candidates. Weights must be > 0 (rows with NULL/<=0 weight are
-    dropped, matching "zero weight = never sampled").
+    partitioned by stratum — a single shuffle keyed on the stratum, and
+    Spark's WindowGroupLimit inserts a map-side partial top-k BELOW the
+    exchange (verified on the executed plan), so the shuffle carries at
+    most k rows per task per stratum; even a single global stratum
+    ships only k x #tasks rows. Weights must be > 0 (rows with NULL/<=0
+    weight are dropped, matching "zero weight = never sampled").
 
     No reference analog (beyond-reference operator per the task
     mandate)."""
