@@ -246,6 +246,9 @@ Operator → query map (SURVEY §2 ids in brackets):
                           (suggest_checks) re-evaluated on release B's
                           profile — newly-failing checks only;
                           sketch-sized join of two profiles]
+- ngram_containment      [pipeline: Broder containment |A∩B|/min —
+                          excerpt/quote duplication Jaccard misses;
+                          same inverted-index plan as ngram_jaccard]
 - record_outliers        [profiling: record-LEVEL diagonal-Mahalanobis
                           outlier score across numeric columns — joint
                           anomalies univariate z-gates miss]
@@ -5333,6 +5336,83 @@ def _sql_expectation_regressions() -> str:
     """
 
 
+def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excerpt/quote duplication (operators.dedup
+    .ngram_containment_pairs): |A∩B| / min(|A|,|B|) over 3-gram shingle
+    sets — Broder containment, the asymmetric score that catches a
+    short passage verbatim inside a long document where
+    union-normalized Jaccard sees ~0. Planted: the dup_spans
+    boilerplate is appended to every doc_id %17 document AND added as a
+    standalone excerpt document, so the excerpt is fully contained in
+    every container (containment 1.0) while its Jaccard against them is
+    tiny. max_df=100 (not auto): the guard would drop a passage quoted
+    in >5 documents — exactly the popular excerpt this query hunts."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(F.col("text"), F.lit(" " + _BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    excerpt = spark.createDataFrame(
+        [(9000000, _BOILER)], "doc_id long, text string"
+    )
+    return dedup.ngram_containment_pairs(
+        d.unionByName(excerpt), "doc_id", "text",
+        n=3, threshold=0.9, max_df=100,
+    )
+
+
+def _sql_ngram_containment() -> str:
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN text || ' {_BOILER}'
+              ELSE text END AS text
+  FROM documents
+  UNION ALL SELECT 9000000, '{_BOILER}'
+),
+toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+  FROM docs2
+),
+shing AS (
+  SELECT id, CASE WHEN len(tk) >= 3
+                  THEN list_transform(range(1, len(tk) - 1),
+                                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                  ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks
+),
+sh0 AS (SELECT DISTINCT id, unnest(shingles) AS shingle FROM shing),
+rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 100),
+sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.id_a, c.id_b, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         c.n_common * 1.0 / least(sa.n_sh, sb.n_sh) AS cont
+  FROM common c
+  JOIN sizes sa ON sa.id = c.id_a
+  JOIN sizes sb ON sb.id = c.id_b
+)
+SELECT CASE WHEN n_a < n_b OR (n_a = n_b AND id_a < id_b)
+            THEN id_a ELSE id_b END AS contained_id,
+       CASE WHEN n_a < n_b OR (n_a = n_b AND id_a < id_b)
+            THEN id_b ELSE id_a END AS container_id,
+       CAST(least(n_a, n_b) AS BIGINT) AS n_contained,
+       CAST(greatest(n_a, n_b) AS BIGINT) AS n_container,
+       round(cont, 6) AS containment
+FROM scored WHERE cont >= 0.9
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_summary": _q_profile_summary,
@@ -5452,6 +5532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "column_match": _q_column_match,
         "expectation_regressions": _q_expectation_regressions,
+        "ngram_containment": _q_ngram_containment,
     }
 
 
@@ -5560,6 +5641,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "column_match": _sql_column_match(),
         "expectation_regressions": _sql_expectation_regressions(),
+        "ngram_containment": _sql_ngram_containment(),
         # session_concurrency_approx: HLL-approximate by design — exact
         #   twin is the oracled session_concurrency; accuracy bound
         #   pinned in tests/test_sessions_rollup.py

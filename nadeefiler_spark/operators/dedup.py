@@ -115,6 +115,35 @@ def ngram_jaccard_pairs(
     below any meaningful threshold). shingle_impl="string" keeps the
     collision-free string-shingle pipeline.
     """
+    common, sizes, sh0 = _shingle_pair_counts(
+        df, id_col, text_col, n, max_df, shingle_impl
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return _finalize(out, sh0, eager=eager)
+
+
+def _shingle_pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_df: int | str | None,
+    shingle_impl: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared inverted-index candidate machinery for the exact n-gram
+    pair scorers: returns (common, sizes, persisted_shingles) where
+    ``common`` is (id_a, id_b, n_common) with id_a < id_b over the
+    guarded shingle sets and ``sizes`` is (id, n_sh). The caller owns
+    unpersisting the third element (via _finalize)."""
     if max_df == "auto":
         max_df = auto_max_df(df.count())
     shingles = (
@@ -157,15 +186,60 @@ def ngram_jaccard_pairs(
     # NOT overridden by AQE, so it would pin a 10^12-row table
     # driver-side); AQE/auto-broadcast picks broadcast when sizes fits
     # under the threshold and a shuffle join otherwise
+    return common, sizes, sh0
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | str | None = "auto",
+    eager: bool = True,
+    shingle_impl: str = "hash",
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: excerpt/quote duplication that
+    Jaccard structurally misses. A 50-word passage verbatim inside a
+    5000-word document scores J ~ 0.01 (union-normalized) but
+    containment |A∩B| / min(|A|,|B|) = 1.0 — the asymmetric companion
+    score the dedup literature pairs with Jaccard for exactly this case
+    (Broder's containment, "On the resemblance and containment of
+    documents", 1997).
+
+    Output (contained_id, container_id, n_contained, n_container,
+    containment): the smaller shingle set is the contained side (equal
+    sizes: the lower id). Same inverted-index plan as
+    ngram_jaccard_pairs — one shuffle to posting lists, candidates
+    expand inside max_df-bounded buckets, sizes joined back under AQE.
+    NOTE the hot-shingle guard interacts with intent here: a passage
+    quoted in MORE than max_df documents is exactly a popular excerpt,
+    and the guard would drop its shingles — raise ``max_df`` (or profile
+    with dup_spans first) when hunting boilerplate rather than
+    protecting against it.
+    """
+    common, sizes, sh0 = _shingle_pair_counts(
+        df, id_col, text_col, n, max_df, shingle_impl
+    )
+    a_small = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b"))
+    )
     out = (
         common.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
         .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            "containment", F.col("n_common") / F.least("n_a", "n_b")
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .where(F.col("containment") >= threshold)
+        .select(
+            F.when(a_small, F.col("id_a")).otherwise(F.col("id_b"))
+             .alias("contained_id"),
+            F.when(a_small, F.col("id_b")).otherwise(F.col("id_a"))
+             .alias("container_id"),
+            F.least("n_a", "n_b").alias("n_contained"),
+            F.greatest("n_a", "n_b").alias("n_container"),
+            F.round("containment", 6).alias("containment"),
+        )
     )
     return _finalize(out, sh0, eager=eager)
 

@@ -327,3 +327,51 @@ def test_ivf_index_pruned_search(spark, tmp_path):
         spark.read.parquet(path).groupBy("cell").count().collect()
     )
     assert pruned.count() == sum(per_cell[c] for c in probe_cells)
+
+
+def test_ngram_containment_finds_excerpt_jaccard_misses(spark):
+    """A short passage verbatim inside a long document: containment 1.0
+    while the Jaccard pipeline at any sane threshold sees nothing."""
+    passage = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"w{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [
+            (1, passage),                       # the excerpt (10 tokens)
+            (2, filler + " " + passage),        # contains it verbatim
+            (3, " ".join(f"x{i}" for i in range(50))),  # unrelated
+        ],
+        "doc_id int, text string",
+    )
+    got = dedup.ngram_containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.9, max_df=None
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["contained_id"], r["container_id"]) == (1, 2)
+    assert r["containment"] == 1.0
+    # 10 tokens -> 8 shingles; the container carries them all plus filler
+    assert r["n_contained"] == 8 and r["n_container"] > 100
+    # the symmetric score really does miss it
+    jac = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.2, max_df=None
+    ).collect()
+    assert jac == []
+
+
+def test_ngram_containment_direction_tiebreak_and_guard(spark):
+    """Equal-size sets: lower id is the contained side; the hot-shingle
+    guard drops a passage quoted more widely than max_df (documented
+    interaction — raise max_df when hunting boilerplate)."""
+    passage = "alpha beta gamma delta epsilon zeta"
+    rows = [(i, passage) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = dedup.ngram_containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.9, max_df=None
+    ).collect()
+    assert len(got) == 45  # all pairs, identical sets
+    assert all(r["contained_id"] < r["container_id"] for r in got)
+    # guard on: the passage appears in 10 > max_df=5 docs -> all dropped
+    guarded = dedup.ngram_containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.9, max_df=5
+    ).collect()
+    assert guarded == []
