@@ -78,6 +78,9 @@ Operator → query map (SURVEY §2 ids in brackets):
 - chi2_drift             [validation: two-sample chi-square categorical
                           drift per partition vs baseline — the
                           p-value-capable companion to PSI/KS]
+- wasserstein_drift      [validation: earth-mover (W1) distance of each
+                          partition's bucketed histogram vs baseline —
+                          magnitude-aware companion to the KS max-gap]
 - quality_slices         [triage: slice finder — per (dim, value) slice
                           quality mean + standard-error z vs corpus,
                           one melt for all dimensions]
@@ -4342,6 +4345,51 @@ FROM x GROUP BY 1
 """
 
 
+def _q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 drift (drift.wasserstein_drift): earth-mover
+    distance of each event_type's bucketed value histogram vs the
+    pooled baseline — the magnitude-aware complement to the KS max-gap
+    in drift_metrics, over the same profile-stage histograms."""
+    e = _t(spark, sf_dir, "events")
+    cfg = profiler.ProfileConfig(part_col="event_type", bucket_hist_cols={"value": 5.0})
+    hist = profiler.profile_histograms(e, cfg)
+    return drift.wasserstein_drift(hist, drift.global_baseline(hist), bin_width=5.0)
+
+
+_SQL_WASSERSTEIN_DRIFT = """
+WITH hist AS (
+  SELECT event_type AS part, 'value' AS key, 'bucket' AS kind,
+         CAST(CAST(floor("value" / 5.0) * 5.0 AS BIGINT) AS VARCHAR) AS bin,
+         count(*) AS c
+  FROM events GROUP BY 1, 4
+),
+base AS (SELECT key, kind, bin, CAST(sum(c) AS BIGINT) AS cq FROM hist GROUP BY 1, 2, 3),
+parts AS (SELECT DISTINCT part, key, kind FROM hist),
+bins AS (SELECT DISTINCT key, kind, bin FROM hist),
+grid AS (SELECT p.part, b.key, b.kind, b.bin FROM parts p JOIN bins b USING (key, kind)),
+j AS (
+  SELECT g.part, g.key, g.kind, g.bin,
+         coalesce(h.c, 0) AS c_p, coalesce(q.cq, 0) AS c_q
+  FROM grid g
+  LEFT JOIN hist h ON h.part = g.part AND h.bin = g.bin
+  LEFT JOIN base q ON q.bin = g.bin
+),
+cdfs AS (
+  SELECT part, key, kind,
+    (CAST(sum(c_p) OVER ord AS BIGINT) * 1.0) / greatest(CAST(sum(c_p) OVER w AS BIGINT), 1)
+      - (CAST(sum(c_q) OVER ord AS BIGINT) * 1.0) / greatest(CAST(sum(c_q) OVER w AS BIGINT), 1)
+      AS cdf_gap
+  FROM j
+  WINDOW w AS (PARTITION BY part, key, kind),
+         ord AS (PARTITION BY part, key, kind
+                 ORDER BY try_cast(bin AS DOUBLE) ASC NULLS LAST, bin
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT part, key, kind, round(5.0 * sum(abs(cdf_gap)), 6) AS w1
+FROM cdfs GROUP BY 1, 2, 3
+"""
+
+
 def _q_quality_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slice finder (operators/slices.quality_slices): per (lang,
     source) slice, the heuristic-quality mean and its standard-error
@@ -5511,6 +5559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "layout_advisor": _q_layout_advisor,
         "chi2_drift": _q_chi2_drift,
+        "wasserstein_drift": _q_wasserstein_drift,
         "quality_slices": _q_quality_slices,
         "line_dedup": _q_line_dedup,
         "lm_scores": _q_lm_scores,
@@ -5623,6 +5672,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "layout_advisor": _sql_layout_advisor(),
         "chi2_drift": _SQL_CHI2_DRIFT,
+        "wasserstein_drift": _SQL_WASSERSTEIN_DRIFT,
         "quality_slices": _sql_quality_slices(),
         "line_dedup": _SQL_LINE_DEDUP,
         "lm_scores": _SQL_LM_SCORES,

@@ -84,6 +84,65 @@ def drift_metrics(hist: DataFrame, baseline: DataFrame) -> DataFrame:
     )
 
 
+def wasserstein_drift(
+    hist: DataFrame, baseline: DataFrame, bin_width: float
+) -> DataFrame:
+    """Per (part, key): Wasserstein-1 (earth-mover) distance of the
+    part's BUCKETED histogram vs baseline — the magnitude-aware
+    complement to KS (:func:`drift_metrics`): KS reports the worst
+    single CDF gap, W1 integrates ALL of it, so a whole-distribution
+    shift of 2 bins scores 2x a shift of 1 bin where KS saturates.
+
+    For two distributions binned on a shared equal-width grid,
+    W1 = bin_width * sum_bins |CDF_p(b) - CDF_q(b)| exactly (mass sits
+    at bin edges; the integral of |CDF diff| is piecewise constant).
+    Applies to 'bucket'-kind histograms only — W1 needs an ordered
+    metric space; categorical bins have none.
+
+    Same input shape and plan as drift_metrics: ``hist`` (part, key,
+    kind, bin, count), ``baseline`` (key, kind, bin, count); the
+    grid-align join, one ordered window for the CDFs, one
+    groupBy(part, key) — rows ∝ parts x bins, sketch-sized, the corpus
+    scan already happened in the profile stage.
+
+    No reference analog (beyond-reference operator; the reference's
+    nearest is the dBoost histogram consumer,
+    /root/reference/profilers/outliers/index.js:16-18).
+    """
+    p = (
+        hist.where(F.col("kind") == "bucket")
+        .select("part", "key", "kind", "bin", F.col("count").alias("c_p"))
+    )
+    q = (
+        baseline.where(F.col("kind") == "bucket")
+        .select("key", "kind", "bin", F.col("count").alias("c_q"))
+    )
+    part_keys = p.select("part", "key", "kind").distinct()
+    all_bins = q.select("key", "kind", "bin").union(
+        p.select("key", "kind", "bin")
+    ).distinct()
+    grid = part_keys.join(all_bins, ["key", "kind"])
+    joined = (
+        grid.join(p, ["part", "key", "kind", "bin"], "left")
+        .join(q, ["key", "kind", "bin"], "left")
+        .fillna(0, subset=["c_p", "c_q"])
+    )
+    tot = Window.partitionBy("part", "key", "kind")
+    order = Window.partitionBy("part", "key", "kind").orderBy(
+        F.col("bin").try_cast("double").asc_nulls_last(), F.col("bin")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_cdf = joined.select(
+        "part", "key", "kind",
+        (
+            F.sum("c_p").over(order) / F.greatest(F.sum("c_p").over(tot), F.lit(1))
+            - F.sum("c_q").over(order) / F.greatest(F.sum("c_q").over(tot), F.lit(1))
+        ).alias("cdf_gap"),
+    )
+    return with_cdf.groupBy("part", "key", "kind").agg(
+        F.round(F.lit(bin_width) * F.sum(F.abs(F.col("cdf_gap"))), 6).alias("w1"),
+    )
+
+
 def chi2_drift(hist: DataFrame, baseline: DataFrame) -> DataFrame:
     """Per (part, key): two-sample chi-square statistic of the part's
     categorical histogram vs baseline — the classical counterpart to

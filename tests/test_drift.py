@@ -273,3 +273,51 @@ class TestEmbeddingDrift:
         )
         rows = drift.embedding_drift(df, "v", "grp", dim=2).collect()
         assert [r["grp"] for r in rows] == ["y"]
+
+
+def _w1_py(p_counts, q_counts, width):
+    bins = sorted(set(p_counts) | set(q_counts), key=float)
+    tp, tq = sum(p_counts.values()), sum(q_counts.values())
+    cp = cq = 0.0
+    w1 = 0.0
+    for b in bins:
+        cp += p_counts.get(b, 0) / tp
+        cq += q_counts.get(b, 0) / tq
+        w1 += abs(cp - cq) * width
+    return w1
+
+
+def test_wasserstein_matches_hand_math(spark):
+    p_counts = {"0": 50, "100": 30, "200": 20}
+    q_counts = {"0": 20, "100": 30, "200": 40, "300": 10}
+    hist = _hist_df(spark, [("a", "dur_ms", "bucket", b, c) for b, c in p_counts.items()])
+    base = _baseline_df(spark, [("dur_ms", "bucket", b, c) for b, c in q_counts.items()])
+    got = drift.wasserstein_drift(hist, base, bin_width=100.0).collect()[0]
+    assert got["part"] == "a" and got["key"] == "dur_ms"
+    assert got["w1"] == pytest.approx(_w1_py(p_counts, q_counts, 100.0), abs=1e-6)
+
+
+def test_wasserstein_one_bin_shift_equals_width(spark):
+    # shifting ALL mass exactly one bin right moves W1 by one bin width —
+    # while KS saturates at 1.0 for any complete separation
+    hist = _hist_df(spark, [("a", "k", "bucket", "100", 10)])
+    base = _baseline_df(spark, [("k", "bucket", "0", 10)])
+    got = drift.wasserstein_drift(hist, base, bin_width=5.0).collect()[0]
+    assert got["w1"] == pytest.approx(5.0, abs=1e-9)
+
+
+def test_wasserstein_zero_for_identical_and_skips_value_kind(spark):
+    hist = _hist_df(
+        spark,
+        [("a", "k", "bucket", "0", 10), ("a", "k", "bucket", "100", 30),
+         ("a", "cat", "value", "x", 5)],
+    )
+    base = _baseline_df(
+        spark,
+        [("k", "bucket", "0", 20), ("k", "bucket", "100", 60),
+         ("cat", "value", "x", 5)],
+    )
+    rows = drift.wasserstein_drift(hist, base, bin_width=5.0).collect()
+    # categorical 'value' kind excluded: W1 needs an ordered space
+    assert [r["kind"] for r in rows] == ["bucket"]
+    assert rows[0]["w1"] == pytest.approx(0.0, abs=1e-9)
