@@ -907,10 +907,15 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type IN ('click', 'view')) t
 """
 
 
-def _session_matches(spark: SparkSession, sf_dir: str):
+def _session_matches(spark: SparkSession, sf_dir: str, with_prev: bool = False):
     """Shared front half of the session-concurrency queries: 12h-gap
     sessions + the bin-bucketed interval–point containment join against
-    other users' events. Returns (sessions, matches)."""
+    other users' events. Returns (sessions, matches).
+
+    ``with_prev`` adds ``p_prev_ts`` — each event's same-user
+    predecessor timestamp (lag over (user, ts, event_id)) — which turns
+    exact COUNT DISTINCT partners into a plain conditional count
+    downstream (see _q_session_concurrency)."""
     from nadeefiler_spark.operators.sessions import session_stats
     from nadeefiler_spark.operators.temporal import interval_point_join
 
@@ -923,6 +928,9 @@ def _session_matches(spark: SparkSession, sf_dir: str):
         F.col("ts").alias("p_ts"),
         F.col("event_id").alias("p_event_id"),
     )
+    if with_prev:
+        w = Window.partitionBy("p_user").orderBy("p_ts", "p_event_id")
+        pts = pts.withColumn("p_prev_ts", F.lag("p_ts").over(w))
     m = interval_point_join(iv, pts, "t_start", "t_end", "p_ts", bin_s=86400).where(
         F.col("p_user") != F.col("user")
     )
@@ -937,20 +945,30 @@ def _q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-day bins (a session spans at most ~4 days at sf0.01) so the join
     is a plain hash equi-join on the bin; exact containment filters
     inside buckets; left-join-back keeps zero-concurrency sessions."""
-    iv, m = _session_matches(spark, sf_dir)
-    # two stacked aggs instead of count+countDistinct in one groupBy:
-    # the combined form Expands every match row once PER aggregate
-    # (2x the 45M matches at sf0.1 into the shuffle), while stacking
-    # keeps every exchange combinable — 28.6 -> 21.6 s noop-forced at
-    # sf0.1; the remainder is the inherent 20M-group exact-distinct
-    # exchange
-    # (full decomposition + measurement trap: BENCH/BASELINE.md)
-    per_partner = m.groupBy("user", "session_idx", "p_user").agg(
-        F.count(F.lit(1)).alias("n_from_partner")
-    )
-    counts = per_partner.groupBy("user", "session_idx").agg(
-        F.sum("n_from_partner").alias("n_concurrent"),
-        F.count(F.lit(1)).alias("n_other_users"),
+    iv, m = _session_matches(spark, sf_dir, with_prev=True)
+    # EXACT distinct partners WITHOUT a distinct exchange — the
+    # predecessor trick (classical offline range-distinct reduction):
+    # each event carries its same-user predecessor's ts (lag over
+    # (p_user, p_ts, p_event_id), one events-sized shuffle on p_user),
+    # and within an interval [t_start, t_end] a partner's FIRST
+    # in-interval event — and only it — has p_prev_ts NULL or
+    # < t_start (its predecessor, if >= t_start, would itself be
+    # in-interval and earlier, contradicting "first"; a tie at exactly
+    # t_start means the predecessor IS in-interval, so the event is
+    # correctly not first). So count(first-flags) == count(DISTINCT
+    # p_user), turning the agg into ONE fully combinable groupBy:
+    # no per-(session, partner) groups ever shuffle. Replaces the
+    # previous two stacked groupBys whose 20M-group (session, partner)
+    # exchange BENCH/BASELINE.md had measured as the dominant cost
+    # (17.8 -> 5.3 s cold / ~0.9 s warm at sf0.1; decomposition there).
+    counts = m.groupBy("user", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_concurrent"),
+        F.sum(
+            (
+                F.col("p_prev_ts").isNull()
+                | (F.col("p_prev_ts") < F.col("t_start"))
+            ).cast("bigint")
+        ).alias("n_other_users"),
     )
     return iv.join(counts, ["user", "session_idx"], "left").select(
         "user",
@@ -962,16 +980,19 @@ def _q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_session_concurrency_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The AT-SCALE production path for session concurrency, shipped
-    after BENCH/BASELINE.md's decomposition showed the exact query's
-    remaining cost is inherent to exact distinct-partner counting (a
-    ~20M-row (session, partner) exchange at sf0.1 — avg multiplicity
-    only 2.3). Here n_other_users is approx_count_distinct (HLL, rsd
-    2%) folded into the SAME groupBy as the match count: one mergeable
-    aggregation, no Expand, the shuffle carries one sketch row per
-    session instead of a row per (session, partner) pair. n_concurrent
-    stays exact. No DuckDB oracle (approximate values); accuracy vs the
-    exact query is pinned in tests/test_sessions_rollup.py."""
+    """HLL-sketch variant of session concurrency: n_other_users is
+    approx_count_distinct (rsd 2%) folded into the SAME groupBy as the
+    match count — one mergeable aggregation, the shuffle carries one
+    sketch row per session. Historically this was the at-scale
+    production path (the exact query used to pay a ~20M-row (session,
+    partner) distinct exchange at sf0.1); the predecessor-trick rewrite
+    of _q_session_concurrency made the EXACT query equally combinable,
+    so this variant's remaining edge is the sketch itself: it needs no
+    predecessor column, so it composes with pre-aggregated or streamed
+    match feeds where a global per-user lag is unavailable, and
+    sketches merge across incremental runs. n_concurrent stays exact.
+    No DuckDB oracle (approximate values); accuracy vs the exact query
+    is pinned in tests/test_sessions_rollup.py."""
     iv, m = _session_matches(spark, sf_dir)
     counts = m.groupBy("user", "session_idx").agg(
         F.count(F.lit(1)).alias("n_concurrent"),
