@@ -157,6 +157,9 @@ Operator → query map (SURVEY §2 ids in brackets):
 - k_anonymity            [curation: k-anonymity / l-diversity release
                           audit over quasi-identifier groups, one
                           groupBy + distinct-sensitive count]
+- t_closeness            [curation: t-closeness release audit — per-QI
+                          rank-EMD (or TVD) of the sensitive-value mix
+                          vs the table's, the drift test k/l miss]
 - mi_profile             [profiling: mutual information / NMI per
                           categorical pair — corr_profile's categorical
                           sibling, shuffle ∝ distinct value pairs]
@@ -3802,6 +3805,67 @@ def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (functions.pii.t_closeness): per
+    (nation x market segment) QI group, rank-EMD between the group's
+    bucketed account-balance distribution and the whole table's — the
+    release-risk check k-anonymity/l-diversity cannot see (a group can
+    be large and diverse while still skewed rich). Sensitive attribute
+    pre-bucketed to 2k-wide bands per the high-NDV contract."""
+    from nadeefiler_spark.functions.pii import t_closeness
+
+    c = _t(spark, sf_dir, "customer")
+    return t_closeness(
+        c,
+        ["c_nationkey", "c_mktsegment"],
+        F.floor(F.col("c_acctbal") / 2000),
+        t=0.15,
+        ordered=True,
+    )
+
+
+_SQL_T_CLOSENESS = """
+WITH gh AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 2000) AS BIGINT) AS sv,
+         count(*) AS c_p
+  FROM customer GROUP BY 1, 2, 3
+),
+bins AS (SELECT sv, CAST(sum(c_p) AS BIGINT) AS c_q FROM gh GROUP BY 1),
+grps AS (
+  SELECT c_nationkey, c_mktsegment, CAST(sum(c_p) AS BIGINT) AS gsz
+  FROM gh GROUP BY 1, 2
+),
+grid AS (SELECT g.c_nationkey, g.c_mktsegment, g.gsz, b.sv, b.c_q
+         FROM grps g CROSS JOIN bins b),
+j AS (
+  SELECT grid.c_nationkey, grid.c_mktsegment, grid.gsz, grid.sv, grid.c_q,
+         coalesce(gh.c_p, 0) AS c_p
+  FROM grid LEFT JOIN gh
+    ON gh.c_nationkey IS NOT DISTINCT FROM grid.c_nationkey
+   AND gh.c_mktsegment IS NOT DISTINCT FROM grid.c_mktsegment
+   AND gh.sv IS NOT DISTINCT FROM grid.sv
+),
+tot AS (SELECT sum(c_q) AS n_total FROM bins),
+cdf AS (
+  SELECT c_nationkey, c_mktsegment, gsz,
+         abs(sum(c_p * 1.0 / gsz - c_q * 1.0 / n_total) OVER ord) AS d,
+         count(*) OVER gw AS m
+  FROM j CROSS JOIN tot
+  WINDOW gw AS (PARTITION BY c_nationkey, c_mktsegment),
+         ord AS (PARTITION BY c_nationkey, c_mktsegment
+                 ORDER BY sv ASC NULLS LAST ROWS UNBOUNDED PRECEDING)
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(max(gsz) AS BIGINT) AS group_size,
+       round(CASE WHEN max(m) > 1 THEN sum(d) / (max(m) - 1)
+                  ELSE 0.0 END, 6) AS t_distance,
+       (CASE WHEN max(m) > 1 THEN sum(d) / (max(m) - 1)
+             ELSE 0.0 END) > 0.15 AS at_risk_t
+FROM cdf GROUP BY 1, 2
+"""
+
+
 _SQL_K_ANONYMITY = """
 SELECT c_nationkey, c_mktsegment,
        CAST(count(*) AS BIGINT) AS group_size,
@@ -5554,6 +5618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_check": _q_od_check,
         "pii_scan": _q_pii_scan,
         "k_anonymity": _q_k_anonymity,
+        "t_closeness": _q_t_closeness,
         "mi_profile": _q_mi_profile,
         "sd_check": _q_sd_check,
         "benford_profile": _q_benford_profile,
@@ -5670,6 +5735,7 @@ def oracle_sql() -> dict[str, str]:
         "od_check": _SQL_OD_CHECK,
         "pii_scan": _SQL_PII_SCAN,
         "k_anonymity": _SQL_K_ANONYMITY,
+        "t_closeness": _SQL_T_CLOSENESS,
         "mi_profile": _sql_mi_profile(),
         "sd_check": _SQL_SD_CHECK,
         "benford_profile": _SQL_BENFORD_PROFILE,

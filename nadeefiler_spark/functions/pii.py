@@ -139,3 +139,109 @@ def k_anonymity(
         out = out.withColumn("at_risk_l", F.col("n_sensitive") < F.lit(l))
         return out.where(F.col("at_risk_k") | F.col("at_risk_l"))
     return out.where(F.col("at_risk_k"))
+
+
+def t_closeness(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive: Column | str,
+    t: float = 0.2,
+    ordered: bool = True,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007): per
+    quasi-identifier group, the earth-mover distance between the
+    group's SENSITIVE-value distribution and the whole table's — the
+    member of the release-risk family :func:`k_anonymity` (and its
+    l-diversity flag) cannot see: a group can be k-anonymous and
+    l-diverse while its salary mix still screams "all executives".
+
+    Distances follow the paper's two ground metrics:
+
+    - ``ordered=True`` (numeric/ordinal sensitive attribute): EMD with
+      equal rank steps over the table's distinct sensitive values,
+      D = sum_i |CDF_p(i) - CDF_q(i)| / (m - 1) with m = #distinct
+      values (0 when m == 1 — nothing can differ).
+    - ``ordered=False`` (categorical): total variation distance,
+      D = (1/2) sum_v |p(v) - q(v)|.
+
+    Both are in [0, 1]. High-cardinality NUMERIC attributes should be
+    pre-bucketed by passing an expression (e.g. ``F.floor(F.col("bal")
+    / 1000)``) — rank-EMD over near-unique raw values measures row
+    identity, not distribution shape.
+
+    Returns ONE ROW PER GROUP (not only risky ones — the full table is
+    the useful audit artifact): (qi_cols..., group_size, t_distance,
+    at_risk_t) with ``at_risk_t = t_distance > t``. NULL sensitive
+    values form a bin like any other (the paper's domain is whatever
+    the release discloses; NULL is disclosed too); for ordered EMD the
+    NULL bin sorts last, matching SQL NULLS LAST so the oracle agrees.
+
+    Scale story (10^12 rows): one groupBy(qi..., value) over the scan
+    (partial agg map-side; shuffle ∝ #groups x NDV(sensitive) — bounded
+    by the bucketing contract above); the GLOBAL histogram re-aggregates
+    that output (sketch-sized, no second scan), and the grid-align join
+    + CDF window run entirely on histogram rows — the same shape as the
+    drift family (drift.drift_metrics / wasserstein_drift), which this
+    deliberately mirrors: t-closeness IS a drift test where "partition"
+    means "QI group".
+    """
+    from pyspark.sql import Window
+
+    s = _col(sensitive).alias("_sv")
+    gh = df.groupBy(*[F.col(c) for c in qi_cols], s).agg(
+        F.count(F.lit(1)).alias("c_p")
+    )
+    # global histogram and bin list derive from the group histogram —
+    # sketch-sized re-aggregation, the table is scanned exactly once
+    bins = gh.groupBy("_sv").agg(F.sum("c_p").alias("c_q"))
+    groups = gh.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.sum("c_p").alias("group_size")
+    )
+    grid = groups.join(bins, how="cross")
+    # null-safe join keys: NULL is a legitimate QI value AND a
+    # legitimate sensitive bin (see docstring); a plain equi-join would
+    # silently zero every NULL-keyed histogram cell
+    ghr = gh.select(
+        *[F.col(c).alias(f"_g_{c}") for c in qi_cols],
+        F.col("_sv").alias("_g_sv"),
+        "c_p",
+    )
+    cond = F.col("_sv").eqNullSafe(F.col("_g_sv"))
+    for c in qi_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_g_{c}"))
+    j = (
+        grid.join(ghr, cond, "left")
+        .drop("_g_sv", *[f"_g_{c}" for c in qi_cols])
+        .fillna(0, subset=["c_p"])
+    )
+
+    gw = Window.partitionBy(*[F.col(c) for c in qi_cols])
+    n_total = F.sum("c_q").over(gw)  # every partition carries all bins
+    p = F.col("c_p") / F.col("group_size")
+    q = F.col("c_q") / n_total
+    if ordered:
+        ow = gw.orderBy(F.col("_sv").asc_nulls_last()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        gap = F.sum(p - q).over(ow)
+        m = F.count(F.lit(1)).over(gw)
+        contrib = j.select(
+            *qi_cols, "group_size",
+            F.abs(gap).alias("d"),
+            (m > 1).cast("int").alias("has_steps"),
+            m.alias("m"),
+        )
+        dist = F.when(
+            F.max("has_steps") == 1,
+            F.sum("d") / (F.max("m") - F.lit(1)),
+        ).otherwise(F.lit(0.0))
+    else:
+        contrib = j.select(
+            *qi_cols, "group_size", F.abs(p - q).alias("d")
+        )
+        dist = F.sum("d") / F.lit(2.0)
+    out = contrib.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.max("group_size").cast("bigint").alias("group_size"),
+        F.round(dist, 6).alias("t_distance"),
+    )
+    return out.withColumn("at_risk_t", F.col("t_distance") > F.lit(t))

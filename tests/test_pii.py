@@ -169,3 +169,53 @@ def test_k_anonymity_without_sensitive_and_null_qi(spark):
     # NULL is a QI group like any other; 'a' (3 rows) is safe at k=3
     assert got == {"b": 1, None: 1}
     assert "at_risk_l" not in k_anonymity(df, ["qi"], k=3).columns
+
+
+def test_t_closeness_ordered_hand_math(spark):
+    # global: uniform over {1,2,3} (m=3); each group holds one value.
+    # Paper's rank-EMD = sum|CDF diff| / (m-1), hand-computed:
+    #   A (all 1): (|1-1/3| + |1-2/3| + 0) / 2 = 1/2
+    #   B (all 2): (1/3 + 1/3 + 0) / 2 = 1/3
+    #   C (all 3): (1/3 + 2/3 + 0) / 2 = 1/2
+    df = spark.createDataFrame(
+        [("A", 1)] * 3 + [("B", 2)] * 3 + [("C", 3)] * 3, ["g", "v"]
+    )
+    got = {
+        r["g"]: (r["group_size"], r["t_distance"], r["at_risk_t"])
+        for r in pii.t_closeness(df, ["g"], "v", t=0.4).collect()
+    }
+    assert got == {
+        "A": (3, 0.5, True),
+        "B": (3, pytest.approx(1 / 3, abs=1e-6), False),
+        "C": (3, 0.5, True),
+    }
+
+
+def test_t_closeness_categorical_tvd(spark):
+    # TVD of (1,0,0) vs (1/3,1/3,1/3) = (2/3 + 1/3 + 1/3)/2 = 2/3
+    df = spark.createDataFrame(
+        [("A", "x")] * 3 + [("B", "y")] * 3 + [("C", "z")] * 3, ["g", "v"]
+    )
+    got = {
+        r["g"]: r["t_distance"]
+        for r in pii.t_closeness(df, ["g"], "v", ordered=False).collect()
+    }
+    # symmetric by construction: every group is TVD 2/3 from uniform
+    assert got == {k: pytest.approx(2 / 3, abs=1e-6) for k in "ABC"}
+
+
+def test_t_closeness_degenerate_and_null_bin(spark):
+    # single distinct value -> m == 1 -> distance 0 (nothing can move)
+    one = spark.createDataFrame([("A", 5), ("B", 5)], ["g", "v"])
+    got = {r["g"]: r["t_distance"] for r in
+           pii.t_closeness(one, ["g"], "v").collect()}
+    assert got == {"A": 0.0, "B": 0.0}
+    # NULL sensitive values form a real (last-sorted) bin: a group that
+    # is ALL NULL vs a global half-NULL is distance > 0
+    mixed = spark.createDataFrame(
+        [("A", None), ("A", None), ("B", 1), ("B", 1)], ["g", "v"]
+    )
+    got = {r["g"]: r["t_distance"] for r in
+           pii.t_closeness(mixed, ["g"], "v").collect()}
+    # m=2 bins (1, NULL); A: p=(0,1) q=(.5,.5) -> |0-.5|/1 = 0.5
+    assert got == {"A": 0.5, "B": 0.5}
