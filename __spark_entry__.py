@@ -81,6 +81,9 @@ Operator → query map (SURVEY §2 ids in brackets):
 - wasserstein_drift      [validation: earth-mover (W1) distance of each
                           partition's bucketed histogram vs baseline —
                           magnitude-aware companion to the KS max-gap]
+- drift_explain          [validation: top-k bins by PSI contribution
+                          per partition — the "drifted HOW?" localizer
+                          behind every drift_metrics alert]
 - quality_slices         [triage: slice finder — per (dim, value) slice
                           quality mean + standard-error z vs corpus,
                           one melt for all dimensions]
@@ -4430,6 +4433,57 @@ FROM x GROUP BY 1
 """
 
 
+def _q_drift_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift localization (drift.drift_explain): for each event_type's
+    bucketed value histogram, the top-3 bins by PSI contribution vs the
+    pooled baseline — the "drifted HOW?" view behind every
+    drift_metrics alert, over the same profile-stage histograms."""
+    e = _t(spark, sf_dir, "events")
+    cfg = profiler.ProfileConfig(part_col="event_type", bucket_hist_cols={"value": 5.0})
+    hist = profiler.profile_histograms(e, cfg)
+    return drift.drift_explain(hist, drift.global_baseline(hist), k=3)
+
+
+_SQL_DRIFT_EXPLAIN = """
+WITH hist AS (
+  SELECT event_type AS part, 'value' AS key, 'bucket' AS kind,
+         CAST(CAST(floor("value" / 5.0) * 5.0 AS BIGINT) AS VARCHAR) AS bin,
+         count(*) AS c
+  FROM events GROUP BY 1, 4
+),
+base AS (SELECT key, kind, bin, CAST(sum(c) AS BIGINT) AS cq FROM hist GROUP BY 1, 2, 3),
+parts AS (SELECT DISTINCT part, key, kind FROM hist),
+bins AS (SELECT DISTINCT key, kind, bin FROM hist),
+grid AS (SELECT p.part, b.key, b.kind, b.bin FROM parts p JOIN bins b USING (key, kind)),
+j AS (
+  SELECT g.part, g.key, g.kind, g.bin,
+         coalesce(h.c, 0) AS c_p, coalesce(q.cq, 0) AS c_q
+  FROM grid g
+  LEFT JOIN hist h ON h.part = g.part AND h.bin = g.bin
+  LEFT JOIN base q ON q.bin = g.bin
+),
+probs AS (
+  SELECT part, key, kind, bin, c_p, c_q,
+    greatest(c_p / greatest(CAST(sum(c_p) OVER w AS BIGINT), 1), 1e-4) AS p,
+    greatest(c_q / greatest(CAST(sum(c_q) OVER w AS BIGINT), 1), 1e-4) AS q
+  FROM j
+  WINDOW w AS (PARTITION BY part, key, kind)
+),
+ranked AS (
+  SELECT part, key, kind, bin, c_p, c_q, p, q,
+         (p - q) * ln(p / q) AS psi_contrib,
+         row_number() OVER (PARTITION BY part, key, kind
+                            ORDER BY (p - q) * ln(p / q) DESC, bin) AS rank
+  FROM probs
+)
+SELECT part, key, kind, bin,
+       CAST(c_p AS BIGINT) AS c_p, CAST(c_q AS BIGINT) AS c_q,
+       round(p, 6) AS p, round(q, 6) AS q,
+       round(psi_contrib, 6) AS psi_contrib, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def _q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wasserstein-1 drift (drift.wasserstein_drift): earth-mover
     distance of each event_type's bucketed value histogram vs the
@@ -5646,6 +5700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_advisor": _q_layout_advisor,
         "chi2_drift": _q_chi2_drift,
         "wasserstein_drift": _q_wasserstein_drift,
+        "drift_explain": _q_drift_explain,
         "quality_slices": _q_quality_slices,
         "line_dedup": _q_line_dedup,
         "lm_scores": _q_lm_scores,
@@ -5760,6 +5815,7 @@ def oracle_sql() -> dict[str, str]:
         "layout_advisor": _sql_layout_advisor(),
         "chi2_drift": _SQL_CHI2_DRIFT,
         "wasserstein_drift": _SQL_WASSERSTEIN_DRIFT,
+        "drift_explain": _SQL_DRIFT_EXPLAIN,
         "quality_slices": _sql_quality_slices(),
         "line_dedup": _SQL_LINE_DEDUP,
         "lm_scores": _SQL_LM_SCORES,

@@ -84,6 +84,72 @@ def drift_metrics(hist: DataFrame, baseline: DataFrame) -> DataFrame:
     )
 
 
+def drift_explain(
+    hist: DataFrame, baseline: DataFrame, k: int = 3
+) -> DataFrame:
+    """Per (part, key): the top-``k`` bins DRIVING the PSI — the
+    localization step after :func:`drift_metrics` raises an alert. PSI
+    is a sum of per-bin contributions (p - q)·ln(p/q); ranking bins by
+    contribution answers the on-call question "drifted HOW?" — which
+    value range grew, which vanished — without re-scanning anything.
+
+    Same inputs and smoothing as drift_metrics (so contributions sum
+    to exactly the PSI it reported). Returns
+    (part, key, kind, bin, c_p, c_q, p, q, psi_contrib, rank) with
+    rank 1..k per (part, key, kind) by contribution DESC (ties broken
+    by bin for determinism); bins with negative or zero contribution
+    rank after positive ones and still appear when k exceeds the
+    positive count — a part with NO drift simply shows its k least
+    conforming bins with near-zero contributions.
+
+    Plan: the drift_metrics grid-align join + one row_number window
+    over histogram rows — rows ∝ parts x bins, sketch-sized.
+    """
+    p = hist.select("part", "key", "kind", "bin", F.col("count").alias("c_p"))
+    q = baseline.select("key", "kind", "bin", F.col("count").alias("c_q"))
+    part_keys = p.select("part", "key", "kind").distinct()
+    all_bins = q.select("key", "kind", "bin").union(
+        p.select("key", "kind", "bin")
+    ).distinct()
+    grid = part_keys.join(all_bins, ["key", "kind"])
+    joined = (
+        grid.join(p, ["part", "key", "kind", "bin"], "left")
+        .join(q, ["key", "kind", "bin"], "left")
+        .fillna(0, subset=["c_p", "c_q"])
+    )
+    tot = Window.partitionBy("part", "key", "kind")
+    probs = joined.select(
+        "part", "key", "kind", "bin", "c_p", "c_q",
+        F.greatest(
+            F.col("c_p") / F.greatest(F.sum("c_p").over(tot), F.lit(1)),
+            F.lit(EPS),
+        ).alias("p"),
+        F.greatest(
+            F.col("c_q") / F.greatest(F.sum("c_q").over(tot), F.lit(1)),
+            F.lit(EPS),
+        ).alias("q"),
+    )
+    contrib = probs.withColumn(
+        "psi_contrib", (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    )
+    rk = Window.partitionBy("part", "key", "kind").orderBy(
+        F.col("psi_contrib").desc(), F.col("bin")
+    )
+    return (
+        contrib.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= k)
+        .select(
+            "part", "key", "kind", "bin",
+            F.col("c_p").cast("bigint").alias("c_p"),
+            F.col("c_q").cast("bigint").alias("c_q"),
+            F.round("p", 6).alias("p"),
+            F.round("q", 6).alias("q"),
+            F.round("psi_contrib", 6).alias("psi_contrib"),
+            "rank",
+        )
+    )
+
+
 def wasserstein_drift(
     hist: DataFrame, baseline: DataFrame, bin_width: float
 ) -> DataFrame:

@@ -321,3 +321,39 @@ def test_wasserstein_zero_for_identical_and_skips_value_kind(spark):
     # categorical 'value' kind excluded: W1 needs an ordered space
     assert [r["kind"] for r in rows] == ["bucket"]
     assert rows[0]["w1"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_drift_explain_ranks_and_sums_to_psi(spark):
+    p_counts = {"0": 50, "100": 30, "200": 20}
+    q_counts = {"0": 20, "100": 30, "200": 40, "300": 10}
+    hist = _hist_df(spark, [("a", "k", "bucket", b, c) for b, c in p_counts.items()])
+    base = _baseline_df(spark, [("k", "bucket", b, c) for b, c in q_counts.items()])
+    rows = drift.drift_explain(hist, base, k=4).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4]
+    # contributions are DESC and sum to the PSI drift_metrics reports
+    contribs = [r["psi_contrib"] for r in rows]
+    assert contribs == sorted(contribs, reverse=True)
+    psi = drift.drift_metrics(hist, base).collect()[0]["psi"]
+    assert sum(contribs) == pytest.approx(psi, abs=5e-6)
+    # the top contributor is the VANISHED bin: '300' fell 10% -> EPS,
+    # (1e-4 - 0.1)·ln(1e-4/0.1) ≈ 0.690 — bigger than the grown bin
+    # '0' (20% -> 50%, (0.5-0.2)·ln(2.5) ≈ 0.275), which ranks second
+    assert rows[0]["bin"] == "300"
+    assert rows[0]["c_p"] == 0 and rows[0]["p"] == pytest.approx(drift.EPS)
+    assert rows[0]["psi_contrib"] == pytest.approx(
+        (drift.EPS - 0.1) * math.log(drift.EPS / 0.1), abs=1e-6
+    )
+    assert rows[1]["bin"] == "0"
+    assert rows[1]["psi_contrib"] == pytest.approx(
+        (0.5 - 0.2) * math.log(0.5 / 0.2), abs=1e-6
+    )
+
+
+def test_drift_explain_k_truncates(spark):
+    counts = {"0": 10, "100": 20, "200": 30}
+    hist = _hist_df(spark, [("a", "k", "bucket", b, c) for b, c in counts.items()])
+    base = _baseline_df(spark, [("k", "bucket", b, c) for b, c in counts.items()])
+    rows = drift.drift_explain(hist, base, k=2).collect()
+    # no drift: still returns k rows, near-zero contributions
+    assert len(rows) == 2
+    assert all(abs(r["psi_contrib"]) < 1e-9 for r in rows)
