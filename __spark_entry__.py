@@ -163,6 +163,10 @@ Operator → query map (SURVEY §2 ids in brackets):
 - t_closeness            [curation: t-closeness release audit — per-QI
                           rank-EMD (or TVD) of the sensitive-value mix
                           vs the table's, the drift test k/l miss]
+- sampled_certificate    [validation at scale: Hoeffding upper bound on
+                          a partition's violation rate from the
+                          deterministic hash sample — certify without
+                          scanning/decoding everything]
 - mi_profile             [profiling: mutual information / NMI per
                           categorical pair — corr_profile's categorical
                           sibling, shuffle ∝ distinct value pairs]
@@ -3808,6 +3812,71 @@ def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sampled_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-based validation certificate (certify
+    .sampled_violation_bound): per event_type, a Hoeffding 95% upper
+    confidence bound on the rate of value >= 90 rows, computed from the
+    deterministic 25% hash sample — the pattern that lets decode-heavy
+    rules certify 10^12-row partitions from a 1% scan. The sample and
+    the bound are pure integer/closed-form math, so the DuckDB oracle
+    reproduces membership AND bound bit-comparably (the ln(1/delta)
+    constant is injected as one shared double literal)."""
+    from nadeefiler_spark.certify import sampled_violation_bound
+
+    e = _t(spark, sf_dir, "events")
+    return sampled_violation_bound(
+        e,
+        "event_id",
+        F.col("value") >= 90.0,
+        fraction=0.25,
+        part_col="event_type",
+        eps=0.2,
+        delta=0.05,
+    )
+
+
+# the exact double Spark uses for ln(1/delta), shared into the SQL so
+# no transcendental is computed twice by two engines; the sample
+# threshold comes from the same integer function the Spark side uses
+_CERT_LN = __import__("math").log(1.0 / 0.05)
+from nadeefiler_spark.operators.sample import threshold as _cert_thr  # noqa: E402
+
+_SQL_SAMPLED_CERTIFICATE = f"""
+WITH parts AS (SELECT DISTINCT event_type FROM events),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_sampled,
+         CAST(sum(CASE WHEN value >= 90.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_viol
+  FROM events
+  WHERE ((event_id % 2147483648) * 2654435761 + 17) % 2147483648
+        < {_cert_thr(0.25)}
+  GROUP BY 1
+),
+j AS (
+  SELECT p.event_type,
+         coalesce(s.n_sampled, 0) AS n_sampled,
+         coalesce(s.n_viol, 0) AS n_viol
+  FROM parts p LEFT JOIN s USING (event_type)
+),
+b AS (
+  SELECT event_type, n_sampled, n_viol,
+         CASE WHEN n_sampled > 0 THEN n_viol * 1.0 / n_sampled
+              ELSE 0.0 END AS rate_hat,
+         CASE WHEN n_sampled > 0
+              THEN least(1.0, n_viol * 1.0 / n_sampled
+                              + sqrt({_CERT_LN!r} / (2.0 * n_sampled)))
+              ELSE 1.0 END AS rate_ub
+  FROM j
+)
+SELECT event_type, n_sampled, n_viol,
+       round(rate_hat, 6) AS rate_hat,
+       round(rate_ub, 6) AS rate_ub,
+       rate_ub <= 0.2 AS certified
+FROM b
+"""
+
+
 def _q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-closeness audit (functions.pii.t_closeness): per
     (nation x market segment) QI group, rank-EMD between the group's
@@ -5673,6 +5742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": _q_pii_scan,
         "k_anonymity": _q_k_anonymity,
         "t_closeness": _q_t_closeness,
+        "sampled_certificate": _q_sampled_certificate,
         "mi_profile": _q_mi_profile,
         "sd_check": _q_sd_check,
         "benford_profile": _q_benford_profile,
@@ -5791,6 +5861,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan": _SQL_PII_SCAN,
         "k_anonymity": _SQL_K_ANONYMITY,
         "t_closeness": _SQL_T_CLOSENESS,
+        "sampled_certificate": _SQL_SAMPLED_CERTIFICATE,
         "mi_profile": _sql_mi_profile(),
         "sd_check": _SQL_SD_CHECK,
         "benford_profile": _SQL_BENFORD_PROFILE,
