@@ -83,6 +83,20 @@ def sampled_violation_bound(
             parts.join(agg, [part_col], "left")
             .fillna(0, subset=["n_sampled", "n_viol"])
         )
+    return attach_bound(agg, eps, delta, keys=keys)
+
+
+def attach_bound(
+    agg: DataFrame, eps: float, delta: float, keys: list[str] | None = None
+) -> DataFrame:
+    """The closed-form tail shared by :func:`sampled_violation_bound`
+    and the engine's sampled decode-certificate stage: given rows with
+    ``n_sampled`` / ``n_viol`` counts (plus any key columns), append
+    (rate_hat, rate_ub, certified) per the module's Hoeffding bound.
+    n_sampled == 0 yields rate_ub 1.0 / certified false."""
+    keys = keys if keys is not None else [
+        c for c in agg.columns if c not in ("n_sampled", "n_viol")
+    ]
     n = F.col("n_sampled")
     rate = F.when(n > 0, F.col("n_viol") / n).otherwise(F.lit(0.0))
     slack = F.sqrt(F.lit(math.log(1.0 / delta)) / (F.lit(2.0) * n))

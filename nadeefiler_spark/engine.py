@@ -673,6 +673,115 @@ class ValidationEngine:
             (F.col("stage") == "vad") & (F.col("run_id") == run_id)
         )
 
+    def run_certificate(
+        self,
+        clips: DataFrame,
+        fraction: float,
+        eps: float = 0.01,
+        delta: float = 0.05,
+        abs_tol_ms: int = 20,
+        rel_tol: float = 0.02,
+        salt: int = 17,
+        resume: bool = True,
+        run_id: str | None = None,
+    ) -> DataFrame:
+        """Cascade stage: sampled decode-health CERTIFICATE per partition.
+
+        The full audio stage decodes every pending clip; at 10^12 clips
+        a release gate cannot afford that every run. This stage decodes
+        only the deterministic ``fraction`` hash sample of each pending
+        partition — the sample filter runs BEFORE decode_facts, so the
+        binary column of unsampled rows is never decoded — and writes a
+        Hoeffding 1−``delta`` upper confidence bound on each partition's
+        decode-violation rate (certify.attach_bound) to the
+        ``certificates`` table: (part, n_sampled, n_viol, rate_hat,
+        rate_ub, certified) with ``certified = rate_ub <= eps``.
+
+        A sampled violation is the core decode-health triple the exact
+        audio rules check row-by-row: decode failure, decoded sample
+        rate != sr_hz, or |decoded − declared| duration beyond
+        max(abs_tol_ms, rel_tol·dur_ms) (SNR is deliberately NOT
+        rendered — the certificate is the cheap pre-gate; a failed
+        certificate routes the partition to the full audio stage).
+
+        Sampling keys on xxhash64(key_col) folded to [0, 2^31) — string
+        clip ids hash deterministically at any parallelism, so re-runs
+        certify the identical subset and a different ``salt`` draws an
+        independent check. Resume unit = partition (stage
+        ='certificate'); manifest n_rows = sampled clips, n_violations
+        = sampled violating clips. Partitions whose sample is empty
+        surface uncertified (rate_ub 1.0) rather than vanishing.
+        """
+        from .certify import attach_bound
+        from .operators.sample import sample_key, threshold
+
+        run_id = run_id or uuid.uuid4().hex[:12]
+        all_parts = [
+            r[0] for r in clips.select(self.part_col).distinct().collect()
+        ]
+        done: set[str] = set()
+        if resume:
+            done = {
+                r["part"]
+                for r in self.manifest().where(F.col("stage") == "certificate")
+                .select("part").distinct().collect()
+            }
+        pending = [p for p in all_parts if str(p) not in done]
+        if not pending:
+            return self.verdicts().where(
+                (F.col("stage") == "certificate") & (F.col("run_id") == run_id)
+            )
+        t0 = time.monotonic()
+        scoped = clips.where(F.col(self.part_col).isin(pending))
+        key = F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(2**31))
+        sampled = scoped.where(
+            sample_key(key, salt) < F.lit(threshold(fraction))
+        )
+        facts = decode_facts(sampled, with_snr=False)
+        tol = F.greatest(
+            F.lit(float(abs_tol_ms)), F.lit(rel_tol) * F.col("dur_ms")
+        )
+        viol = (
+            F.col("decode_error").isNotNull()
+            | (F.col("dec_sr") != F.col("sr_hz"))
+            | (F.abs(F.col("dec_ms") - F.col("dur_ms")) > tol)
+        )
+        agg = facts.groupBy("part").agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(viol.cast("bigint")).alias("n_viol"),
+        )
+        parts_df = self.spark.createDataFrame(
+            [(str(p),) for p in pending], "part string"
+        )
+        agg = parts_df.join(agg, ["part"], "left").fillna(
+            0, subset=["n_sampled", "n_viol"]
+        )
+        cert = (
+            attach_bound(agg, eps, delta, keys=["part"])
+            .withColumnRenamed("part", self.part_col)
+            .persist()
+        )
+        try:
+            self.io.replace_partitions(
+                cert, "certificates", self.part_col, [str(p) for p in pending]
+            )
+            stats = {
+                str(r[self.part_col]): (r["n_sampled"], r["n_viol"])
+                for r in cert.collect()
+            }
+        finally:
+            cert.unpersist()
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        self._commit(
+            run_id, "certificate", [str(p) for p in pending],
+            {p: int(stats.get(p, (0, 0))[0]) for p in map(str, pending)},
+            {p: int(stats.get(p, (0, 0))[1] or 0) for p in map(str, pending)},
+            wall_ms,
+        )
+        return self.verdicts().where(
+            (F.col("stage") == "certificate") & (F.col("run_id") == run_id)
+        )
+
     def run_admission(
         self,
         clips: DataFrame,

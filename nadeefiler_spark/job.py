@@ -75,6 +75,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the voice-activity audit stage (vad_stats "
                         "table, per-partition resume; violations = clips "
                         "with no detectable speech)")
+    p.add_argument("--certify", type=float, default=None, metavar="FRACTION",
+                   help="run the sampled decode-health certificate stage: "
+                        "decode only this deterministic hash fraction of "
+                        "each partition and write a Hoeffding upper bound "
+                        "on its decode-violation rate (certificates table, "
+                        "per-partition resume; violations = sampled "
+                        "violating clips)")
+    p.add_argument("--certify-eps", type=float, default=0.01,
+                   help="certificate tolerance: certified iff the rate "
+                        "upper bound is <= this (default 0.01)")
     p.add_argument("--index", action="store_true",
                    help="build/refresh the corpus fingerprint index "
                         "(fp_index table, per-partition resume); --admit "
@@ -168,6 +178,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
             clips, resume=not args.no_resume, run_id=args.run_id
         )
         verdicts = verdicts.unionByName(vad_v)
+    if args.certify is not None:
+        cert_v = eng.run_certificate(
+            clips, fraction=args.certify, eps=args.certify_eps,
+            resume=not args.no_resume, run_id=args.run_id,
+        )
+        verdicts = verdicts.unionByName(cert_v)
     if args.index:
         idx_v = eng.run_fp_index(
             clips, resume=not args.no_resume, run_id=args.run_id

@@ -988,3 +988,26 @@ def test_job_regress_baseline_flag(spark, clips_dirs, tmp_path):
     assert eng.manifest().where(
         (F.col("stage") == "suite_regression") & (F.col("part") == "relA")
     ).count() == 1
+
+
+def test_job_certify_flag(spark, clips_dirs, tmp_path):
+    out = str(tmp_path / "out_cert")
+    summary = job.main(
+        ["--clips", f"{clips_dirs}/clips", "--out", out,
+         "--no-audio", "--no-drift", "--certify", "0.4",
+         "--certify-eps", "0.05"],
+        spark=spark,
+    )
+    assert "certificate" in summary["stages"]
+    from nadeefiler_spark.engine import ValidationEngine
+
+    eng = ValidationEngine(spark, out, rules=[])
+    cert = eng.io.read("certificates").collect()
+    clips = spark.read.parquet(f"{clips_dirs}/clips")
+    parts = {r[0] for r in clips.select("part").distinct().collect()}
+    assert {r["part"] for r in cert} == parts
+    n_total = clips.count()
+    n_sampled = sum(r["n_sampled"] for r in cert)
+    assert 0 < n_sampled < n_total  # genuinely a subsample
+    # datagen plants decode violations -> uncertified at a tight eps
+    assert all(r["rate_ub"] > 0 for r in cert)
