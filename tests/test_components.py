@@ -143,3 +143,29 @@ def test_golden_records_quality_election(spark):
     # cluster {10,11}: NULL quality sorts last -> 11 wins
     assert out[10]["keeper_id"] == 11 and out[11]["is_keeper"] is True
     assert out[10]["cluster_size"] == 2
+
+
+def test_fast_path_matches_distributed(spark):
+    # random-ish chain + cliques + isolated self-pair graph, both paths
+    import random
+
+    rng = random.Random(5)
+    pairs = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(0, 40, 2)]
+    pairs += [(f"c{rng.randint(0,9)}", f"c{rng.randint(0,9)}") for _ in range(30)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    fast = components.connected_components(df)  # default: driver path
+    dist = components.connected_components(df, small_graph_limit=0)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, dist.collect()))
+
+
+def test_fast_path_self_pair_isolated_node(spark):
+    # a self-pair contributes a node but no edge: both paths must map
+    # it to itself
+    df = spark.createDataFrame([("x", "x"), ("a", "b")], ["id_a", "id_b"])
+    for limit in (100_000, 0):
+        got = dict(
+            map(tuple, components.connected_components(
+                df, small_graph_limit=limit
+            ).collect())
+        )
+        assert got == {"x": "x", "a": "a", "b": "a"}
