@@ -143,6 +143,14 @@ HEADLINE_QUERIES = (
     "record_outliers",
     "session_concurrency_approx",
     "dup_spans",
+    "ngram_containment",
+    "weighted_sample",
+    "column_match",
+    "expectation_regressions",
+    "wasserstein_drift",
+    "drift_explain",
+    "t_closeness",
+    "sampled_certificate",
 )
 
 
