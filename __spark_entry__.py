@@ -167,6 +167,9 @@ Operator → query map (SURVEY §2 ids in brackets):
                           a partition's violation rate from the
                           deterministic hash sample — certify without
                           scanning/decoding everything]
+- vocab_coverage         [curation: Good-Turing coverage + Chao1
+                          richness per group — "is this language's
+                          long tail exhausted?" from f1/f2 counts]
 - mi_profile             [profiling: mutual information / NMI per
                           categorical pair — corr_profile's categorical
                           sibling, shuffle ∝ distinct value pairs]
@@ -4775,6 +4778,40 @@ FROM counts GROUP BY lang
 """
 
 
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unseen-vocabulary estimation (operators/lm.vocab_coverage):
+    per-language Good-Turing coverage + bias-corrected Chao1 richness
+    from singleton/doubleton counts — the acquisition-stopping signal
+    ("is this language's long tail exhausted?") next to
+    vocab_profile's composition screens, same one-explode plan."""
+    from nadeefiler_spark.operators.lm import vocab_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_coverage(d, "text", ("lang",))
+
+
+_SQL_VOCAB_COVERAGE = """
+WITH pos AS (
+  SELECT lang, unnest(
+    list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS w
+  FROM documents
+),
+counts AS (SELECT lang, w, count(*) AS c FROM pos GROUP BY 1, 2)
+SELECT lang,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS f1,
+       CAST(count(*) FILTER (WHERE c = 2) AS BIGINT) AS f2,
+       round(count(*)
+             + (count(*) FILTER (WHERE c = 1)
+                * (count(*) FILTER (WHERE c = 1) - 1))
+               / (2.0 * (count(*) FILTER (WHERE c = 2) + 1)), 6) AS chao1,
+       round(1.0 - count(*) FILTER (WHERE c = 1) * 1.0 / sum(c), 6)
+         AS coverage
+FROM counts GROUP BY lang
+"""
+
+
 def _q_metric_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run-history anomaly detection (drift.metric_anomaly): the daily
     per-event-type volume series screened against its trailing 7-point
@@ -5775,6 +5812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "lm_scores": _q_lm_scores,
         "vocab_profile": _q_vocab_profile,
+        "vocab_coverage": _q_vocab_coverage,
         "metric_anomaly": _q_metric_anomaly,
         "domain_scores": _q_domain_scores,
         "group_split": _q_group_split,
@@ -5891,6 +5929,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _SQL_LINE_DEDUP,
         "lm_scores": _SQL_LM_SCORES,
         "vocab_profile": _SQL_VOCAB_PROFILE,
+        "vocab_coverage": _SQL_VOCAB_COVERAGE,
         "metric_anomaly": _SQL_METRIC_ANOMALY,
         "domain_scores": _SQL_DOMAIN_SCORES,
         "group_split": _sql_group_split(),

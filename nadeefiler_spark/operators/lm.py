@@ -199,6 +199,77 @@ def vocab_profile(
     )
 
 
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Unseen-vocabulary estimation per group: how much of the type
+    space has this corpus actually seen?
+
+    The classical frequency-of-frequencies estimators (public
+    statistics — Good 1953; Chao 1984):
+
+    - Good–Turing coverage ``coverage = 1 - f1/N``: the estimated
+      probability that the NEXT token is a type already observed
+      (f1 = singleton types, N = tokens). Low coverage means the long
+      tail is still pouring in — sampling more data will keep finding
+      new vocabulary/speakers/entities.
+    - Chao1 richness ``chao1 = D + f1(f1-1)/(2(f2+1))``: a lower-bound
+      estimate of the TRUE number of types (observed D plus an unseen
+      mass inferred from the singleton/doubleton ratio; the +1 is the
+      standard bias-corrected form, defined even when f2 = 0).
+
+    Returns (group…, n_tokens, n_types, f1, f2, chao1, coverage);
+    coverage is NULL when N = 0 never arises (groups come from their
+    own tokens) and rounded to 6 dp.
+
+    Plan: the vocab_profile skeleton verbatim — one explode shuffle to
+    (group, token) counts, then ONE vocabulary-sized aggregation
+    computing all four frequency-of-frequency stats as conditional
+    sums (no second pass over the corpus, no frequency-of-frequency
+    table materialized). Scale-safe at any corpus size; the answer it
+    gives — "this partition's vocabulary is 99.2% covered, that one is
+    still at 91%" — is exactly the acquisition-stopping signal a
+    10^12-clip speech corpus needs per language/domain.
+
+    No reference analog (beyond-reference operator per the task
+    mandate); complements vocab_profile (composition screens) with
+    completeness estimation.
+    """
+    gcols = list(group_cols)
+    counts = (
+        df.select(*gcols, F.explode(tx.tokens(text_col)).alias("w"))
+        .groupBy(*gcols, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    f1, f2 = F.col("f1"), F.col("f2")
+    return (
+        counts.groupBy(*gcols)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum((F.col("c") == 1).cast("bigint")).alias("f1"),
+            F.sum((F.col("c") == 2).cast("bigint")).alias("f2"),
+        )
+        .select(
+            *gcols,
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_types").cast("bigint").alias("n_types"),
+            f1.cast("bigint").alias("f1"),
+            f2.cast("bigint").alias("f2"),
+            F.round(
+                F.col("n_types")
+                + (f1 * (f1 - 1)) / (F.lit(2.0) * (f2 + 1)),
+                6,
+            ).alias("chao1"),
+            F.round(
+                F.lit(1.0) - f1 / F.col("n_tokens"), 6
+            ).alias("coverage"),
+        )
+    )
+
+
 def domain_logratio_scores(
     df: DataFrame,
     target_df: DataFrame,

@@ -1,6 +1,7 @@
 """Bigram-LM scoring + vocab profile (operators/lm.py): hand-computed
 probabilities, pruning/unseen semantics, short-doc NULLs, grouping."""
 
+import pytest
 import math
 
 from pyspark.sql import functions as F
@@ -120,3 +121,31 @@ def test_domain_scores_rank_target_language(spark):
         .collect()
     }
     assert m[True] > m[False]
+
+
+def test_vocab_coverage_hand_math(spark):
+    # corpus: a a a b b c d  -> N=7, D=4, f1={c,d}=2, f2={b}=1
+    # chao1 = 4 + 2*1/(2*(1+1)) = 4.5; coverage = 1 - 2/7
+    from nadeefiler_spark.operators.lm import vocab_coverage
+
+    df = spark.createDataFrame([("a a a b b c d",)], ["text"])
+    r = vocab_coverage(df, "text").collect()[0]
+    assert (r["n_tokens"], r["n_types"], r["f1"], r["f2"]) == (7, 4, 2, 1)
+    assert r["chao1"] == pytest.approx(4.5, abs=1e-9)
+    assert r["coverage"] == pytest.approx(1 - 2 / 7, abs=1e-6)
+
+
+def test_vocab_coverage_no_singletons_saturates(spark):
+    # every type seen twice: f1=0 -> coverage exactly 1, chao1 = D
+    from nadeefiler_spark.operators.lm import vocab_coverage
+
+    df = spark.createDataFrame([("x y x y", "g1"), ("z z", "g2")],
+                               ["text", "g"])
+    got = {r["g"]: r for r in vocab_coverage(df, "text", ("g",)).collect()}
+    assert got["g1"]["coverage"] == 1.0 and got["g1"]["chao1"] == 2.0
+    # f2=0 bias-corrected form stays finite: all-singletons group
+    df2 = spark.createDataFrame([("p q r",)], ["text"])
+    r = vocab_coverage(df2, "text").collect()[0]
+    assert (r["f1"], r["f2"]) == (3, 0)
+    assert r["chao1"] == pytest.approx(3 + 3 * 2 / 2.0, abs=1e-9)  # 6.0
+    assert r["coverage"] == pytest.approx(0.0, abs=1e-9)
