@@ -170,6 +170,9 @@ Operator → query map (SURVEY §2 ids in brackets):
 - vocab_coverage         [curation: Good-Turing coverage + Chao1
                           richness per group — "is this language's
                           long tail exhausted?" from f1/f2 counts]
+- review_allocation      [curation: Neyman-optimal split of a human-QA
+                          budget across strata ∝ N·σ, largest-remainder
+                          integerized to sum exactly to the budget]
 - mi_profile             [profiling: mutual information / NMI per
                           categorical pair — corr_profile's categorical
                           sibling, shuffle ∝ distinct value pairs]
@@ -4812,6 +4815,57 @@ FROM counts GROUP BY lang
 """
 
 
+def _q_review_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman review-budget allocation (operators/sample
+    .neyman_allocation): a 1,000-row human-QA budget split across
+    event_type strata ∝ N_h·σ_h, largest-remainder integerized so the
+    allocations sum exactly to the budget — the 'where do reviewers
+    look this week' planner over an already-aggregated stats table."""
+    from nadeefiler_spark.operators.sample import neyman_allocation
+
+    e = _t(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.stddev_pop("value").alias("sd"),
+    )
+    return neyman_allocation(stats, ["event_type"], "n", "sd", budget=1000)
+
+
+_SQL_REVIEW_ALLOCATION = """
+WITH stats AS (
+  SELECT event_type, count(*) AS n, stddev_pop("value") AS sd
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT event_type, n, coalesce(sd, 0) AS sd,
+         CASE WHEN sum(n * coalesce(sd, 0)) OVER () > 0
+              THEN n * coalesce(sd, 0) / sum(n * coalesce(sd, 0)) OVER ()
+              ELSE n * 1.0 / sum(n) OVER () END AS wt
+  FROM stats
+),
+r AS (
+  SELECT event_type, n, sd, wt,
+         1000.0 * wt AS raw,
+         floor(1000.0 * wt) AS base,
+         1000.0 * wt - floor(1000.0 * wt) AS frac
+  FROM w
+),
+t AS (
+  SELECT event_type, n, sd, wt, base,
+         row_number() OVER (ORDER BY frac DESC, event_type) AS rk,
+         1000 - sum(base) OVER () AS leftover
+  FROM r
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_rows,
+       round(sd, 6) AS spread,
+       round(wt, 6) AS weight,
+       CAST(least(base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END),
+                  n) AS BIGINT) AS alloc
+FROM t
+"""
+
+
 def _q_metric_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run-history anomaly detection (drift.metric_anomaly): the daily
     per-event-type volume series screened against its trailing 7-point
@@ -5813,6 +5867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_scores": _q_lm_scores,
         "vocab_profile": _q_vocab_profile,
         "vocab_coverage": _q_vocab_coverage,
+        "review_allocation": _q_review_allocation,
         "metric_anomaly": _q_metric_anomaly,
         "domain_scores": _q_domain_scores,
         "group_split": _q_group_split,
@@ -5930,6 +5985,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_scores": _SQL_LM_SCORES,
         "vocab_profile": _SQL_VOCAB_PROFILE,
         "vocab_coverage": _SQL_VOCAB_COVERAGE,
+        "review_allocation": _SQL_REVIEW_ALLOCATION,
         "metric_anomaly": _SQL_METRIC_ANOMALY,
         "domain_scores": _SQL_DOMAIN_SCORES,
         "group_split": _sql_group_split(),

@@ -209,3 +209,69 @@ def with_split_by_group(
     return df.withColumn(
         "split", _split_expr(group_split_key(group_col, salt), fractions)
     )
+
+
+def neyman_allocation(
+    stats: DataFrame,
+    strata_cols: list[str],
+    n_col: str,
+    s_col: str,
+    budget: int,
+) -> DataFrame:
+    """Optimal review-budget allocation across strata (Neyman 1934 —
+    the classical stratified-sampling result): given each stratum's
+    size N_h and within-stratum spread s_h, the variance-minimizing
+    split of a fixed budget B is n_h ∝ N_h·s_h. The operational
+    question it answers at 10^12 rows: "we can human-review B clips
+    this week — how many from each language×codec cell?" Big noisy
+    strata get reviewers; big homogeneous strata don't.
+
+    Integerization is largest-remainder (Hamilton): floor every raw
+    share, then +1 to the strata with the largest fractional parts
+    until exactly ``budget`` is placed (ties broken by stratum order —
+    deterministic). Two safeguards, both standard and documented in the
+    output rather than silently patched:
+
+    - all-zero spread (every s_h = 0): weights fall back to
+      proportional-to-N (nothing distinguishes strata).
+    - ``alloc`` is finally capped at N_h (cannot review more rows than
+      exist); the capped remainder is NOT redistributed — the caller
+      sees sum(alloc) < budget and decides (re-run on the uncapped
+      strata, or bank the budget). One-pass contracts beat a hidden
+      fixpoint loop here.
+
+    Input ``stats`` is an already-aggregated per-stratum table (rows ∝
+    #strata — from profile_summary or a one-line groupBy), so every
+    window below runs on sketch-sized data. Returns
+    (strata…, n_rows, spread, weight, alloc).
+    """
+    n, s = F.col(n_col).cast("double"), F.col(s_col).cast("double")
+    w_all = Window.partitionBy()
+    raw_w = n * F.coalesce(s, F.lit(0.0))
+    tot_ns = F.sum(raw_w).over(w_all)
+    tot_n = F.sum(n).over(w_all)
+    weight = F.when(tot_ns > 0, raw_w / tot_ns).otherwise(n / tot_n)
+    base = stats.select(
+        *strata_cols,
+        n.cast("bigint").alias("n_rows"),
+        F.round(F.coalesce(s, F.lit(0.0)), 6).alias("spread"),
+        weight.alias("_w"),
+    ).select(
+        "*",
+        (F.lit(float(budget)) * F.col("_w")).alias("_raw"),
+    )
+    base = base.select(
+        "*",
+        F.floor("_raw").alias("_base"),
+        (F.col("_raw") - F.floor("_raw")).alias("_frac"),
+    )
+    rk = Window.orderBy(F.col("_frac").desc(), *[F.col(c) for c in strata_cols])
+    leftover = F.lit(budget) - F.sum("_base").over(w_all)
+    alloc = F.col("_base") + (F.row_number().over(rk) <= leftover).cast("bigint")
+    return base.select(
+        *strata_cols,
+        "n_rows",
+        "spread",
+        F.round("_w", 6).alias("weight"),
+        F.least(alloc, F.col("n_rows")).cast("bigint").alias("alloc"),
+    )

@@ -333,3 +333,45 @@ def test_weighted_sample_strata_and_bad_weights(spark):
     assert not by_src["a"] & {200, 201, 202}
     ranks = sorted(r["es_rank"] for r in got if r["src"] == "a")
     assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_neyman_allocation_hand_math(spark):
+    from nadeefiler_spark.operators.sample import neyman_allocation
+
+    # N*s: a=100*2=200, b=300*1=300, c=100*0=0 -> weights .4, .6, 0
+    stats = spark.createDataFrame(
+        [("a", 100, 2.0), ("b", 300, 1.0), ("c", 100, 0.0)],
+        ["g", "n", "sd"],
+    )
+    got = {r["g"]: r for r in
+           neyman_allocation(stats, ["g"], "n", "sd", budget=99).collect()}
+    # raw: a=39.6, b=59.4, c=0 -> floors 39+59=98, leftover 1 to the
+    # largest fraction (a: .6 > b: .4)
+    assert got["a"]["alloc"] == 40 and got["b"]["alloc"] == 59
+    assert got["c"]["alloc"] == 0
+    assert sum(r["alloc"] for r in got.values()) == 99
+    assert got["a"]["weight"] == pytest.approx(0.4, abs=1e-9)
+
+
+def test_neyman_allocation_zero_spread_and_cap(spark):
+    from nadeefiler_spark.operators.sample import neyman_allocation
+
+    # all spreads zero -> proportional-to-N fallback
+    stats = spark.createDataFrame(
+        [("a", 10, 0.0), ("b", 30, 0.0)], ["g", "n", "sd"]
+    )
+    got = {r["g"]: r["alloc"] for r in
+           neyman_allocation(stats, ["g"], "n", "sd", budget=8).collect()}
+    assert got == {"a": 2, "b": 6}
+    # allocation capped at the stratum size; capped remainder NOT
+    # silently redistributed (sum < budget, caller decides)
+    # N*s: tiny=3*100=300, big=100*1=100 -> weights .75/.25 ->
+    # raw 75/25; tiny caps at its 3 rows, the capped 72 is NOT
+    # redistributed (sum < budget, caller decides)
+    stats2 = spark.createDataFrame(
+        [("tiny", 3, 100.0), ("big", 100, 1.0)], ["g", "n", "sd"]
+    )
+    got2 = {r["g"]: r["alloc"] for r in
+            neyman_allocation(stats2, ["g"], "n", "sd", budget=100).collect()}
+    assert got2 == {"tiny": 3, "big": 25}
+    assert sum(got2.values()) < 100
