@@ -976,7 +976,8 @@ def _q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no per-(session, partner) groups ever shuffle. Replaces the
     # previous two stacked groupBys whose 20M-group (session, partner)
     # exchange BENCH/BASELINE.md had measured as the dominant cost
-    # (17.8 -> 5.3 s cold / ~0.9 s warm at sf0.1; decomposition there).
+    # (17.8 -> 5.2 s at sf0.1, noop-forced full materialization;
+    # decomposition + the count()-pruning measurement trap there).
     counts = m.groupBy("user", "session_idx").agg(
         F.count(F.lit(1)).alias("n_concurrent"),
         F.sum(
