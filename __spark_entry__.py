@@ -1003,11 +1003,13 @@ def _q_session_concurrency_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     sketch row per session. Historically this was the at-scale
     production path (the exact query used to pay a ~20M-row (session,
     partner) distinct exchange at sf0.1); the predecessor-trick rewrite
-    of _q_session_concurrency made the EXACT query equally combinable,
-    so this variant's remaining edge is the sketch itself: it needs no
-    predecessor column, so it composes with pre-aggregated or streamed
-    match feeds where a global per-user lag is unavailable, and
-    sketches merge across incremental runs. n_concurrent stays exact.
+    of _q_session_concurrency made the EXACT query equally combinable —
+    and measurably CHEAPER (noop-forced at sf0.1: exact 5.2 s vs ~8 s
+    here; a per-row HLL update costs more than the rewrite's boolean
+    sum + one lag window). Kept because the sketch needs no predecessor
+    column: it composes with pre-aggregated or streamed match feeds
+    where a global per-user lag is unavailable, and sketches merge
+    across incremental runs. n_concurrent stays exact.
     No DuckDB oracle (approximate values); accuracy vs the exact query
     is pinned in tests/test_sessions_rollup.py."""
     iv, m = _session_matches(spark, sf_dir)
