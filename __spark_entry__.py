@@ -173,6 +173,9 @@ Operator → query map (SURVEY §2 ids in brackets):
 - review_allocation      [curation: Neyman-optimal split of a human-QA
                           budget across strata ∝ N·σ, largest-remainder
                           integerized to sum exactly to the budget]
+- entropy_l_diversity    [curation: strict entropy form of l-diversity
+                          per QI group — catches the 99%-one-value
+                          group the distinct-count flag passes]
 - mi_profile             [profiling: mutual information / NMI per
                           categorical pair — corr_profile's categorical
                           sibling, shuffle ∝ distinct value pairs]
@@ -3821,6 +3824,42 @@ def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_entropy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy l-diversity (functions.pii.entropy_l_diversity): per
+    (nation x market segment) QI group, Shannon entropy of the bucketed
+    account-balance classes vs ln(l) — the strict diversity form the
+    distinct-count flag in k_anonymity under-approximates."""
+    from nadeefiler_spark.functions.pii import entropy_l_diversity
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 2000)
+    )
+    return entropy_l_diversity(
+        c, ["c_nationkey", "c_mktsegment"], "bal_band", l=4.0
+    )
+
+
+_SQL_ENTROPY_L_DIVERSITY = f"""
+WITH gh AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 2000) AS BIGINT) AS sv, count(*) AS c
+  FROM customer GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_sensitive,
+         sum(c * ln(c)) AS clc
+  FROM gh GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment,
+       n AS group_size, n_sensitive,
+       round(ln(n) - clc / n, 6) AS entropy,
+       (ln(n) - clc / n) < {__import__("math").log(4.0)!r} AS at_risk
+FROM agg
+"""
+
+
 def _q_sampled_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampling-based validation certificate (certify
     .sampled_violation_bound): per event_type, a Hoeffding 95% upper
@@ -5837,6 +5876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": _q_k_anonymity,
         "t_closeness": _q_t_closeness,
         "sampled_certificate": _q_sampled_certificate,
+        "entropy_l_diversity": _q_entropy_l_diversity,
         "mi_profile": _q_mi_profile,
         "sd_check": _q_sd_check,
         "benford_profile": _q_benford_profile,
@@ -5958,6 +5998,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": _SQL_K_ANONYMITY,
         "t_closeness": _SQL_T_CLOSENESS,
         "sampled_certificate": _SQL_SAMPLED_CERTIFICATE,
+        "entropy_l_diversity": _SQL_ENTROPY_L_DIVERSITY,
         "mi_profile": _sql_mi_profile(),
         "sd_check": _SQL_SD_CHECK,
         "benford_profile": _SQL_BENFORD_PROFILE,

@@ -782,6 +782,25 @@ class ValidationEngine:
             (F.col("stage") == "certificate") & (F.col("run_id") == run_id)
         )
 
+    def uncertified_parts(self) -> list[str]:
+        """Partitions whose latest certificate did NOT certify — the
+        routing list the certificate stage exists to produce: feed
+        these to the full audio stage (run() re-scopes itself via the
+        manifest) and skip the rest this release. Reads the
+        certificates table only (sketch-sized)."""
+        cert = self.io.read(
+            "certificates",
+            f"{self.part_col} string, n_sampled bigint, n_viol bigint, "
+            "rate_hat double, rate_ub double, certified boolean",
+        )
+        if cert.isEmpty():
+            return []
+        return [
+            r[self.part_col]
+            for r in cert.where(~F.col("certified"))
+            .select(self.part_col).distinct().collect()
+        ]
+
     def run_admission(
         self,
         clips: DataFrame,

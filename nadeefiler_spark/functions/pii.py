@@ -141,6 +141,52 @@ def k_anonymity(
     return out.where(F.col("at_risk_k"))
 
 
+def entropy_l_diversity(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    l: float = 2.0,
+) -> DataFrame:
+    """Entropy l-diversity (Machanavajjhala et al. 2007, Def. 4.2) —
+    the strict form of the distinct-count flag in :func:`k_anonymity`:
+    a group passes iff the Shannon entropy of its sensitive values is
+    at least ln(l). Distinct-count l-diversity is fooled by a group of
+    100 rows with 99 "flu" and 1 "cancer" (2 distinct values, but an
+    adversary is 99% sure); entropy is not.
+
+    Returns one row per QI group: (qi_cols..., group_size, n_sensitive,
+    entropy, at_risk) with ``at_risk = entropy < ln(l)`` (entropy in
+    nats, rounded 6 dp; a single-value group has entropy exactly 0).
+    NULL sensitive values form a value class like any other, matching
+    k_anonymity's NULL-QI semantics.
+
+    Plan: groupBy(qi..., value) counts, re-aggregated per group with
+    H = ln(n) − Σ c·ln(c) / n (one pass, map-side combinable; the
+    identity avoids computing per-value probabilities before the
+    final division, keeping everything exact integer·log sums) — the
+    same two-level histogram shape as :func:`t_closeness`, rows ∝
+    #groups × NDV(sensitive).
+    """
+    import math as _math
+
+    gh = df.groupBy(
+        *[F.col(c) for c in qi_cols], F.col(sensitive_col).alias("_sv")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    agg = gh.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_sensitive"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("_clc"),
+    )
+    ent = F.log(F.col("n").cast("double")) - F.col("_clc") / F.col("n")
+    return agg.select(
+        *qi_cols,
+        F.col("n").cast("bigint").alias("group_size"),
+        F.col("n_sensitive").cast("bigint").alias("n_sensitive"),
+        F.round(ent, 6).alias("entropy"),
+        (ent < F.lit(_math.log(l))).alias("at_risk"),
+    )
+
+
 def t_closeness(
     df: DataFrame,
     qi_cols: list[str],

@@ -109,3 +109,16 @@ def test_clean_partition_certifies(spark, tmp_path):
     rows = eng.io.read("certificates").collect()
     assert rows and all(r["n_viol"] == 0 for r in rows)
     assert any(bool(r["certified"]) for r in rows)
+
+
+def test_uncertified_parts_routing(spark, clips_dir, tmp_path):
+    clips = spark.read.parquet(f"{clips_dir}/clips")
+    eng = _eng(spark, str(tmp_path / "out"))
+    assert eng.uncertified_parts() == []  # no certificates yet
+    eng.run_certificate(clips, fraction=1.0, eps=0.01, run_id="c1")
+    cert = {r["part"]: bool(r["certified"])
+            for r in eng.io.read("certificates").collect()}
+    routed = set(eng.uncertified_parts())
+    assert routed == {p for p, ok in cert.items() if not ok}
+    # planted datagen violations -> at tight eps everything routes
+    assert routed

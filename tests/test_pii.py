@@ -219,3 +219,38 @@ def test_t_closeness_degenerate_and_null_bin(spark):
            pii.t_closeness(mixed, ["g"], "v").collect()}
     # m=2 bins (1, NULL); A: p=(0,1) q=(.5,.5) -> |0-.5|/1 = 0.5
     assert got == {"A": 0.5, "B": 0.5}
+
+
+def test_entropy_l_diversity_hand_math(spark):
+    import math
+
+    from nadeefiler_spark.functions.pii import entropy_l_diversity
+
+    # A: 99x 'flu', 1x 'cancer' -> 2 distinct (distinct-l=2 passes)
+    # but H = ln(100) - (99 ln 99)/100 = 0.05600... << ln(2): at risk
+    # B: 50/50 -> H = ln(2) exactly: NOT at risk at l=2
+    rows = [("A", "flu")] * 99 + [("A", "cancer")] + \
+           [("B", "flu")] * 50 + [("B", "cancer")] * 50
+    df = spark.createDataFrame(rows, ["g", "s"])
+    got = {r["g"]: r for r in
+           entropy_l_diversity(df, ["g"], "s", l=2.0).collect()}
+    h_a = math.log(100) - (99 * math.log(99)) / 100
+    assert got["A"]["entropy"] == pytest.approx(h_a, abs=1e-6)
+    assert bool(got["A"]["at_risk"]) is True
+    assert got["B"]["entropy"] == pytest.approx(math.log(2), abs=1e-6)
+    assert bool(got["B"]["at_risk"]) is False
+    assert got["A"]["n_sensitive"] == 2  # the distinct count that lies
+
+
+def test_entropy_l_diversity_single_value_and_null(spark):
+    from nadeefiler_spark.functions.pii import entropy_l_diversity
+
+    df = spark.createDataFrame(
+        [("A", "x"), ("A", "x"), ("B", None), ("B", "x")], ["g", "s"]
+    )
+    got = {r["g"]: r for r in
+           entropy_l_diversity(df, ["g"], "s", l=2.0).collect()}
+    assert got["A"]["entropy"] == 0.0 and bool(got["A"]["at_risk"])
+    # NULL is a value class: B is 50/50 (x, NULL) -> ln 2
+    assert got["B"]["n_sensitive"] == 2
+    assert bool(got["B"]["at_risk"]) is False
