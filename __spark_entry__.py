@@ -238,6 +238,13 @@ Operator → query map (SURVEY §2 ids in brackets):
 - binary_meta_docs       [pipeline: multimodal metadata, DuckDB-oracled]
 - audio_validate         [north_star audio rules]       (no DuckDB oracle:
                           binary audio — exact datagen golden, tests/test_hash_twins.py)
+- header_triage          [validation at scale: decode-free triage tier —
+                          container header parse + declared-metadata
+                          cross-check in pure codegen byte arithmetic]
+                          (no DuckDB oracle: binary input — planted set
+                          pinned in tests/test_headerprobe.py)
+- header_probe_sql       [the probe's construct→parse twin over
+                          SQL-built WAV/NDF1 blobs, DuckDB-oracled]
 - bloom_referential      [constraints at scale: bloom runtime-filter
                           semi join — broadcast bits-array probe in
                           codegen prunes the fact scan before the exact
@@ -4062,6 +4069,169 @@ def _q_audio_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("rule", "clip_id", "part")
 
 
+def _q_header_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free triage tier (operators/headerprobe.header_findings):
+    container magic / header rate / header duration / declared-length
+    checks as pure Catalyst byte arithmetic over the synthetic corpus,
+    plus planted rows the decode tier would only see as numpy errors —
+    a truncated WAV (bad_length), a junk blob (unrecognized), and a
+    real-FLAC-magic bitstream (needs_decode). The planted i%239 PCM
+    corruption is deliberately ABSENT from this output: noise preserves
+    the container structure, which is exactly the tier boundary (SNR
+    belongs to the decode pass). No DuckDB oracle (binary input);
+    tests/test_headerprobe.py pins the exact flagged set from row_spec;
+    the oracle-gated construct→parse twin is ``header_probe_sql``."""
+    from nadeefiler_spark.operators.headerprobe import header_findings
+
+    _ensure_pkg_shipped(spark)
+    cfg = datagen.GenConfig(n_rows=1500, seed=5, dur_min_ms=60, dur_max_ms=200)
+    base = datagen.clips_df(spark, cfg)
+    donors = base.where(F.col("clip_id").isin("clip-000000000010", "clip-000000000020"))
+    planted = donors.select(
+        F.concat(F.col("clip_id"), F.lit("-trunc")).alias("clip_id"),
+        # drop the last 10 payload bytes: header still declares full size
+        F.expr("substring(bytes, 1, length(bytes) - 10)").alias("bytes"),
+        "sr_hz", "dur_ms", "codec", "transcript", "part",
+    ).unionByName(
+        donors.select(
+            F.concat(F.col("clip_id"), F.lit("-junk")).alias("clip_id"),
+            F.lit(b"\x00garbage-not-audio").alias("bytes"),
+            "sr_hz", "dur_ms", "codec", "transcript", "part",
+        )
+    ).unionByName(
+        donors.select(
+            F.concat(F.col("clip_id"), F.lit("-flac")).alias("clip_id"),
+            # real FLAC stream marker + opaque tail: probe must route to
+            # the decode tier, not claim a verdict
+            F.concat(F.lit(b"fLaC"), F.col("bytes")).alias("bytes"),
+            "sr_hz", "dur_ms", F.lit("flac").alias("codec"), "transcript", "part",
+        )
+    )
+    out = header_findings(base.unionByName(planted))
+    return (
+        out.where(F.col("hdr_finding").isNotNull())
+        .select(
+            "clip_id",
+            F.coalesce("hdr_codec", F.lit("-")).alias("hdr_codec"),
+            F.coalesce("hdr_sr_hz", F.lit(-1)).alias("hdr_sr_hz"),
+            F.coalesce("hdr_dur_ms", F.lit(-1)).alias("hdr_dur_ms"),
+            F.coalesce("hdr_len_ok", F.lit(False)).alias("hdr_len_ok"),
+            "hdr_finding",
+        )
+        .orderBy("clip_id")
+    )
+
+
+def _q_header_probe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated construct→parse twin of the header probe: WAV and
+    NDF1 container blobs are BUILT in pure SQL (unhex of a hex-string
+    header + repeated payload) from supplier-table integers, then parsed
+    back by operators/headerprobe.header_findings — Spark's byte
+    arithmetic must round-trip every planted field exactly, while the
+    DuckDB oracle derives the same outputs arithmetically from the same
+    source integers. Plants per s_suppkey residue: %11==3 truncated
+    payload (bad_length), %13==4 declared sr_hz off by +1000
+    (rate_mismatch), %17==5 declared dur_ms doubled (duration_mismatch),
+    %19==6 declared codec flipped (codec_mismatch)."""
+    _ensure_pkg_shipped(spark)
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("bigint").alias("k")
+    )
+
+    def le_hex(v):
+        h = F.lpad(F.hex(v), 8, "0")
+        return F.concat(
+            F.substring(h, 7, 2), F.substring(h, 5, 2),
+            F.substring(h, 3, 2), F.substring(h, 1, 2),
+        )
+
+    k = F.col("k")
+    sr = F.element_at(
+        F.array(*[F.lit(v) for v in (8000, 16000, 22050, 44100, 48000)]),
+        (k % 5 + 1).cast("int"),
+    )
+    n = (F.lit(100) + k % 900).cast("bigint")
+    # payload: n 16-bit samples of 0x1A2B, short 3 samples when truncated
+    pay_n = F.when(k % 11 == 3, n - 3).otherwise(n)
+    payload = F.repeat(F.lit("1A2B"), pay_n.cast("int"))
+    wav_hex = F.concat(
+        F.lit("52494646"), le_hex(F.lit(36) + 2 * n), F.lit("57415645"),
+        F.lit("666D7420"), le_hex(F.lit(16)), F.lit("01000100"),
+        le_hex(sr), le_hex(sr * 2), F.lit("02001000"),
+        F.lit("64617461"), le_hex(2 * n), payload,
+    )
+    # NDF1: magic + 'flac' NUL-padded to 10 bytes + sr + n + payload
+    ndf_hex = F.concat(
+        F.lit("4E444631"), F.lit("666C6163" + "00" * 6),
+        le_hex(sr), le_hex(n), payload,
+    )
+    is_wav = k % 2 == 0
+    built_codec = F.when(is_wav, F.lit("pcm_s16le")).otherwise(F.lit("flac"))
+    decl_codec = F.when(
+        k % 19 == 6,
+        F.when(is_wav, F.lit("opus")).otherwise(F.lit("pcm_s16le")),
+    ).otherwise(built_codec)
+    true_dur = F.floor(n * 1000 / sr)
+    rows = s.select(
+        k.alias("id"),
+        F.unhex(F.when(is_wav, wav_hex).otherwise(ndf_hex)).alias("bytes"),
+        decl_codec.alias("codec"),
+        F.when(k % 13 == 4, sr + 1000).otherwise(sr).cast("int").alias("sr_hz"),
+        F.when(k % 17 == 5, true_dur * 2 + 100)
+        .otherwise(true_dur).cast("int").alias("dur_ms"),
+    )
+    from nadeefiler_spark.operators.headerprobe import header_findings
+
+    return (
+        header_findings(rows)
+        .select(
+            "id", "hdr_codec", "hdr_sr_hz", "hdr_n_samples", "hdr_dur_ms",
+            "hdr_len_ok",
+            F.coalesce("hdr_finding", F.lit("ok")).alias("finding"),
+        )
+        .orderBy("id")
+    )
+
+
+_SQL_HEADER_PROBE_SQL = """
+WITH s AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier
+), f AS (
+  SELECT k,
+         ([8000, 16000, 22050, 44100, 48000])[CAST(k % 5 AS INTEGER) + 1] AS sr,
+         100 + k % 900 AS n
+  FROM s
+), d AS (
+  SELECT k, sr, n,
+         CAST(FLOOR(n * 1000 / sr) AS BIGINT) AS true_dur,
+         (k % 11 = 3) AS truncated,
+         CASE WHEN k % 19 = 6 THEN
+              CASE WHEN k % 2 = 0 THEN 'opus' ELSE 'pcm_s16le' END
+              ELSE CASE WHEN k % 2 = 0 THEN 'pcm_s16le' ELSE 'flac' END
+         END AS decl_codec,
+         CASE WHEN k % 2 = 0 THEN 'pcm_s16le' ELSE 'flac' END AS built_codec,
+         CAST(CASE WHEN k % 13 = 4 THEN sr + 1000 ELSE sr END AS INTEGER) AS decl_sr,
+         CAST(CASE WHEN k % 17 = 5 THEN FLOOR(n * 1000 / sr) * 2 + 100
+              ELSE FLOOR(n * 1000 / sr) END AS INTEGER) AS decl_dur
+  FROM f
+)
+SELECT k AS id,
+       built_codec AS hdr_codec,
+       CAST(sr AS INTEGER) AS hdr_sr_hz,
+       n AS hdr_n_samples,
+       true_dur AS hdr_dur_ms,
+       NOT truncated AS hdr_len_ok,
+       CASE WHEN truncated THEN 'bad_length'
+            WHEN built_codec <> decl_codec THEN 'codec_mismatch'
+            WHEN sr <> decl_sr THEN 'rate_mismatch'
+            WHEN abs(true_dur - decl_dur) >
+                 greatest(20.0, 0.02 * decl_dur) THEN 'duration_mismatch'
+            ELSE 'ok' END AS finding
+FROM d
+ORDER BY id
+"""
+
+
 def _q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition signals
     (operators/repetition.py): top-word / top-2-gram character-mass
@@ -5893,6 +6063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_meta": _q_binary_meta,
         "binary_meta_docs": _q_binary_meta_docs,
         "audio_validate": _q_audio_validate,
+        "header_triage": _q_header_triage,
+        "header_probe_sql": _q_header_probe_sql,
         "repetition_profile": _q_repetition_profile,
         "pack_manifest": _q_pack_manifest,
         "label_agreement": _q_label_agreement,
@@ -6013,6 +6185,7 @@ def oracle_sql() -> dict[str, str]:
         "windowed_text_quality": _SQL_WINDOWED_TEXT_QUALITY,
         "embedding_qc": _SQL_EMBEDDING_QC,
         "binary_meta_docs": _SQL_BINARY_META_DOCS,
+        "header_probe_sql": _SQL_HEADER_PROBE_SQL,
         "repetition_profile": _SQL_REPETITION_PROFILE,
         "pack_manifest": _sql_pack_manifest(),
         "label_agreement": _sql_label_agreement(),

@@ -21,6 +21,7 @@ def default_clip_rules(
     with_drift: bool = True,
     with_pii: bool = False,
     with_mvo: bool = False,
+    with_header_triage: bool = False,
 ) -> list[Rule]:
     rules: list[Rule] = [
         UniquenessRule(keys=("clip_id",)),
@@ -39,6 +40,15 @@ def default_clip_rules(
         from .rules.constraints import PiiRule
 
         rules.append(PiiRule(column="transcript"))
+    if with_header_triage:
+        # opt-in: the decode-free triage tier (header magic/rate/length
+        # vs declared columns) folded into the shared constraints scan.
+        # Off by default because the planted container mismatches are
+        # owned by the decode-tier goldens; turn on for the two-tier
+        # layout where decode runs on flagged + sampled rows only.
+        from .rules.audio_rules import HeaderTriageRule
+
+        rules.append(HeaderTriageRule())
     if with_refs:
         rules.append(ReferentialRule(name="ref_integrity", key="clip_id"))
         rules.append(MatchRule(name="transcript_equality", key="clip_id", column="transcript"))

@@ -383,6 +383,50 @@ class AudioQcRule(_AudioRule):
         return self.shape(bad, ctx, self.name, detail)
 
 
+@dataclass
+class HeaderTriageRule(Rule):
+    """Scan-speed header/metadata cross-check — the decode-free tier.
+
+    Pure-expression probe of the container header
+    (operators.headerprobe.finding_expr): codec magic, header sample
+    rate / sample count vs the declared columns, and declared-vs-actual
+    byte length (catches truncated payloads no decode-tier rule sees
+    until numpy errors out). Runs in the cheap ``constraints`` stage via
+    the predicate fast-path, so it folds into that stage's single shared
+    scan instead of adding a pass; real compressed bitstreams
+    (fLaC/OggS/ID3) report ``needs_decode`` only when ``flag_real_codecs``
+    — by default they are left to the decode tier silently.
+
+    NOT in default presets: on the synthetic corpus the planted residues
+    (datagen.row_spec i%227/229/233) are caught by BOTH tiers, and the
+    pinned golden violation sets assume the decode-tier rules own them.
+    Wire it explicitly (presets ``with_header_triage=True``) for the
+    two-tier layout where the decode stage runs on flagged + sampled
+    rows only (operators.headerprobe.triage_route)."""
+
+    name: str = "header_triage"
+    stage: str = "constraints"
+    bytes_col: str = "bytes"
+    abs_tol_ms: int = 20
+    rel_tol: float = 0.02
+    flag_real_codecs: bool = False
+
+    def predicate(self, ctx: RuleContext):
+        from ..operators.headerprobe import finding_expr
+
+        finding = finding_expr(
+            self.bytes_col, abs_tol_ms=self.abs_tol_ms, rel_tol=self.rel_tol
+        )
+        pred = finding.isNotNull()
+        if not self.flag_real_codecs:
+            pred = pred & (finding != F.lit("needs_decode"))
+        return pred, finding
+
+    def violations(self, ctx: RuleContext) -> DataFrame:
+        pred, detail = self.predicate(ctx)
+        return self.shape(ctx.clips.where(pred), ctx, self.name, detail)
+
+
 def default_audio_rules() -> list[Rule]:
     return [
         CodecConsistencyRule(),
