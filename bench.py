@@ -151,6 +151,11 @@ HEADLINE_QUERIES = (
     "drift_explain",
     "t_closeness",
     "sampled_certificate",
+    "header_triage",
+    "header_probe_sql",
+    "vocab_coverage",
+    "review_allocation",
+    "entropy_l_diversity",
 )
 
 
