@@ -71,6 +71,23 @@ class ValidationEngine:
     # catalog (if configured on the session) is picked up automatically,
     # giving transactional per-partition replace (tableio module doc)
     io: object | None = None
+    # Row-level decode triage (None = off, full decode — the default and
+    # the exact-parity mode). When set to a percentage (e.g. 1.0), the
+    # audio stage decodes ONLY clips the header probe flags
+    # (operators.headerprobe.triage_route) plus that percentage of the
+    # probe-clean population as a deterministic audit sample: the
+    # expensive pandas-UDF tier shrinks from |corpus| to |flagged| +
+    # |sample|, the only viable shape at 10^12 clips. Tradeoffs are
+    # explicit: decode-tier rules report violations only for routed
+    # rows (PCM-level defects such as SNR corruption on unsampled clean
+    # rows go unseen — bound that risk with run_certificate, whose
+    # partition-level Hoeffding bound complements this row-level gate),
+    # and the profile stage computes its binary stats with the direct
+    # expression path instead of the fused decode pass (same values:
+    # tests pin fused == direct). Pair with
+    # default_clip_rules(with_header_triage=True) so the probe's own
+    # findings land in the violations table at the constraints stage.
+    triage_sample_pct: float | None = None
 
     def __post_init__(self) -> None:
         if self.io is None:
@@ -180,12 +197,27 @@ class ValidationEngine:
         if rules_by_stage.get("audio") and "bytes" in clips.columns:
             decode_parts = sorted(
                 {str(p) for p in pending_of.get("audio", [])}
-                | {str(p) for p in pending_of["profile"]}
+                | ({str(p) for p in pending_of["profile"]}
+                   if self.triage_sample_pct is None else set())
             )
             if decode_parts:
+                decode_src = clips.where(
+                    F.col(self.part_col).cast("string").isin(decode_parts)
+                )
+                if self.triage_sample_pct is not None:
+                    # two-tier mode: the decode tier sees only rows the
+                    # header probe flagged plus the deterministic audit
+                    # sample; everything else is vouched for at scan
+                    # speed (see triage_sample_pct field doc)
+                    from .operators.headerprobe import triage_route
+
+                    decode_src = triage_route(
+                        decode_src,
+                        key_col=self.key_col,
+                        sample_pct=self.triage_sample_pct,
+                    ).where(F.col("route") == "decode").select(*clips.columns)
                 decoded = decode_facts(
-                    clips.where(F.col(self.part_col).cast("string").isin(decode_parts)),
-                    with_snr=bool(pending_of.get("audio")),
+                    decode_src, with_snr=bool(pending_of.get("audio"))
                 ).persist()
 
         rows_cache: dict[str, int] = {}  # filled by the profile stage
@@ -204,9 +236,15 @@ class ValidationEngine:
                 refs_scoped = refs.where(F.col(self.part_col).isin(pending))
             stage_decoded = None
             if decoded is not None and stage in ("profile", "audio"):
-                stage_decoded = decoded.where(
-                    F.col("part").isin([str(p) for p in pending])
-                )
+                if stage == "profile" and self.triage_sample_pct is not None:
+                    # triage decode is a row subset: its length stats
+                    # would under-count, so profile keeps the direct
+                    # expression path (pinned equal to the fused path)
+                    stage_decoded = None
+                else:
+                    stage_decoded = decoded.where(
+                        F.col("part").isin([str(p) for p in pending])
+                    )
 
             if stage == "profile":
                 n_rows_by_part, n_viol_by_part = self._run_profile(

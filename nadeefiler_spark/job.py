@@ -111,6 +111,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="after the run, screen the manifest's run history "
                         "(per part+stage n_violations series) for trailing-"
                         "window anomalies and report the count")
+    p.add_argument("--triage", type=float, default=None, metavar="SAMPLE_PCT",
+                   help="two-tier audio validation: decode only clips the "
+                        "header probe flags plus SAMPLE_PCT%% of the "
+                        "probe-clean population as a deterministic audit "
+                        "sample (engine.triage_sample_pct); adds the "
+                        "header_triage rule to the constraints stage so "
+                        "probe findings land in the violations table")
     p.add_argument("--run-id", default=None)
     return p
 
@@ -143,8 +150,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
             with_drift=not args.no_drift,
             with_pii=args.pii,
             with_mvo=args.mvo,
+            with_header_triage=args.triage is not None,
         ),
         profile_cfg=default_clips_config(),
+        triage_sample_pct=args.triage,
     )
     verdicts = eng.run(clips, refs=refs, resume=not args.no_resume, run_id=args.run_id)
     if args.semantic_kb:
