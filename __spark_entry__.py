@@ -245,6 +245,8 @@ Operator → query map (SURVEY §2 ids in brackets):
                           pinned in tests/test_headerprobe.py)
 - header_probe_sql       [the probe's construct→parse twin over
                           SQL-built WAV/NDF1 blobs, DuckDB-oracled]
+- probe_stats_sql        [grouped probe-health dashboard aggregation
+                          (streaming ingest-gate twin), DuckDB-oracled]
 - bloom_referential      [constraints at scale: bloom runtime-filter
                           semi join — broadcast bits-array probe in
                           codegen prunes the fact scan before the exact
@@ -4122,18 +4124,15 @@ def _q_header_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_header_probe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-gated construct→parse twin of the header probe: WAV and
-    NDF1 container blobs are BUILT in pure SQL (unhex of a hex-string
-    header + repeated payload) from supplier-table integers, then parsed
-    back by operators/headerprobe.header_findings — Spark's byte
-    arithmetic must round-trip every planted field exactly, while the
-    DuckDB oracle derives the same outputs arithmetically from the same
-    source integers. Plants per s_suppkey residue: %11==3 truncated
-    payload (bad_length), %13==4 declared sr_hz off by +1000
-    (rate_mismatch), %17==5 declared dur_ms doubled (duration_mismatch),
-    %19==6 declared codec flipped (codec_mismatch)."""
-    _ensure_pkg_shipped(spark)
+def _built_probe_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV and NDF1 container blobs BUILT in pure SQL (unhex of a
+    hex-string header + repeated payload) from supplier-table integers,
+    with planted defects per s_suppkey residue: %11==3 truncated payload
+    (bad_length), %13==4 declared sr_hz off by +1000 (rate_mismatch),
+    %17==5 declared dur_ms doubled (duration_mismatch), %19==6 declared
+    codec flipped (codec_mismatch). Shared by the ``header_probe_sql``
+    and ``probe_stats_sql`` contract queries; the DuckDB oracles derive
+    the same outputs arithmetically from the same source integers."""
     s = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("bigint").alias("k")
     )
@@ -4172,7 +4171,7 @@ def _q_header_probe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_wav, F.lit("opus")).otherwise(F.lit("pcm_s16le")),
     ).otherwise(built_codec)
     true_dur = F.floor(n * 1000 / sr)
-    rows = s.select(
+    return s.select(
         k.alias("id"),
         F.unhex(F.when(is_wav, wav_hex).otherwise(ndf_hex)).alias("bytes"),
         decl_codec.alias("codec"),
@@ -4180,10 +4179,18 @@ def _q_header_probe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k % 17 == 5, true_dur * 2 + 100)
         .otherwise(true_dur).cast("int").alias("dur_ms"),
     )
+
+
+def _q_header_probe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated construct→parse twin of the header probe
+    (operators/headerprobe.header_findings over :func:`_built_probe_rows`
+    blobs): Spark's byte arithmetic must round-trip every planted field
+    exactly against the DuckDB oracle's pure-arithmetic derivation."""
+    _ensure_pkg_shipped(spark)
     from nadeefiler_spark.operators.headerprobe import header_findings
 
     return (
-        header_findings(rows)
+        header_findings(_built_probe_rows(spark, sf_dir))
         .select(
             "id", "hdr_codec", "hdr_sr_hz", "hdr_n_samples", "hdr_dur_ms",
             "hdr_len_ok",
@@ -4229,6 +4236,59 @@ SELECT k AS id,
             ELSE 'ok' END AS finding
 FROM d
 ORDER BY id
+"""
+
+
+def _q_probe_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated grouped probe health (operators/headerprobe
+    .probe_stats over the :func:`_built_probe_rows` blobs, grouped by
+    k%3): per group, clip count, flagged count, one conditional-sum
+    column per finding kind, and the flagged rate — the map-side-
+    combinable dashboard aggregation the streaming ingest gate
+    (streaming.windowed_probe_stats) runs per event-time window."""
+    _ensure_pkg_shipped(spark)
+    from nadeefiler_spark.operators.headerprobe import probe_stats
+
+    rows = _built_probe_rows(spark, sf_dir).withColumn(
+        "grp", (F.col("id") % 3).cast("int")
+    )
+    return probe_stats(rows, by=("grp",)).orderBy("grp")
+
+
+_SQL_PROBE_STATS_SQL = """
+WITH s AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier
+), f AS (
+  SELECT k,
+         ([8000, 16000, 22050, 44100, 48000])[CAST(k % 5 AS INTEGER) + 1] AS sr,
+         100 + k % 900 AS n
+  FROM s
+), d AS (
+  SELECT k,
+         CASE WHEN k % 11 = 3 THEN 'bad_length'
+              WHEN (CASE WHEN k % 19 = 6 THEN 1 ELSE 0 END) = 1 THEN 'codec_mismatch'
+              WHEN k % 13 = 4 THEN 'rate_mismatch'
+              WHEN k % 17 = 5 AND abs(FLOOR(n * 1000 / sr) -
+                   (FLOOR(n * 1000 / sr) * 2 + 100)) >
+                   greatest(20.0, 0.02 * (FLOOR(n * 1000 / sr) * 2 + 100))
+                   THEN 'duration_mismatch'
+              ELSE NULL END AS finding
+  FROM f
+)
+SELECT CAST(k % 3 AS INTEGER) AS grp,
+       COUNT(*) AS n_clips,
+       CAST(sum(CASE WHEN finding IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(sum(CASE WHEN finding = 'unrecognized' THEN 1 ELSE 0 END) AS BIGINT) AS n_unrecognized,
+       CAST(sum(CASE WHEN finding = 'bad_length' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_length,
+       CAST(sum(CASE WHEN finding = 'bad_rate' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_rate,
+       CAST(sum(CASE WHEN finding = 'codec_mismatch' THEN 1 ELSE 0 END) AS BIGINT) AS n_codec_mismatch,
+       CAST(sum(CASE WHEN finding = 'rate_mismatch' THEN 1 ELSE 0 END) AS BIGINT) AS n_rate_mismatch,
+       CAST(sum(CASE WHEN finding = 'duration_mismatch' THEN 1 ELSE 0 END) AS BIGINT) AS n_duration_mismatch,
+       CAST(sum(CASE WHEN finding = 'needs_decode' THEN 1 ELSE 0 END) AS BIGINT) AS n_needs_decode,
+       round(CAST(avg(CASE WHEN finding IS NOT NULL THEN 1.0 ELSE 0.0 END) AS DOUBLE), 6) AS flagged_rate
+FROM d
+GROUP BY 1
+ORDER BY grp
 """
 
 
@@ -6065,6 +6125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_validate": _q_audio_validate,
         "header_triage": _q_header_triage,
         "header_probe_sql": _q_header_probe_sql,
+        "probe_stats_sql": _q_probe_stats_sql,
         "repetition_profile": _q_repetition_profile,
         "pack_manifest": _q_pack_manifest,
         "label_agreement": _q_label_agreement,
@@ -6186,6 +6247,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_qc": _SQL_EMBEDDING_QC,
         "binary_meta_docs": _SQL_BINARY_META_DOCS,
         "header_probe_sql": _SQL_HEADER_PROBE_SQL,
+        "probe_stats_sql": _SQL_PROBE_STATS_SQL,
         "repetition_profile": _SQL_REPETITION_PROFILE,
         "pack_manifest": _sql_pack_manifest(),
         "label_agreement": _sql_label_agreement(),

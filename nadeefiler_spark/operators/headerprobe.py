@@ -235,3 +235,44 @@ def triage_route(
         F.col("hdr_finding").isNotNull() | sampled, F.lit("decode")
     ).otherwise(F.lit("probe_only"))
     return p.select("*", route.alias("route"))
+
+
+FINDING_KINDS = (
+    "unrecognized", "bad_length", "bad_rate", "codec_mismatch",
+    "rate_mismatch", "duration_mismatch", "needs_decode",
+)
+
+
+def probe_stat_exprs() -> list[Column]:
+    """Aggregates over a :func:`header_findings` frame — all conditional
+    sums, so every one is map-side combinable and the shuffle carries
+    one row per group regardless of corpus size."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum(F.col("hdr_finding").isNotNull().cast("bigint")).alias("n_flagged"),
+    ]
+    aggs += [
+        F.sum((F.col("hdr_finding") == k).cast("bigint")).alias(f"n_{k}")
+        for k in FINDING_KINDS
+    ]
+    aggs.append(
+        F.round(
+            F.avg(F.col("hdr_finding").isNotNull().cast("double")), 6
+        ).alias("flagged_rate")
+    )
+    return aggs
+
+
+def probe_stats(
+    df: DataFrame,
+    by: tuple[str, ...] = ("part",),
+    bytes_col: str = "bytes",
+    **finding_kwargs,
+) -> DataFrame:
+    """Per-group probe health: clip count, flagged count, one column per
+    finding kind, and the flagged rate — the corpus-integrity dashboard
+    row the triage tier produces for free (probe + one grouped agg, no
+    decode). ``by=()`` gives the global row."""
+    p = header_findings(df, bytes_col, **finding_kwargs)
+    grouped = p.groupBy(*[F.col(c) for c in by]) if by else p.groupBy()
+    return grouped.agg(*probe_stat_exprs())

@@ -638,3 +638,39 @@ def embedding_drift_monitor(
         .option("checkpointLocation", checkpoint)
         .foreachBatch(process)
     )
+
+
+def windowed_probe_stats(
+    clips: DataFrame,
+    ts_col: str = "ts",
+    bytes_col: str = "bytes",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time ingest gate on the header probe: per window,
+    clip count, probe-flagged count, per-finding counts, and the
+    flagged rate — the FIRST check a continuously-fed audio corpus
+    should run, because it is decode-free (operators.headerprobe: pure
+    scan-stage byte arithmetic) yet catches truncation, container/
+    metadata mismatches, and junk deliveries at the door.
+
+    Same dual-mode contract as :func:`windowed_event_stats`: ONE
+    definition — batch (exact full-input answer) and streaming (append
+    mode, state bounded to open windows by the watermark). The probe
+    columns are plain expressions, so the streaming side is a built-in
+    windowed agg — no foreachBatch, no custom state.
+    """
+    from .operators.headerprobe import header_findings, probe_stat_exprs
+
+    src = clips.withWatermark(ts_col, watermark) if clips.isStreaming else clips
+    return (
+        header_findings(src, bytes_col)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(*probe_stat_exprs())
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "*",
+        )
+        .drop("w")
+    )

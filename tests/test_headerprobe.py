@@ -195,3 +195,83 @@ def test_header_triage_rule_in_engine(spark, tmp_path):
         if f is not None:
             expected.add((spec["clip_id"], f))
     assert got == expected
+
+
+def test_probe_stats_batch_totals(spark):
+    from nadeefiler_spark.operators.headerprobe import probe_stats
+
+    clips = datagen.clips_df(spark, CFG)
+    row = probe_stats(clips, by=()).collect()[0]
+    expected = {}
+    for i in range(CFG.n_rows):
+        spec = datagen.row_spec(i, CFG)
+        f = expected_finding(spec)
+        expected[f] = expected.get(f, 0) + 1
+    assert row["n_clips"] == CFG.n_rows
+    assert row["n_flagged"] == CFG.n_rows - expected.get(None, 0)
+    assert row["n_codec_mismatch"] == expected.get("codec_mismatch", 0)
+    assert row["n_rate_mismatch"] == expected.get("rate_mismatch", 0)
+    assert row["n_duration_mismatch"] == expected.get("duration_mismatch", 0)
+    assert row["n_unrecognized"] == 0 and row["n_bad_length"] == 0
+    assert row["flagged_rate"] == round(row["n_flagged"] / CFG.n_rows, 6)
+
+
+def test_windowed_probe_stats_stream_equals_batch(spark, tmp_path):
+    import datetime as dt
+
+    from nadeefiler_spark.streaming import windowed_probe_stats
+
+    def h(hour, minute=0):
+        return dt.datetime(2026, 1, 1, hour, minute)
+
+    spec = datagen.row_spec(10, CFG)
+    good = datagen.render_row_bytes(spec)
+    mk = lambda b: (b, spec["sr_hz"], spec["dur_ms"], spec["codec"])
+    src = str(tmp_path / "feed")
+    f1 = [
+        (h(0, 5), *mk(good)),
+        (h(0, 40), *mk(good[:-10])),          # truncated -> bad_length
+        (h(1, 10), *mk(b"\x00junk-delivery")),  # unrecognized
+    ]
+    f2 = [
+        (h(1, 30), *mk(good)),
+        # real bitstream magic with MATCHING declared codec: deferred to
+        # the decode tier (a mismatched declaration would be
+        # codec_mismatch, which outranks needs_decode)
+        (h(2, 15), b"fLaC" + good, spec["sr_hz"], spec["dur_ms"], "flac"),
+    ]
+    schema = "ts timestamp, bytes binary, sr_hz int, dur_ms int, codec string"
+    for rows in (f1, f2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        windowed_probe_stats(stream)
+        .writeStream.format("memory")
+        .queryName("wps_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def canon(df):
+        return sorted(
+            (str(r["window_start"]), r["n_clips"], r["n_flagged"],
+             r["n_bad_length"], r["n_unrecognized"], r["n_needs_decode"])
+            for r in df.collect()
+        )
+
+    batch = windowed_probe_stats(spark.read.parquet(src))
+    got = canon(spark.table("wps_complete"))
+    assert got == canon(batch)
+    by_hour = {g[0]: g for g in got}
+    assert by_hour[str(h(0))][1:] == (2, 1, 1, 0, 0)  # trunc flagged
+    assert by_hour[str(h(1))][1:] == (2, 1, 0, 1, 0)  # junk flagged
+    assert by_hour[str(h(2))][1:] == (1, 1, 0, 0, 1)  # flac deferred
