@@ -153,6 +153,7 @@ HEADLINE_QUERIES = (
     "sampled_certificate",
     "header_triage",
     "header_probe_sql",
+    "probe_stats_sql",
     "vocab_coverage",
     "review_allocation",
     "entropy_l_diversity",

@@ -820,6 +820,35 @@ class ValidationEngine:
             (F.col("stage") == "certificate") & (F.col("run_id") == run_id)
         )
 
+    def invalidate(self, parts, stages: tuple[str, ...] = ("audio",)) -> int:
+        """Drop manifest completion rows for (part, stage) pairs so the
+        next :meth:`run` re-executes exactly those units; returns rows
+        removed. Violations need no cleanup — each stage write is a
+        per-(stage, part) replace, so the re-run rewrites them
+        idempotently.
+
+        Completes the certificate loop: ``run_certificate`` bounds each
+        partition's decode-violation rate from a sample;
+        ``uncertified_parts`` names the partitions whose bound failed;
+        ``invalidate(bad, stages=("audio",))`` re-opens just their
+        audio-stage units; the next ``run`` decodes only those — the
+        cheap-screen → full-rescan escalation a 10^12-clip corpus needs
+        (the reference re-runs whole profilers per dataset,
+        profilers/worker.js:121-144; per-unit re-open is the Spark-side
+        refinement).
+        """
+        parts = [str(p) for p in parts]
+        if not parts or not stages:
+            return 0
+
+        def q(s: str) -> str:
+            return "'" + str(s).replace("\\", "\\\\").replace("'", "''") + "'"
+
+        cond = "part IN ({}) AND stage IN ({})".format(
+            ", ".join(q(p) for p in parts), ", ".join(q(s) for s in stages)
+        )
+        return self.io.delete_matching("manifest", cond, MANIFEST_SCHEMA)
+
     def uncertified_parts(self) -> list[str]:
         """Partitions whose latest certificate did NOT certify — the
         routing list the certificate stage exists to produce: feed

@@ -153,6 +153,29 @@ class ParquetDirIO:
         when ``df`` is derived from the table itself (purge rewrites)."""
         self._swap_in(df, table, partition_by=partition_by)
 
+    def delete_matching(self, table: str, condition_sql: str,
+                        schema: str | None = None) -> int:
+        """Delete rows matching a SQL predicate; returns rows removed.
+
+        Parquet backend: read → filter → sibling-write + rename swap
+        (same crash-recoverable mechanics as :meth:`compact`; safe for
+        sketch-sized bookkeeping tables like the manifest, which is the
+        intended use — invalidating completion rows so the engine
+        re-runs specific (part, stage) units). The Iceberg backend is a
+        single ``DELETE FROM`` commit with no swap window.
+        """
+        from pyspark.sql import functions as F
+
+        df = self.read(table, schema)
+        if df.isEmpty():
+            return 0
+        cond = F.expr(condition_sql)
+        removed = df.where(cond).count()
+        if removed == 0:
+            return 0
+        self._swap_in(df.where(~cond), table)
+        return removed
+
     def compact(self, table: str, max_files: int, schema: str | None = None) -> None:
         """Rewrite the table as one file once its listing exceeds
         max_files (write-sibling + rename swap; see engine docstring for
@@ -270,6 +293,19 @@ class IcebergTableIO:
             df = df.coalesce(coalesce)
         self._ensure(df, table, [])
         df.writeTo(self._full(table)).append()
+
+    def delete_matching(self, table: str, condition_sql: str,
+                        schema: str | None = None) -> int:
+        """Single-commit ``DELETE FROM`` of rows matching the predicate;
+        returns rows removed (counted in the same session before the
+        delete — Iceberg's commit is atomic, so no swap window)."""
+        if not self._exists(table):
+            return 0
+        full = self._full(table)
+        removed = self.spark.table(full).where(condition_sql).count()
+        if removed:
+            self.spark.sql(f"DELETE FROM {full} WHERE {condition_sql}")
+        return removed
 
     def compact(self, table: str, max_files: int, schema: str | None = None) -> None:
         # Iceberg snapshots bound metadata growth; data-file compaction is

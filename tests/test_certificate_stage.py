@@ -122,3 +122,42 @@ def test_uncertified_parts_routing(spark, clips_dir, tmp_path):
     assert routed == {p for p, ok in cert.items() if not ok}
     # planted datagen violations -> at tight eps everything routes
     assert routed
+
+
+def test_invalidate_reopens_units(spark, clips_dir, tmp_path):
+    """certificate loop closure: invalidate (part, stage) units and the
+    next run() redoes exactly those, idempotently."""
+    from pyspark.sql import functions as F
+
+    from nadeefiler_spark.engine import ValidationEngine
+    from nadeefiler_spark.presets import default_clip_rules
+    from nadeefiler_spark.profiler import default_clips_config
+
+    out = str(tmp_path / "out")
+    clips = spark.read.parquet(f"{clips_dir}/clips")
+    refs = spark.read.parquet(f"{clips_dir}/transcript_refs")
+    eng = ValidationEngine(
+        spark, out, rules=default_clip_rules(with_drift=False),
+        profile_cfg=default_clips_config(),
+    )
+    eng.run(clips, refs, run_id="r1")
+    before = eng.violations().orderBy("stage", "rule", "clip_id").collect()
+    parts = [r["part"] for r in eng.manifest().select("part").distinct().collect()]
+    victim = sorted(parts)[0]
+
+    removed = eng.invalidate([victim], stages=("audio",))
+    assert removed == 1
+    # unit is gone from the manifest; everything else intact
+    m = eng.manifest()
+    assert m.where(
+        (F.col("part") == victim) & (F.col("stage") == "audio")
+    ).isEmpty()
+    assert eng.invalidate([victim], stages=("audio",)) == 0  # idempotent
+
+    # re-run redoes ONLY the invalidated unit...
+    v2 = eng.run(clips, refs, run_id="r2")
+    redone = {(r["part"], r["stage"]) for r in v2.collect()}
+    assert redone == {(victim, "audio")}
+    # ...and the violations table converges to the original state
+    after = eng.violations().orderBy("stage", "rule", "clip_id").collect()
+    assert after == before

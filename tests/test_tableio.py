@@ -177,3 +177,23 @@ def test_replace_partitions_with_special_characters(spark, tmp_path):
     got = io.read("t", "part string, v int").toPandas()
     assert len(got) == len(parts)  # no duplicates
     assert set(got["part"]) == set(parts)
+
+
+def test_delete_matching_parquet(spark, tmp_path):
+    io = ParquetDirIO(spark, str(tmp_path))
+    schema = "part string, stage string, n bigint"
+    df = spark.createDataFrame(
+        [("a", "audio", 1), ("a", "profile", 2), ("it's", "audio", 3)], schema
+    )
+    io.append(df, "manifest")
+    # quote-bearing partition value exercises the predicate escaping the
+    # engine's invalidate() generates
+    removed = io.delete_matching(
+        "manifest", "part IN ('a', 'it''s') AND stage IN ('audio')", schema
+    )
+    assert removed == 2
+    left = {(r["part"], r["stage"]) for r in io.read("manifest", schema).collect()}
+    assert left == {("a", "profile")}
+    # no-match and missing-table are clean no-ops
+    assert io.delete_matching("manifest", "stage = 'nope'", schema) == 0
+    assert io.delete_matching("ghost", "1=1", schema) == 0
