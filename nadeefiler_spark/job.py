@@ -82,6 +82,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "on its decode-violation rate (certificates table, "
                         "per-partition resume; violations = sampled "
                         "violating clips)")
+    p.add_argument("--recheck-uncertified", action="store_true",
+                   help="after the certificate stage, escalate: re-open "
+                        "(invalidate) the audio-stage units of partitions "
+                        "whose Hoeffding bound failed and run the FULL "
+                        "audio stage on exactly those partitions — the "
+                        "cheap-screen -> full-rescan loop in one job "
+                        "(typically with --no-audio so the screen is the "
+                        "only decode until a partition fails it)")
     p.add_argument("--certify-eps", type=float, default=0.01,
                    help="certificate tolerance: certified iff the rate "
                         "upper bound is <= this (default 0.01)")
@@ -193,6 +201,32 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
             resume=not args.no_resume, run_id=args.run_id,
         )
         verdicts = verdicts.unionByName(cert_v)
+        if args.recheck_uncertified:
+            bad = eng.uncertified_parts()
+            if bad:
+                # re-open any previously-completed audio units for the
+                # failed partitions (no-op when --no-audio kept the
+                # screen-only flow), then full-decode exactly those
+                eng.invalidate(bad, stages=("audio",))
+                full_eng = ValidationEngine(
+                    spark,
+                    args.out,
+                    rules=default_clip_rules(
+                        with_refs=refs is not None,
+                        with_audio=True,
+                        with_drift=False,
+                        with_pii=False,
+                    ),
+                    profile_cfg=default_clips_config(),
+                )
+                re_v = full_eng.run(
+                    clips.where(F.col("part").isin(bad)),
+                    refs=refs.where(F.col("part").isin(bad))
+                    if refs is not None else None,
+                    resume=True,
+                    run_id=args.run_id,
+                )
+                verdicts = verdicts.unionByName(re_v)
     if args.index:
         idx_v = eng.run_fp_index(
             clips, resume=not args.no_resume, run_id=args.run_id

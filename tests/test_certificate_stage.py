@@ -161,3 +161,47 @@ def test_invalidate_reopens_units(spark, clips_dir, tmp_path):
     # ...and the violations table converges to the original state
     after = eng.violations().orderBy("stage", "rule", "clip_id").collect()
     assert after == before
+
+
+def test_job_recheck_uncertified_escalates(spark, clips_dir, tmp_path):
+    """screen-only flow (--no-audio --certify) + --recheck-uncertified:
+    failed partitions get a full audio pass; certified ones never decode
+    beyond the sample."""
+    from pyspark.sql import functions as F
+
+    from nadeefiler_spark import job
+    from nadeefiler_spark.engine import ValidationEngine
+
+    out = str(tmp_path / "out")
+    summary = job.main(
+        [
+            "--clips", f"{clips_dir}/clips",
+            "--refs", f"{clips_dir}/transcript_refs",
+            "--out", out,
+            "--no-drift", "--no-audio",
+            "--certify", "0.2", "--certify-eps", "0.005",
+            "--recheck-uncertified",
+        ],
+        spark=spark,
+    )
+    eng = ValidationEngine(spark, out)
+    cert = eng.io.read(
+        "certificates",
+        "part string, n_sampled bigint, n_viol bigint, rate_hat double, "
+        "rate_ub double, certified boolean",
+    )
+    bad = {r["part"] for r in cert.where(~F.col("certified")).collect()}
+    # datagen plants decode violations in every partition at this eps
+    assert bad
+    audio_parts = {
+        r["part"]
+        for r in eng.manifest().where(F.col("stage") == "audio").collect()
+    }
+    assert audio_parts == bad  # full decode ran exactly on failed parts
+    av = eng.violations().where(
+        F.col("rule").isin("audio_codec", "audio_sample_rate",
+                           "audio_duration", "audio_snr")
+    )
+    assert {r["part"] for r in av.select("part").distinct().collect()} <= bad
+    assert av.count() > 0
+    assert not summary["passed"]
