@@ -130,3 +130,62 @@ def test_xxhash_ref_matches_spark_for_arbitrary_strings(spark, texts):
     got = [r["h"] for r in df.select(F.xxhash64("t").alias("h")).collect()]
     want = [to_signed(xxh64_str(t, seed=42)) for t in texts]
     assert got == want
+
+
+# --- header probe fuzz -------------------------------------------------------
+
+blobs = st.binary(min_size=0, max_size=120)
+# bias generation toward the parse-relevant prefixes so magic-matched
+# paths (including invalid-UTF8 NDF1 tags) are actually explored
+magic_blobs = st.one_of(
+    blobs,
+    st.tuples(
+        st.sampled_from([b"RIFF", b"NDF1", b"fLaC", b"OggS", b"ID3", b"\x00"]),
+        blobs,
+    ).map(lambda t: t[0] + t[1]),
+)
+
+
+@PROP
+@given(bs=st.lists(magic_blobs, min_size=1, max_size=25))
+def test_header_probe_never_raises_and_verdicts_are_sound(spark, bs):
+    """ANY byte string must probe without raising (the ANSI-strict
+    decode() crash class), and a NULL finding may only ever be produced
+    by a structurally consistent fixed-layout container."""
+    from nadeefiler_spark.operators.headerprobe import header_findings
+
+    df = spark.createDataFrame(
+        [(str(i), b, 16000, 100, "flac") for i, b in enumerate(bs)],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+    rows = header_findings(df).collect()
+    assert len(rows) == len(bs)
+    for r in rows:
+        if r["hdr_finding"] is None:
+            # probe vouched: parse succeeded, length consistent, rate sane
+            assert r["hdr_ok"] is True
+            assert r["hdr_len_ok"] is True
+            assert r["hdr_sr_hz"] is not None and r["hdr_sr_hz"] > 0
+        if r["hdr_ok"]:
+            blob = bs[int(r["clip_id"])]
+            assert blob[:4] in (b"RIFF", b"NDF1")
+
+
+@PROP
+@given(
+    raw=st.binary(min_size=4, max_size=24),
+    pos=st.integers(min_value=1, max_value=8),
+)
+def test_le_u32_matches_struct_unpack(spark, raw, pos):
+    """Byte-for-byte twin of the hex/conv little-endian parse against
+    Python's struct.unpack at every offset, including short-blob NULLs."""
+    import struct
+
+    from nadeefiler_spark.operators.headerprobe import le_u32
+
+    df = spark.createDataFrame([(raw,)], "b binary")
+    got = df.select(le_u32(F.col("b"), pos).alias("v")).first()["v"]
+    if len(raw) >= pos + 3:
+        assert got == struct.unpack_from("<I", raw, pos - 1)[0]
+    else:
+        assert got is None
