@@ -247,6 +247,9 @@ Operator → query map (SURVEY §2 ids in brackets):
                           SQL-built WAV/NDF1 blobs, DuckDB-oracled]
 - probe_stats_sql        [grouped probe-health dashboard aggregation
                           (streaming ingest-gate twin), DuckDB-oracled]
+- repair_whatif          [repair arc closure: apply modal FD repairs and
+                          recount violating groups before/after,
+                          DuckDB-oracled]
 - bloom_referential      [constraints at scale: bloom runtime-filter
                           semi join — broadcast bits-array probe in
                           codegen prunes the fact scan before the exact
@@ -1365,6 +1368,83 @@ SELECT o.o_orderkey AS id, o.o_custkey, o.o_orderdate,
        CAST(m.group_size AS BIGINT) AS group_size
 FROM orders o JOIN modes m USING (o_custkey, o_orderdate)
 WHERE o.o_totalprice IS DISTINCT FROM m.suggested
+"""
+
+
+def _q_repair_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What-if re-validation closing the repair arc
+    (repair.apply_repairs): apply the fd_repairs suggestions to orders
+    and recount violating (o_custkey, o_orderdate) -> o_totalprice
+    groups before and after (NULL counted as a value). Modal repair
+    makes every flagged group single-valued, so 'after' must recount to
+    zero — but both engines COMPUTE the recount over the patched table
+    rather than assert it. One extra broadcast join + one (lhs)-grouped
+    agg over the patched scan."""
+    from nadeefiler_spark.repair import apply_repairs, suggest_fd_repairs
+
+    orders = _t(spark, sf_dir, "orders")
+    lhs = ["o_custkey", "o_orderdate"]
+    rep = suggest_fd_repairs(orders, lhs, "o_totalprice", "o_orderkey")
+    patched = apply_repairs(orders, rep, "o_totalprice", "o_orderkey")
+
+    def viol_groups(d: DataFrame):
+        per = d.groupBy(*lhs).agg(
+            (
+                F.countDistinct("o_totalprice")
+                + F.max(F.col("o_totalprice").isNull().cast("int"))
+            ).alias("nv")
+        )
+        return per.where(F.col("nv") > 1).count()
+
+    n_rep = rep.count()
+    rows = [
+        ("before", int(viol_groups(orders)), int(n_rep)),
+        ("after", int(viol_groups(patched)), 0),
+    ]
+    return spark.createDataFrame(
+        rows, "phase string, violating_groups bigint, repaired_rows bigint"
+    ).orderBy("phase")
+
+
+_SQL_REPAIR_WHATIF = """
+WITH counts AS (
+  SELECT o_custkey, o_orderdate, o_totalprice AS val, count(*) AS cnt
+  FROM orders GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY cnt DESC, val ASC NULLS LAST) AS rk,
+         count(*) OVER (PARTITION BY o_custkey, o_orderdate) AS nvals
+  FROM counts
+), modes AS (
+  SELECT o_custkey, o_orderdate, val AS suggested
+  FROM ranked WHERE rk = 1 AND nvals > 1
+), rep AS (
+  SELECT o.o_orderkey, m.suggested
+  FROM orders o JOIN modes m USING (o_custkey, o_orderdate)
+  WHERE o.o_totalprice IS DISTINCT FROM m.suggested
+), patched AS (
+  SELECT o.o_custkey, o.o_orderdate,
+         CASE WHEN r.o_orderkey IS NOT NULL THEN r.suggested
+              ELSE o.o_totalprice END AS o_totalprice
+  FROM orders o LEFT JOIN rep r USING (o_orderkey)
+), vg AS (
+  SELECT 'before' AS phase, o_custkey, o_orderdate,
+         count(DISTINCT o_totalprice)
+         + max(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nv
+  FROM orders GROUP BY 2, 3
+  UNION ALL
+  SELECT 'after', o_custkey, o_orderdate,
+         count(DISTINCT o_totalprice)
+         + max(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+  FROM patched GROUP BY 2, 3
+)
+SELECT phase,
+       CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+       CAST(CASE WHEN phase = 'before' THEN (SELECT count(*) FROM rep)
+            ELSE 0 END AS BIGINT) AS repaired_rows
+FROM vg GROUP BY phase
+ORDER BY phase
 """
 
 
@@ -6063,6 +6143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dc_violations": _q_dc_violations,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "fd_repairs": _q_fd_repairs,
+        "repair_whatif": _q_repair_whatif,
         "audio_qc": _q_audio_qc,
         "numeric_quantiles": _q_numeric_quantiles,
         "audio_fp_dups": _q_audio_fp_dups,
@@ -6196,6 +6277,7 @@ def oracle_sql() -> dict[str, str]:
         "dc_violations": _SQL_DC_VIOLATIONS,
         "fuzzy_name_pairs": _SQL_FUZZY_NAME_PAIRS,
         "fd_repairs": _SQL_FD_REPAIRS,
+        "repair_whatif": _SQL_REPAIR_WHATIF,
         "numeric_quantiles": _sql_numeric_quantiles(),
         "percent_histogram": _SQL_PERCENT_HISTOGRAM,
         "kb_group_import": _SQL_KB_GROUP_IMPORT,

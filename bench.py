@@ -109,6 +109,7 @@ HEADLINE_QUERIES = (
     "dc_violations",
     "fuzzy_name_pairs",
     "fd_repairs",
+    "repair_whatif",
     "audio_qc",
     "numeric_quantiles",
     "audio_fp_dups",

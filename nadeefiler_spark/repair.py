@@ -83,3 +83,31 @@ def suggest_fd_repairs(
         "n_support",
         "group_size",
     )
+
+
+def apply_repairs(
+    df: DataFrame,
+    repairs: DataFrame,
+    rhs: str,
+    id_col: str,
+) -> DataFrame:
+    """Patch ``rhs`` with each row's suggested value — the apply half of
+    the detect → suggest → repair → re-validate arc. Rows absent from
+    ``repairs`` pass through untouched; a NULL suggestion is applied
+    (majority-null groups repair TO null), which is why matching uses an
+    explicit hit flag rather than a NULL-coalesce. The patch side is
+    broadcast: repairs are the minority by assumption, and the output
+    preserves ``df``'s column order and types.
+    """
+    patch = repairs.select(
+        F.col("id").alias("__rid"),
+        F.col("suggested").alias("__sugg"),
+        F.lit(True).alias("__hit"),
+    )
+    joined = df.join(
+        F.broadcast(patch), df[id_col] == F.col("__rid"), "left"
+    )
+    fixed = F.when(F.col("__hit"), F.col("__sugg")).otherwise(F.col(rhs))
+    return joined.select(
+        *[fixed.alias(c) if c == rhs else F.col(c) for c in df.columns]
+    )

@@ -67,3 +67,24 @@ def test_composite_lhs(spark):
     assert set(got) == {3}
     r = got[3]
     assert (r["cust"], r["day"], r["current"], r["suggested"]) == ("c1", "d1", 99.0, 10.0)
+
+
+def test_apply_repairs_converges_and_preserves(spark):
+    from nadeefiler_spark.repair import apply_repairs, suggest_fd_repairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "x", "a"), (2, "x", "a"), (3, "x", "b"),   # mode a
+            (4, "y", None), (5, "y", None), (6, "y", "c"), # mode NULL
+            (7, "z", "k"),                                  # clean
+        ],
+        "id bigint, lhs string, rhs string",
+    )
+    rep = suggest_fd_repairs(df, "lhs", "rhs", "id")
+    out = apply_repairs(df, rep, "rhs", "id")
+    got = {r["id"]: r["rhs"] for r in out.collect()}
+    # violating rows take the modal value — including repair TO null
+    assert got == {1: "a", 2: "a", 3: "a", 4: None, 5: None, 6: None, 7: "k"}
+    assert out.columns == df.columns
+    # convergence: re-suggesting on the patched table finds nothing
+    assert suggest_fd_repairs(out, "lhs", "rhs", "id").isEmpty()
