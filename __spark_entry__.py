@@ -250,6 +250,9 @@ Operator → query map (SURVEY §2 ids in brackets):
 - repair_whatif          [repair arc closure: apply modal FD repairs and
                           recount violating groups before/after,
                           DuckDB-oracled]
+- changepoint_scan       [continuous validation: binary-segmentation
+                          changepoint per metric series — WHEN the
+                          drift started, DuckDB-oracled]
 - bloom_referential      [constraints at scale: bloom runtime-filter
                           semi join — broadcast bits-array probe in
                           codegen prunes the fact scan before the exact
@@ -4911,6 +4914,58 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def _q_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-series changepoint dating (drift.changepoint_scan): each
+    event_type's per-day event-count series scanned for its single best
+    binary-segmentation split — drift tests say a series MOVED,
+    drift_explain says WHERE in the distribution, this says WHEN in the
+    timeline. Two window passes over the aggregated series (cumulative
+    sums then argmax), shuffle ∝ series points, nothing per-event."""
+    e = _t(spark, sf_dir, "events")
+    series = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    out = drift.changepoint_scan(series, "cnt", "day", ("event_type",))
+    return out.select(
+        "event_type",
+        F.col("split_at").cast("string").alias("split_at"),
+        "n", "mean_before", "mean_after", "score",
+    ).orderBy("event_type")
+
+
+_SQL_CHANGEPOINT_SCAN = """
+WITH series AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT event_type, day,
+         sum(v) OVER w AS s, sum(v * v) OVER w AS q, count(v) OVER w AS i,
+         sum(v) OVER wp AS S2, sum(v * v) OVER wp AS Q2, count(v) OVER wp AS n
+  FROM series
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wp AS (PARTITION BY event_type)
+), sc AS (
+  SELECT event_type, day, n,
+         s / i AS ml, (S2 - s) / (n - i) AS mr,
+         abs(s / i - (S2 - s) / (n - i))
+           / (sqrt(greatest(((q - s * s / i)
+              + ((Q2 - q) - (S2 - s) * (S2 - s) / (n - i))) / (n - 2), 0.0))
+              + 0.0001)
+           * sqrt(i * (n - i) / n) AS score
+  FROM c WHERE i >= 2 AND n - i >= 2 AND n > 2
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY score DESC, day ASC) AS rk
+  FROM sc
+)
+SELECT event_type, CAST(day AS VARCHAR) AS split_at, CAST(n AS BIGINT) AS n,
+       round(ml, 6) AS mean_before, round(mr, 6) AS mean_after,
+       round(score, 6) AS score
+FROM best WHERE rk = 1 ORDER BY event_type
+"""
+
+
 def _q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wasserstein-1 drift (drift.wasserstein_drift): earth-mover
     distance of each event_type's bucketed value histogram vs the
@@ -6218,6 +6273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_advisor": _q_layout_advisor,
         "chi2_drift": _q_chi2_drift,
         "wasserstein_drift": _q_wasserstein_drift,
+        "changepoint_scan": _q_changepoint_scan,
         "drift_explain": _q_drift_explain,
         "quality_slices": _q_quality_slices,
         "line_dedup": _q_line_dedup,
@@ -6340,6 +6396,7 @@ def oracle_sql() -> dict[str, str]:
         "layout_advisor": _sql_layout_advisor(),
         "chi2_drift": _SQL_CHI2_DRIFT,
         "wasserstein_drift": _SQL_WASSERSTEIN_DRIFT,
+        "changepoint_scan": _SQL_CHANGEPOINT_SCAN,
         "drift_explain": _SQL_DRIFT_EXPLAIN,
         "quality_slices": _sql_quality_slices(),
         "line_dedup": _SQL_LINE_DEDUP,

@@ -149,6 +149,7 @@ HEADLINE_QUERIES = (
     "column_match",
     "expectation_regressions",
     "wasserstein_drift",
+    "changepoint_scan",
     "drift_explain",
     "t_closeness",
     "sampled_certificate",

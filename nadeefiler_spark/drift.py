@@ -606,3 +606,80 @@ def embedding_baseline(df: DataFrame, vec_col: str, dim: int) -> list:
     compares windows against."""
     row = df.agg(*embedding_sum_exprs(vec_col, dim)).collect()[0]
     return [row["n_vecs"], *[row[f"_s{i}"] for i in range(dim)]]
+
+
+def changepoint_scan(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    key_cols: tuple[str, ...] = (),
+    min_seg: int = 2,
+) -> DataFrame:
+    """Single best changepoint per metric series (binary segmentation) —
+    the third leg of the continuous-validation family: drift tests say
+    a partition MOVED, ``drift_explain`` says WHERE, this says WHEN.
+
+    For each key's series ordered by ``order_col``, every split i with
+    at least ``min_seg`` points on both sides is scored with the
+    two-sample t-like statistic
+    ``|meanL - meanR| / (sd_pooled + EPS) * sqrt(i*(n-i)/n)`` and the
+    best split wins (ties break to the earliest). A constant-but-for-
+    one-step series scores huge (sd ~ 0, EPS keeps it finite and both
+    engines identical); a pure-noise series scores low — callers
+    threshold on ``score`` (3-5 behaves like a z-cut at common lengths).
+
+    Output: one row per series with >= 2*min_seg points — key cols,
+    ``split_at`` (the LAST order value of the left segment), ``n``,
+    ``mean_before`` / ``mean_after`` / ``score`` (6 dp).
+
+    Scale notes: input is an aggregated series table (rows ∝ #series ×
+    #points), the same shape :func:`metric_anomaly` reads; all math is
+    two window passes (cumulative sums, then argmax) partitioned by
+    key — nothing driver-side, no UDF.
+    """
+    keys = [F.col(c) for c in key_cols]
+    wp = Window.partitionBy(*keys)
+    wcum = wp.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    v = F.col(value_col).cast("double")
+
+    cum = df.select(
+        *keys, F.col(order_col),
+        F.sum(v).over(wcum).alias("__s"),
+        F.sum(v * v).over(wcum).alias("__q"),
+        F.count(v).over(wcum).alias("__i"),
+        F.sum(v).over(wp).alias("__ts"),
+        F.sum(v * v).over(wp).alias("__tq"),
+        F.count(v).over(wp).alias("__tn"),
+    )
+    i, n = F.col("__i"), F.col("__tn")
+    mean_l = F.col("__s") / i
+    mean_r = (F.col("__ts") - F.col("__s")) / (n - i)
+    ss_l = F.col("__q") - F.col("__s") * F.col("__s") / i
+    ss_r = (F.col("__tq") - F.col("__q")) - (
+        (F.col("__ts") - F.col("__s")) * (F.col("__ts") - F.col("__s")) / (n - i)
+    )
+    sd = F.sqrt(F.greatest((ss_l + ss_r) / (n - 2), F.lit(0.0)))
+    score = (
+        F.abs(mean_l - mean_r) / (sd + F.lit(EPS))
+        * F.sqrt(i * (n - i) / n)
+    )
+    scored = cum.where(
+        (i >= F.lit(min_seg)) & (n - i >= F.lit(min_seg)) & (n > 2)
+    ).select(
+        *keys, F.col(order_col),
+        mean_l.alias("__ml"), mean_r.alias("__mr"), n.alias("n"),
+        score.alias("__score"),
+    )
+    wbest = wp.orderBy(F.col("__score").desc(), F.col(order_col).asc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(wbest))
+        .where(F.col("__rk") == 1)
+        .select(
+            *keys,
+            F.col(order_col).alias("split_at"),
+            "n",
+            F.round("__ml", 6).alias("mean_before"),
+            F.round("__mr", 6).alias("mean_after"),
+            F.round("__score", 6).alias("score"),
+        )
+    )

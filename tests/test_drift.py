@@ -357,3 +357,51 @@ def test_drift_explain_k_truncates(spark):
     # no drift: still returns k rows, near-zero contributions
     assert len(rows) == 2
     assert all(abs(r["psi_contrib"]) < 1e-9 for r in rows)
+
+
+def test_changepoint_scan_finds_planted_step(spark):
+    from nadeefiler_spark.drift import changepoint_scan
+
+    rows = []
+    # series A: clean step 10 -> 30 after t=12 (split at t=12)
+    for t in range(1, 25):
+        rows.append(("A", t, 10.0 if t <= 12 else 30.0))
+    # series B: constant — low score, split is the noise argmax
+    for t in range(1, 25):
+        rows.append(("B", t, 5.0))
+    # series C: too short for any split (n <= 2*min_seg guard)
+    rows += [("C", 1, 1.0), ("C", 2, 9.0), ("C", 3, 1.0)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out = {
+        r["k"]: r
+        for r in changepoint_scan(df, "v", "t", ("k",), min_seg=2).collect()
+    }
+    a = out["A"]
+    assert a["split_at"] == 12
+    assert a["mean_before"] == 10.0 and a["mean_after"] == 30.0
+    assert a["score"] > 100  # near-zero pooled sd -> huge score
+    assert out["B"]["score"] < 1e-6  # constant series scores ~0
+    assert "C" not in out  # n=3 < 2*min_seg: no admissible split
+
+
+def test_changepoint_scan_over_engine_metric_history(spark):
+    """the operational composition: the manifest's per-(part, stage)
+    n_violations series is exactly the input shape."""
+    from nadeefiler_spark.drift import changepoint_scan
+
+    hist = [
+        ("flac", "audio", run, 3 if run < 6 else 40) for run in range(10)
+    ] + [
+        ("opus", "audio", run, 7) for run in range(10)
+    ]
+    df = spark.createDataFrame(
+        hist, "part string, stage string, run int, n_violations int"
+    )
+    out = {
+        (r["part"], r["stage"]): r
+        for r in changepoint_scan(
+            df, "n_violations", "run", ("part", "stage")
+        ).collect()
+    }
+    assert out[("flac", "audio")]["split_at"] == 5
+    assert out[("flac", "audio")]["score"] > out[("opus", "audio")]["score"] * 100
