@@ -151,6 +151,22 @@ class ValidationEngine:
             min_history=min_history,
         )
 
+    def metric_changepoints(
+        self, value_col: str = "n_violations", min_seg: int = 2
+    ) -> DataFrame:
+        """Date the regime change in each (part, stage) metric series:
+        :func:`drift.changepoint_scan` over the same manifest history
+        :meth:`metric_anomalies` screens — anomaly says THIS run broke,
+        this says the series' level shifted at run K (e.g. an upstream
+        pipeline change quietly doubling a partition's violation rate).
+        Driver-cheap at any corpus scale (manifest is sketch-sized)."""
+        from .drift import changepoint_scan
+
+        return changepoint_scan(
+            self.manifest(), value_col, "completed_at",
+            key_cols=("part", "stage"), min_seg=min_seg,
+        )
+
     # --- run -------------------------------------------------------------
     def run(
         self,

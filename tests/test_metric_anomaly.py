@@ -74,3 +74,29 @@ def test_engine_run_history_screen(spark, tmp_path):
     flagged = {(r["part"], r["value"]) for r in got if r["anomaly"]}
     assert flagged == {("q", 50.0)}
     assert len(got) == 16  # every manifest row screened
+
+
+def test_engine_metric_changepoints_reads_manifest(spark, tmp_path):
+    """smoke the engine composition: enough runs to admit a split."""
+    from nadeefiler_spark import datagen
+    from nadeefiler_spark.engine import ValidationEngine
+    from nadeefiler_spark.presets import default_clip_rules
+    from nadeefiler_spark.profiler import default_clips_config
+
+    clips = datagen.clips_df(spark, datagen.GenConfig(n_rows=120))
+    refs = datagen.refs_df(spark, datagen.GenConfig(n_rows=120))
+    eng = ValidationEngine(
+        spark, str(tmp_path / "out"),
+        rules=default_clip_rules(with_drift=False, with_audio=False),
+        profile_cfg=default_clips_config(),
+    )
+    for run in range(5):
+        eng.run(clips, refs, resume=False, run_id=f"r{run}")
+    out = eng.metric_changepoints()
+    rows = out.collect()
+    assert rows  # series of 5 runs admit a split (n > 2*min_seg)
+    assert set(out.columns) == {
+        "part", "stage", "split_at", "n", "mean_before", "mean_after", "score"
+    }
+    for r in rows:
+        assert r["n"] == 5
