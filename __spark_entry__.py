@@ -101,6 +101,10 @@ Operator → query map (SURVEY §2 ids in brackets):
                           content-dup groups] (no DuckDB oracle: binary
                           decode — planted conflict set pinned exactly,
                           tests/test_consistency.py)
+- transcript_cer         [validation: tolerance-aware transcript
+                          agreement — CER via built-in codepoint
+                          levenshtein after normalization, CerRule;
+                          DuckDB-oracled]
 - incremental_dedup      [pipeline: batch-vs-corpus admission — exact
                           digest tiers + inverted-index near tier]
 - numeric_quantiles      [A9-adjacent profile] per-partition quantiles —
@@ -4914,6 +4918,55 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def _q_transcript_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-aware transcript agreement (rules/constraints.CerRule):
+    documents stand in for clips, and an all-'e'-deleted copy of each
+    text stands in for the ASR reference — per-document character error
+    rate via built-in codepoint levenshtein after lowercase+whitespace
+    normalization, violations above max_cer=0.03. The detail's measured
+    rate is re-parsed to a double so the DuckDB oracle compares numbers
+    rather than double-to-string formatting."""
+    from nadeefiler_spark.rules.base import RuleContext
+    from nadeefiler_spark.rules.constraints import CerRule
+
+    d = _t(spark, sf_dir, "documents")
+    clips = d.select(
+        F.col("doc_id").cast("string").alias("clip_id"),
+        F.lit("docs").alias("part"),
+        F.col("text").alias("transcript"),
+    )
+    refs = d.select(
+        F.col("doc_id").cast("string").alias("clip_id"),
+        F.regexp_replace("text", "e", "").alias("transcript"),
+    )
+    ctx = RuleContext(spark=spark, clips=clips, refs=refs,
+                      key_col="clip_id", part_col="part")
+    out = CerRule(max_cer=0.03).violations(ctx)
+    return out.select(
+        "clip_id",
+        F.substring("detail", 5, 100).cast("double").alias("cer"),
+    ).orderBy("clip_id")
+
+
+_SQL_TRANSCRIPT_CER = """
+WITH pairs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS clip_id,
+         trim(regexp_replace(lower(regexp_replace(text, 'e', '', 'g')),
+                             '\\s+', ' ', 'g')) AS a,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS b
+  FROM documents
+  WHERE text IS NOT NULL
+), scored AS (
+  SELECT clip_id,
+         levenshtein(a, b) / greatest(length(a), 1) AS cer
+  FROM pairs
+)
+SELECT clip_id, round(cer, 4) AS cer
+FROM scored WHERE cer > 0.03
+ORDER BY clip_id
+"""
+
+
 def _q_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metric-series changepoint dating (drift.changepoint_scan): each
     event_type's per-day event-count series scanned for its single best
@@ -6274,6 +6327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_drift": _q_chi2_drift,
         "wasserstein_drift": _q_wasserstein_drift,
         "changepoint_scan": _q_changepoint_scan,
+        "transcript_cer": _q_transcript_cer,
         "drift_explain": _q_drift_explain,
         "quality_slices": _q_quality_slices,
         "line_dedup": _q_line_dedup,
@@ -6397,6 +6451,7 @@ def oracle_sql() -> dict[str, str]:
         "chi2_drift": _SQL_CHI2_DRIFT,
         "wasserstein_drift": _SQL_WASSERSTEIN_DRIFT,
         "changepoint_scan": _SQL_CHANGEPOINT_SCAN,
+        "transcript_cer": _SQL_TRANSCRIPT_CER,
         "drift_explain": _SQL_DRIFT_EXPLAIN,
         "quality_slices": _sql_quality_slices(),
         "line_dedup": _SQL_LINE_DEDUP,

@@ -79,6 +79,7 @@ HEADLINE_QUERIES = (
     "expectation_suite",
     "windowed_expectations",
     "transcript_conflicts",
+    "transcript_cer",
     "incremental_dedup",
     "golden_records",
     "dedup_survivors",

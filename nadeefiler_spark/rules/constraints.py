@@ -207,6 +207,57 @@ class MatchRule(Rule):
 
 
 @dataclass
+class CerRule(Rule):
+    """Refs column must agree with the clips column within a character
+    error rate — the tolerance-aware sibling of :class:`MatchRule` for
+    ASR corpora, where reference transcripts legitimately differ in
+    punctuation/casing/filler from the shipped ones and EXACT equality
+    over-flags. CER = levenshtein(norm(ref), norm(parent)) /
+    max(len(norm(ref)), 1), computed after lowercase + whitespace
+    collapse (the same normalization consistency.norm_text applies);
+    rows above ``max_cer`` are violations with the measured rate in the
+    detail. Pure Catalyst (built-in levenshtein — codepoint-level, no
+    UDF); one inner join against the de-duplicated parent, the same
+    shape MatchRule pays. A NULL on either side is MatchRule/
+    RequiredRule territory and is skipped here."""
+
+    key: str = "clip_id"
+    column: str = "transcript"
+    max_cer: float = 0.2
+
+    def __post_init__(self) -> None:
+        self.name = self.name or f"{self.column}_cer"
+        self.stage = "constraints"
+
+    @staticmethod
+    def _norm(c):
+        return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+    def violations(self, ctx: RuleContext) -> DataFrame:
+        assert ctx.refs is not None, "CerRule needs ctx.refs"
+        c = ctx.clips.select(
+            self.key, ctx.part_col, F.col(self.column).alias("_parent_val")
+        ).dropDuplicates([self.key])
+        joined = ctx.refs.select(
+            self.key, F.col(self.column).alias("_ref_val")
+        ).join(c, self.key, "inner")
+        a, b = self._norm(F.col("_ref_val")), self._norm(F.col("_parent_val"))
+        cer = F.levenshtein(a, b) / F.greatest(F.length(a), F.lit(1))
+        bad = (
+            joined.where(
+                F.col("_ref_val").isNotNull()
+                & F.col("_parent_val").isNotNull()
+                & (cer > self.max_cer)
+            )
+            .withColumn("_cer", F.round(cer, 4))
+            .dropDuplicates([self.key, "_ref_val"])
+        )
+        return self.shape(
+            bad, ctx, self.name, F.concat(F.lit("cer="), F.col("_cer"))
+        )
+
+
+@dataclass
 class SpeakingRateRule(Rule):
     """Transcript length must be plausible for the clip's duration.
 
