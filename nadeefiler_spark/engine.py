@@ -836,6 +836,76 @@ class ValidationEngine:
             (F.col("stage") == "certificate") & (F.col("run_id") == run_id)
         )
 
+    def run_probe_stats(
+        self,
+        clips: DataFrame,
+        resume: bool = True,
+        run_id: str | None = None,
+    ) -> DataFrame:
+        """Cascade stage: per-partition header-probe health table.
+
+        One decode-free pass (operators.headerprobe.probe_stats — pure
+        scan-stage byte arithmetic) writes the ``probe_health`` table:
+        per partition, clip count, probe-flagged count, one column per
+        finding kind, and the flagged rate — the corpus-integrity
+        dashboard row the streaming ingest gate
+        (streaming.windowed_probe_stats) computes per window, here as a
+        resumable batch stage (stage='probe', resume unit = partition;
+        manifest n_rows = clips probed, n_violations = flagged clips).
+        """
+        from .operators.headerprobe import probe_stats
+
+        run_id = run_id or uuid.uuid4().hex[:12]
+        all_parts = [
+            r[0] for r in clips.select(self.part_col).distinct().collect()
+        ]
+        done: set[str] = set()
+        if resume:
+            done = {
+                r["part"]
+                for r in self.manifest().where(F.col("stage") == "probe")
+                .select("part").distinct().collect()
+            }
+        pending = [p for p in all_parts if str(p) not in done]
+        if not pending:
+            return self.verdicts().where(
+                (F.col("stage") == "probe") & (F.col("run_id") == run_id)
+            )
+        t0 = time.monotonic()
+        scoped = clips.where(F.col(self.part_col).isin(pending))
+        stats = probe_stats(scoped, by=(self.part_col,)).persist()
+        try:
+            self.io.replace_partitions(
+                stats, "probe_health", self.part_col,
+                [str(p) for p in pending],
+            )
+            by_part = {
+                str(r[self.part_col]): (r["n_clips"], r["n_flagged"])
+                for r in stats.collect()
+            }
+        finally:
+            stats.unpersist()
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        self._commit(
+            run_id, "probe", [str(p) for p in pending],
+            {p: int(by_part.get(p, (0, 0))[0]) for p in map(str, pending)},
+            {p: int(by_part.get(p, (0, 0))[1] or 0) for p in map(str, pending)},
+            wall_ms,
+        )
+        return self.verdicts().where(
+            (F.col("stage") == "probe") & (F.col("run_id") == run_id)
+        )
+
+    def probe_health(self) -> DataFrame:
+        from .operators.headerprobe import FINDING_KINDS
+
+        cols = ", ".join(f"n_{k} bigint" for k in FINDING_KINDS)
+        return self.io.read(
+            "probe_health",
+            f"{self.part_col} string, n_clips bigint, n_flagged bigint, "
+            f"{cols}, flagged_rate double",
+        )
+
     def invalidate(self, parts, stages: tuple[str, ...] = ("audio",)) -> int:
         """Drop manifest completion rows for (part, stage) pairs so the
         next :meth:`run` re-executes exactly those units; returns rows

@@ -126,6 +126,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "sample (engine.triage_sample_pct); adds the "
                         "header_triage rule to the constraints stage so "
                         "probe findings land in the violations table")
+    p.add_argument("--probe-health", action="store_true",
+                   help="also write the per-partition probe_health table "
+                        "(decode-free header-probe stats; stage='probe', "
+                        "resumable)")
     p.add_argument("--run-id", default=None)
     return p
 
@@ -195,6 +199,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
             clips, resume=not args.no_resume, run_id=args.run_id
         )
         verdicts = verdicts.unionByName(vad_v)
+    if args.probe_health:
+        ph_v = eng.run_probe_stats(
+            clips, resume=not args.no_resume, run_id=args.run_id
+        )
+        verdicts = verdicts.unionByName(ph_v)
     if args.certify is not None:
         cert_v = eng.run_certificate(
             clips, fraction=args.certify, eps=args.certify_eps,

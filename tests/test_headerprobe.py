@@ -275,3 +275,36 @@ def test_windowed_probe_stats_stream_equals_batch(spark, tmp_path):
     assert by_hour[str(h(0))][1:] == (2, 1, 1, 0, 0)  # trunc flagged
     assert by_hour[str(h(1))][1:] == (2, 1, 0, 1, 0)  # junk flagged
     assert by_hour[str(h(2))][1:] == (1, 1, 0, 0, 1)  # flac deferred
+
+
+def test_run_probe_stats_stage(spark, tmp_path):
+    from nadeefiler_spark import job
+    from nadeefiler_spark.engine import ValidationEngine
+
+    base = tmp_path / "data"
+    datagen.write_clips(spark, str(base), datagen.GenConfig(n_rows=400))
+    out = str(tmp_path / "out")
+    job.main(
+        [
+            "--clips", f"{base}/clips",
+            "--refs", f"{base}/transcript_refs",
+            "--out", out,
+            "--no-drift", "--no-audio",
+            "--probe-health",
+        ],
+        spark=spark,
+    )
+    eng = ValidationEngine(spark, out)
+    ph = eng.probe_health()
+    rows = {r["part"]: r for r in ph.collect()}
+    assert rows  # one row per codec partition
+    total = sum(r["n_clips"] for r in rows.values())
+    assert total == 400
+    # manifest carries the probe stage per partition, and a resumed
+    # stage run is a no-op
+    m = eng.manifest().where(F.col("stage") == "probe")
+    assert {r["part"] for r in m.collect()} == set(rows)
+    clips = spark.read.parquet(f"{base}/clips")
+    assert eng.run_probe_stats(clips).isEmpty()
+    for r in rows.values():
+        assert r["flagged_rate"] == round(r["n_flagged"] / r["n_clips"], 6)
