@@ -72,6 +72,12 @@ def le_u32(b: Column, pos: int) -> Column:
 
 
 def probe_cols(bytes_col: str = "bytes") -> dict[str, Column]:
+    """Public probe columns (see :func:`_all_cols` for internals)."""
+    cols = _all_cols(bytes_col)
+    return {k: cols[k] for k in PROBE_COLS}
+
+
+def _all_cols(bytes_col: str = "bytes") -> dict[str, Column]:
     """The probe as named Column expressions over ``bytes_col``.
 
     Keys (= :data:`PROBE_COLS`):
@@ -124,7 +130,12 @@ def probe_cols(bytes_col: str = "bytes") -> dict[str, Column]:
     )
 
     wav_dlen = le_u32(b, 41)
+    # raw header rate stays BIGINT: a u32 field holds values up to
+    # 4294967295, and under ANSI mode cast("int") on 2^31 THROWS
+    # (CAST_OVERFLOW) — found by the hypothesis fuzzer. Absurd rates
+    # are a bad_rate verdict, never a crashed scan.
     sr = F.when(is_wav, le_u32(b, 25)).when(is_ndf, le_u32(b, 15))
+    sr_sane = sr.isNotNull() & (sr > 0) & (sr <= F.lit(2147483647))
     n = F.when(is_wav, (wav_dlen / 2).cast("bigint")).when(is_ndf, le_u32(b, 19))
     expected_len = (
         F.when(is_wav, F.lit(44) + wav_dlen)
@@ -133,22 +144,22 @@ def probe_cols(bytes_col: str = "bytes") -> dict[str, Column]:
     len_ok = F.when(
         expected_len.isNotNull(), blen.cast("bigint") == expected_len
     )
-    dur_ms = F.when(
-        sr.isNotNull() & (sr > 0) & n.isNotNull(),
-        F.floor(n * 1000 / sr),
-    )
+    dur_ms = F.when(sr_sane & n.isNotNull(), F.floor(n * 1000 / sr))
     ok = (
         (is_wav | is_ndf)
         & F.coalesce(len_ok, F.lit(False))
-        & F.coalesce(sr > 0, F.lit(False))
+        & F.coalesce(sr_sane, F.lit(False))
     )
     return {
         "hdr_codec": codec,
-        "hdr_sr_hz": sr.cast("int"),
+        # out-of-int-range rates surface as NULL here; __hdr_sr_raw
+        # keeps the parsed value so finding_expr can say bad_rate
+        "hdr_sr_hz": F.when(sr_sane, sr).cast("int"),
         "hdr_n_samples": n,
         "hdr_dur_ms": dur_ms,
         "hdr_len_ok": len_ok,
         "hdr_ok": ok,
+        "__hdr_sr_raw": sr,
     }
 
 
@@ -185,15 +196,22 @@ def finding_expr(
     The decode tier then runs on ``finding IS NOT NULL`` rows (plus a
     certificate sample of the rest).
     """
-    p = probe_cols(bytes_col)
-    fixed = p["hdr_sr_hz"].isNotNull()  # fixed-layout parse succeeded
+    p = _all_cols(bytes_col)
+    fixed = p["__hdr_sr_raw"].isNotNull()  # fixed-layout parse succeeded
     tol = F.greatest(
         F.lit(float(abs_tol_ms)), F.lit(rel_tol) * F.col(dur_col)
     )
     return (
         F.when(p["hdr_codec"].isNull(), F.lit("unrecognized"))
         .when(fixed & ~F.coalesce(p["hdr_len_ok"], F.lit(False)), F.lit("bad_length"))
-        .when(fixed & (p["hdr_sr_hz"] <= 0), F.lit("bad_rate"))
+        # raw (bigint) rate here: <=0 AND int-overflow values are both
+        # bad_rate — the fuzzer's 2^31 header must verdict, not crash
+        .when(
+            fixed
+            & ((p["__hdr_sr_raw"] <= 0)
+               | (p["__hdr_sr_raw"] > F.lit(2147483647))),
+            F.lit("bad_rate"),
+        )
         .when(p["hdr_codec"] != F.col(codec_col), F.lit("codec_mismatch"))
         .when(fixed & (p["hdr_sr_hz"] != F.col(sr_col)), F.lit("rate_mismatch"))
         .when(

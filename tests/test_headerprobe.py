@@ -308,3 +308,18 @@ def test_run_probe_stats_stage(spark, tmp_path):
     assert eng.run_probe_stats(clips).isEmpty()
     for r in rows.values():
         assert r["flagged_rate"] == round(r["n_flagged"] / r["n_clips"], 6)
+
+
+def test_int_overflow_header_rate_is_verdict_not_crash(spark):
+    """hypothesis-found regression: an NDF1 header declaring sr=2^31
+    overflowed the ANSI cast("int") and crashed the scan. It must
+    probe to a verdict, with the public hdr_sr_hz NULL (out of range)."""
+    blob = b"NDF1" + b"\x00" * 13 + b"\x80\x00\x00\x00\x00"
+    df = spark.createDataFrame(
+        [("x", blob, 16000, 100, "flac")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+    r = header_findings(df).collect()[0]
+    assert r["hdr_sr_hz"] is None
+    assert r["hdr_ok"] is False
+    assert r["hdr_finding"] is not None
