@@ -77,8 +77,16 @@ def probe_cols(bytes_col: str = "bytes") -> dict[str, Column]:
     return {k: cols[k] for k in PROBE_COLS}
 
 
-def _all_cols(bytes_col: str = "bytes") -> dict[str, Column]:
+def _all_cols(
+    bytes_col: str = "bytes", total_len_col: str | None = None
+) -> dict[str, Column]:
     """The probe as named Column expressions over ``bytes_col``.
+
+    ``total_len_col``: when ``bytes_col`` is a pre-truncated header
+    slice (the staged :func:`header_probe` path), the ORIGINAL blob's
+    byte length must come from this column — header-offset reads are
+    unaffected by truncation at 64 bytes, but the declared-vs-actual
+    length check needs the real total.
 
     Keys (= :data:`PROBE_COLS`):
       ``hdr_codec``      codec implied by the container header (NULL when
@@ -97,7 +105,7 @@ def _all_cols(bytes_col: str = "bytes") -> dict[str, Column]:
     fast-path can fold them into its single shared stage scan.
     """
     b = F.col(bytes_col)
-    blen = F.length(b)
+    blen = F.col(total_len_col) if total_len_col else F.length(b)
     # one 22-byte prefix hex'd once — magic checks slice this string, so
     # the scan never hexes the payload
     head = F.hex(F.substring(b, 1, 22))
@@ -164,9 +172,28 @@ def _all_cols(bytes_col: str = "bytes") -> dict[str, Column]:
 
 
 def header_probe(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
-    """Append the :func:`probe_cols` columns; everything stays in codegen."""
-    cols = probe_cols(bytes_col)
-    return df.select("*", *(c.alias(name) for name, c in cols.items()))
+    """Append the :func:`probe_cols` columns.
+
+    Staged in two projections: the first materializes ONE 64-byte
+    header slice + the real byte length, the second parses everything
+    from those narrow columns. One flat projection re-derives the
+    hex/conv tree per output column and blows the JVM's 64 KB method
+    limit — Janino then fails WholeStageCodegen and the whole scan
+    silently drops to interpreted eval (found via the CodeGenerator
+    ERROR this split fixes). CollapseProject keeps the split: the slice
+    is a non-cheap expression referenced many times, which the
+    optimizer refuses to inline.
+    """
+    hdr, bl = "__hdr_slice", "__hdr_blen"
+    staged = df.select(
+        "*",
+        F.substring(F.col(bytes_col), 1, 64).alias(hdr),
+        F.length(F.col(bytes_col)).cast("bigint").alias(bl),
+    )
+    cols = _all_cols(hdr, total_len_col=bl)
+    return staged.select(
+        "*", *(cols[name].alias(name) for name in PROBE_COLS)
+    ).drop(hdr, bl)
 
 
 def finding_expr(
@@ -196,7 +223,19 @@ def finding_expr(
     The decode tier then runs on ``finding IS NOT NULL`` rows (plus a
     certificate sample of the rest).
     """
-    p = _all_cols(bytes_col)
+    return _finding_when(
+        _all_cols(bytes_col), codec_col, sr_col, dur_col, abs_tol_ms, rel_tol
+    )
+
+
+def _finding_when(
+    p: dict[str, Column],
+    codec_col: str,
+    sr_col: str,
+    dur_col: str,
+    abs_tol_ms: int,
+    rel_tol: float,
+) -> Column:
     fixed = p["__hdr_sr_raw"].isNotNull()  # fixed-layout parse succeeded
     tol = F.greatest(
         F.lit(float(abs_tol_ms)), F.lit(rel_tol) * F.col(dur_col)
@@ -222,11 +261,41 @@ def finding_expr(
     )
 
 
-def header_findings(df: DataFrame, bytes_col: str = "bytes", **kw) -> DataFrame:
-    """:func:`header_probe` plus the cross-check column ``hdr_finding``."""
-    return header_probe(df, bytes_col).select(
-        "*", finding_expr(bytes_col, **kw).alias("hdr_finding")
+def header_findings(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+    dur_col: str = "dur_ms",
+    abs_tol_ms: int = 20,
+    rel_tol: float = 0.02,
+) -> DataFrame:
+    """:func:`header_probe` plus the cross-check column ``hdr_finding``.
+
+    Staged like :func:`header_probe` (slice → parse → finding, three
+    small projections instead of one 64 KB-codegen-busting tree); the
+    finding is computed from the MATERIALIZED probe columns, so its
+    codegen is a handful of comparisons.
+    """
+    hdr, bl, raw = "__hdr_slice", "__hdr_blen", "__hdr_sr_raw"
+    staged = df.select(
+        "*",
+        F.substring(F.col(bytes_col), 1, 64).alias(hdr),
+        F.length(F.col(bytes_col)).cast("bigint").alias(bl),
     )
+    cols = _all_cols(hdr, total_len_col=bl)
+    with_probe = staged.select(
+        "*",
+        *(cols[name].alias(name) for name in PROBE_COLS),
+        cols[raw].alias(raw),
+    )
+    named = {k: F.col(k) for k in (*PROBE_COLS, raw)}
+    finding = _finding_when(
+        named, codec_col, sr_col, dur_col, abs_tol_ms, rel_tol
+    )
+    return with_probe.select(
+        "*", finding.alias("hdr_finding")
+    ).drop(hdr, bl, raw)
 
 
 def triage_route(
