@@ -4941,7 +4941,7 @@ def _q_transcript_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ctx = RuleContext(spark=spark, clips=clips, refs=refs,
                       key_col="clip_id", part_col="part")
-    out = CerRule(max_cer=0.03).violations(ctx)
+    out = CerRule(max_cer=0.03, spread=32).violations(ctx)
     return out.select(
         "clip_id",
         F.substring("detail", 5, 100).cast("double").alias("cer"),
