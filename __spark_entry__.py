@@ -885,7 +885,8 @@ WITH e AS (
          sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM e)
-SELECT user_id AS user, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+SELECT user_id AS user, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
        CAST(min(ts) AS VARCHAR) AS t_start, CAST(max(ts) AS VARCHAR) AS t_end,
        CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS dur_s
 FROM s GROUP BY 1, 2
@@ -1062,7 +1063,8 @@ WITH e AS (
                              ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM e
 ), sess AS (
-  SELECT user_id AS user, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+  SELECT user_id AS user, CAST(session_idx AS BIGINT) AS session_idx,
+         CAST(count(*) AS BIGINT) AS n_events,
          min(ts) AS t_start, max(ts) AS t_end
   FROM s GROUP BY 1, 2
 )

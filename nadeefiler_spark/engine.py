@@ -1522,9 +1522,15 @@ class ValidationEngine:
         # single write job.
         folded: list[F.Column] = []
         branches: list[DataFrame] = []
+        # rules with staged helper columns (Rule.prepare) chain their
+        # staging over the shared scan; the predicates then reference
+        # MATERIALIZED columns, keeping each projection's generated code
+        # small (the flat header-probe tree busts Janino's 64 KB limit)
+        scan = ctx.clips
         for rule in rules:
             pd_ = rule.predicate(ctx)
             if pd_ is not None:
+                scan = rule.prepare(scan, ctx)
                 pred, detail = pd_
                 folded.append(F.struct(
                     F.lit(rule.name).alias("rule"),
@@ -1534,7 +1540,7 @@ class ValidationEngine:
             else:
                 branches.append(rule.violations(ctx))
         if folded:
-            hits = ctx.clips.select(
+            hits = scan.select(
                 F.col(ctx.part_col).cast("string").alias("part"),
                 F.col(ctx.key_col).cast("string").alias("clip_id"),
                 F.filter(F.array(*folded), lambda s: s["bad"]).alias("vs"),

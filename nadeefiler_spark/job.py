@@ -135,7 +135,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> dict:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.recheck_uncertified and args.certify is None:
+        # the flag is only read inside the certificate stage; without
+        # --certify it would be a silent no-op, which reads as "rescan
+        # requested and done" to an operator. Fail loudly instead.
+        parser.error("--recheck-uncertified requires --certify")
 
     if spark is None:
         from nadeefiler_spark.session import get_spark

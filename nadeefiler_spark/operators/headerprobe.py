@@ -261,6 +261,47 @@ def _finding_when(
     )
 
 
+def staged_probe(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Append :data:`PROBE_COLS` plus ``__hdr_sr_raw`` via the staged
+    (codegen-safe) two-projection layout: materialize one 64-byte header
+    slice + the real byte length, then parse everything from those
+    narrow columns. CollapseProject keeps the split because the slice is
+    a non-cheap expression referenced many times — each generated method
+    stays far under Janino's 64 KB limit (see :func:`header_probe`).
+
+    This is the shared front half of :func:`header_findings` AND the
+    engine's predicate fast path (``Rule.prepare``): downstream
+    consumers build findings from the MATERIALIZED probe columns
+    (:func:`staged_finding_expr`) instead of re-deriving the flat
+    hex/conv tree per reference."""
+    hdr, bl, raw = "__hdr_slice", "__hdr_blen", "__hdr_sr_raw"
+    staged = df.select(
+        "*",
+        F.substring(F.col(bytes_col), 1, 64).alias(hdr),
+        F.length(F.col(bytes_col)).cast("bigint").alias(bl),
+    )
+    cols = _all_cols(hdr, total_len_col=bl)
+    return staged.select(
+        "*",
+        *(cols[name].alias(name) for name in PROBE_COLS),
+        cols[raw].alias(raw),
+    ).drop(hdr, bl)
+
+
+def staged_finding_expr(
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+    dur_col: str = "dur_ms",
+    abs_tol_ms: int = 20,
+    rel_tol: float = 0.02,
+) -> Column:
+    """:func:`finding_expr` over the MATERIALIZED probe columns that
+    :func:`staged_probe` appended — a handful of comparisons, safe to
+    fold into a shared multi-rule scan without busting codegen."""
+    named = {k: F.col(k) for k in (*PROBE_COLS, "__hdr_sr_raw")}
+    return _finding_when(named, codec_col, sr_col, dur_col, abs_tol_ms, rel_tol)
+
+
 def header_findings(
     df: DataFrame,
     bytes_col: str = "bytes",
@@ -277,25 +318,13 @@ def header_findings(
     finding is computed from the MATERIALIZED probe columns, so its
     codegen is a handful of comparisons.
     """
-    hdr, bl, raw = "__hdr_slice", "__hdr_blen", "__hdr_sr_raw"
-    staged = df.select(
-        "*",
-        F.substring(F.col(bytes_col), 1, 64).alias(hdr),
-        F.length(F.col(bytes_col)).cast("bigint").alias(bl),
-    )
-    cols = _all_cols(hdr, total_len_col=bl)
-    with_probe = staged.select(
-        "*",
-        *(cols[name].alias(name) for name in PROBE_COLS),
-        cols[raw].alias(raw),
-    )
-    named = {k: F.col(k) for k in (*PROBE_COLS, raw)}
-    finding = _finding_when(
-        named, codec_col, sr_col, dur_col, abs_tol_ms, rel_tol
+    with_probe = staged_probe(df, bytes_col)
+    finding = staged_finding_expr(
+        codec_col, sr_col, dur_col, abs_tol_ms, rel_tol
     )
     return with_probe.select(
         "*", finding.alias("hdr_finding")
-    ).drop(hdr, bl, raw)
+    ).drop("__hdr_sr_raw")
 
 
 def triage_route(
@@ -314,10 +343,24 @@ def triage_route(
     (:func:`nadeefiler_spark.certify.sampled_violation_bound`) bounds
     for the probe-clean population. Sampling hashes ``key_col`` with
     xxhash64 so the audit set is stable across runs and cluster sizes.
+
+    The bucket modulus is 1e6 (0.0001% granularity) and any positive
+    ``sample_pct`` keeps at least one bucket: at the advertised
+    10^12-clip scale an audit rate like 0.001% is a plausible input,
+    and silently rounding it to an EMPTY audit sample would void the
+    Hoeffding bound for the probe-clean population without any error.
     """
+    if not 0.0 <= sample_pct <= 100.0:
+        raise ValueError(
+            f"sample_pct is a percentage in [0, 100], got {sample_pct}"
+        )
+    modulus = 1_000_000
+    n_buckets = int(round(sample_pct / 100.0 * modulus))
+    if sample_pct > 0:
+        n_buckets = max(n_buckets, 1)
     p = header_findings(df, bytes_col, **finding_kwargs)
-    bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(10000))
-    sampled = bucket < F.lit(int(round(sample_pct * 100)))
+    bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(modulus))
+    sampled = bucket < F.lit(n_buckets)
     route = F.when(
         F.col("hdr_finding").isNotNull() | sampled, F.lit("decode")
     ).otherwise(F.lit("probe_only"))

@@ -411,11 +411,21 @@ class HeaderTriageRule(Rule):
     rel_tol: float = 0.02
     flag_real_codecs: bool = False
 
-    def predicate(self, ctx: RuleContext):
-        from ..operators.headerprobe import finding_expr
+    def prepare(self, df: DataFrame, ctx: RuleContext) -> DataFrame:
+        # stage the probe (slice -> parse, two projections) so the
+        # predicate below reads MATERIALIZED probe columns — folding the
+        # flat finding_expr tree into the shared constraints scan is the
+        # exact shape that busts Janino's 64 KB codegen limit and drops
+        # the whole stage to interpreted eval (see header_probe)
+        from ..operators.headerprobe import staged_probe
 
-        finding = finding_expr(
-            self.bytes_col, abs_tol_ms=self.abs_tol_ms, rel_tol=self.rel_tol
+        return staged_probe(df, self.bytes_col)
+
+    def predicate(self, ctx: RuleContext):
+        from ..operators.headerprobe import staged_finding_expr
+
+        finding = staged_finding_expr(
+            abs_tol_ms=self.abs_tol_ms, rel_tol=self.rel_tol
         )
         pred = finding.isNotNull()
         if not self.flag_real_codecs:
@@ -424,7 +434,8 @@ class HeaderTriageRule(Rule):
 
     def violations(self, ctx: RuleContext) -> DataFrame:
         pred, detail = self.predicate(ctx)
-        return self.shape(ctx.clips.where(pred), ctx, self.name, detail)
+        staged = self.prepare(ctx.clips, ctx)
+        return self.shape(staged.where(pred), ctx, self.name, detail)
 
 
 def default_audio_rules() -> list[Rule]:

@@ -61,6 +61,19 @@ class Rule:
         """
         return None
 
+    def prepare(self, df: DataFrame, ctx: RuleContext) -> DataFrame:
+        """Optional staging step for the predicate fast path: append
+        helper columns the :meth:`predicate` Columns reference (e.g. a
+        materialized header slice), keeping each projection small enough
+        for whole-stage codegen — a flat expression tree re-derived per
+        reference can exceed Janino's 64 KB method limit and silently
+        drop the whole shared scan to interpreted eval. The engine
+        chains every folded rule's ``prepare`` over the shared scan, so
+        helper columns must be uniquely named (``__<rule>``-prefixed by
+        convention); they never reach the violations output (the fold
+        projects only part/rule/clip_id/detail). Default: no staging."""
+        return df
+
     @staticmethod
     def shape(df: DataFrame, ctx: RuleContext, rule_name: str, detail) -> DataFrame:
         """Project any row source onto the canonical violations schema."""

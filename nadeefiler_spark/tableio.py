@@ -169,11 +169,18 @@ class ParquetDirIO:
         df = self.read(table, schema)
         if df.isEmpty():
             return 0
-        cond = F.expr(condition_sql)
-        removed = df.where(cond).count()
+        # NULL-predicate rows must be KEPT (and not counted as removed):
+        # a bare ``~cond`` drops them silently because NULL fails both
+        # cond and ~cond. coalesce(cond, false) pins NULL -> keep, and
+        # the removed count is derived as total - kept so it agrees with
+        # what the swap actually wrote.
+        cond = F.coalesce(F.expr(condition_sql), F.lit(False))
+        total = df.count()
+        kept = df.where(~cond)
+        removed = total - kept.count()
         if removed == 0:
             return 0
-        self._swap_in(df.where(~cond), table)
+        self._swap_in(kept, table)
         return removed
 
     def compact(self, table: str, max_files: int, schema: str | None = None) -> None:
@@ -297,8 +304,17 @@ class IcebergTableIO:
     def delete_matching(self, table: str, condition_sql: str,
                         schema: str | None = None) -> int:
         """Single-commit ``DELETE FROM`` of rows matching the predicate;
-        returns rows removed (counted in the same session before the
-        delete — Iceberg's commit is atomic, so no swap window)."""
+        returns rows removed.
+
+        Atomicity caveat: the DELETE itself is one atomic Iceberg
+        commit (no swap window), but the returned count comes from a
+        separate read-then-delete — a concurrent writer committing
+        matching rows between the count and the delete makes the COUNT
+        stale even though the delete is correct. Exact counts under
+        concurrency would need the delete snapshot's summary
+        (``deleted-records``) via the catalog API; the engine only
+        calls this from the single-writer job path, where the count is
+        exact."""
         if not self._exists(table):
             return 0
         full = self._full(table)

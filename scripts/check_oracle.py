@@ -2,8 +2,15 @@
 
 Runs every __spark_entry__.queries() entry on Spark and its oracle_sql()
 twin on DuckDB over the same parquet tables, then compares row count,
-column names, and order-insensitive values (exact equality after sorting
-rows and columns). Usage:
+column names, and order-insensitive values.
+
+The comparison is DTYPE-STRICT by rendering every cell to the string a
+hash-based gate would see (repr for floats, str for ints, hex for
+bytes): DuckDB materializing a HUGEINT window-sum as float64 renders
+"1.0" where Spark's int64 renders "1", and that MUST fail here exactly
+as it fails the driver's hash_match (it bit round 3 on event_sessions /
+session_concurrency while a check_dtype=False value comparison stayed
+green). Usage:
 
     python scripts/check_oracle.py [sf_dir] [query ...]
 """
@@ -14,6 +21,7 @@ import sys
 import traceback
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 sys.path.insert(0, "/root/repo")
@@ -34,12 +42,38 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def render_cell(v) -> str:
+    """Render one cell the way a canonical string/hash gate would.
+
+    Deliberately dtype-sensitive where it matters: float 1.0 -> "1.0"
+    but int 1 -> "1"; Decimal("1.00") -> "1.00"; float32 values go
+    through float() so single-precision noise is visible. Containers
+    render element-wise so Spark's ndarray and DuckDB's list agree."""
+    if v is None:
+        return "\\N"
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return "[" + ",".join(render_cell(x) for x in v) + "]"
+    try:
+        if pd.isna(v):
+            return "\\N"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
+    return str(v)
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    out = pd.DataFrame({c: df[c].map(render_cell) for c in sorted(df.columns)})
+    if len(out.columns) == 0:
+        return out
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
 
 
 def main() -> int:
@@ -84,13 +118,13 @@ def main() -> int:
             failures += 1
             continue
         a, b = canon(spdf), canon(opdf)
-        try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
-            print(f"ok   {name}: {len(spdf)} rows match")
-        except AssertionError as e:
-            print(f"FAIL {name}: value mismatch\n{str(e)[:2000]}")
-            neq = (a != b) & ~(a.isna() & b.isna())
+        if a.equals(b):
+            print(f"ok   {name}: {len(spdf)} rows match (strict)")
+        else:
+            neq = a != b
             bad = neq.any(axis=1)
+            badcols = [c for c in a.columns if neq[c].any()]
+            print(f"FAIL {name}: strict-render mismatch in cols {badcols}")
             print("spark rows:\n", a[bad].head(5))
             print("oracle rows:\n", b[bad].head(5))
             failures += 1
