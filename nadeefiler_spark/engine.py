@@ -906,6 +906,195 @@ class ValidationEngine:
             f"{cols}, flagged_rate double",
         )
 
+    # stages derived FROM the manifest history itself — excluded from the
+    # temporal-lineage inputs below so they never self-reference
+    _META_STAGES = ("incidents", "screen")
+
+    def run_incident_sessions(
+        self,
+        gap_s: int = 86400,
+        resume: bool = True,
+        run_id: str | None = None,
+    ) -> DataFrame:
+        """Cascade stage: sessionize each partition's violation history
+        into incident episodes (stage='incidents', resume unit =
+        partition; re-open with :meth:`invalidate` after new runs land,
+        same model as the probe stage).
+
+        The temporal operators get engine-level lineage here: gap-based
+        sessionization (operators.sessions.session_stats — the
+        event_sessions contract query's operator) over the manifest's
+        per-(part, stage) run history. Consecutive violating runs closer
+        than ``gap_s`` form ONE incident with a start, an end, and a
+        run count — the unit an on-call rotation reasons about, instead
+        of a flat run list. Output table ``incident_sessions``; manifest
+        n_rows = violating history rows, n_violations = incidents.
+
+        Scale: the manifest is sketch-sized (#parts × #stages × #runs),
+        so the one sessionization shuffle is trivially bounded at any
+        corpus size — this stage costs the same at 10^12 clips as at
+        10^4.
+        """
+        from .operators.sessions import session_stats
+
+        run_id = run_id or uuid.uuid4().hex[:12]
+        hist = self.manifest().where(~F.col("stage").isin(*self._META_STAGES))
+        ev = hist.where(F.col("n_violations") > 0)
+        all_parts = [r[0] for r in ev.select("part").distinct().collect()]
+        done: set[str] = set()
+        if resume:
+            done = {
+                r["part"]
+                for r in self.manifest().where(F.col("stage") == "incidents")
+                .select("part").distinct().collect()
+            }
+        pending = [p for p in all_parts if str(p) not in done]
+        if not pending:
+            return self.verdicts().where(
+                (F.col("stage") == "incidents") & (F.col("run_id") == run_id)
+            )
+        t0 = time.monotonic()
+        scoped = ev.where(F.col("part").isin(pending))
+        key = F.concat_ws("\x1f", "part", "stage")
+        sess = session_stats(
+            scoped.withColumn("__k", key), "__k", "completed_at",
+            gap_s=gap_s, tiebreak_col="run_id",
+        ).select(
+            F.split("user", "\x1f").getItem(0).alias("part"),
+            F.split("user", "\x1f").getItem(1).alias("v_stage"),
+            F.col("session_idx").cast("bigint").alias("incident_idx"),
+            F.col("n_events").cast("bigint").alias("n_runs"),
+            "t_start", "t_end",
+            F.col("dur_s").cast("bigint").alias("dur_s"),
+        ).persist()
+        try:
+            self.io.replace_partitions(
+                sess, "incident_sessions", "part", [str(p) for p in pending]
+            )
+            agg = {
+                r["part"]: (r["n_runs"], r["n_inc"])
+                for r in sess.groupBy("part").agg(
+                    F.sum("n_runs").alias("n_runs"),
+                    F.count(F.lit(1)).alias("n_inc"),
+                ).collect()
+            }
+        finally:
+            sess.unpersist()
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        self._commit(
+            run_id, "incidents", [str(p) for p in pending],
+            {p: int(agg.get(p, (0, 0))[0] or 0) for p in map(str, pending)},
+            {p: int(agg.get(p, (0, 0))[1] or 0) for p in map(str, pending)},
+            wall_ms,
+        )
+        return self.verdicts().where(
+            (F.col("stage") == "incidents") & (F.col("run_id") == run_id)
+        )
+
+    def incident_sessions(self) -> DataFrame:
+        return self.io.read(
+            "incident_sessions",
+            "part string, v_stage string, incident_idx bigint, "
+            "n_runs bigint, t_start timestamp, t_end timestamp, dur_s bigint",
+        )
+
+    def run_screen_attribution(
+        self,
+        screen_stage: str = "certificate",
+        target_stages: tuple[str, ...] = ("audio",),
+        resume: bool = True,
+        run_id: str | None = None,
+    ) -> DataFrame:
+        """Cascade stage: as-of attribution of each expensive-tier run
+        to the screen that vouched for it (stage='screen', resume unit =
+        partition, re-open via :meth:`invalidate`).
+
+        The backward as-of join (operators.temporal.asof_join — the
+        asof_attribution contract query's operator) attaches to every
+        ``target_stages`` manifest row the most recent ``screen_stage``
+        row for the same partition at or before it: "which certificate
+        screened this decode pass, and how stale was it?". A target run
+        with NO prior screen is the lineage gap the stage flags
+        (manifest n_violations = unscreened runs; n_rows = target
+        runs). Output table ``screen_attribution``.
+
+        Scale: manifest-sized input, one as-of exchange on part — cost
+        independent of corpus size.
+        """
+        from .operators.temporal import asof_join
+
+        run_id = run_id or uuid.uuid4().hex[:12]
+        hist = self.manifest()
+        target = hist.where(F.col("stage").isin(*target_stages))
+        screens = hist.where(F.col("stage") == screen_stage).select(
+            "part", "completed_at", "run_id"
+        )
+        all_parts = [r[0] for r in target.select("part").distinct().collect()]
+        done: set[str] = set()
+        if resume:
+            done = {
+                r["part"]
+                for r in self.manifest().where(F.col("stage") == "screen")
+                .select("part").distinct().collect()
+            }
+        pending = [p for p in all_parts if str(p) not in done]
+        if not pending:
+            return self.verdicts().where(
+                (F.col("stage") == "screen") & (F.col("run_id") == run_id)
+            )
+        t0 = time.monotonic()
+        scoped = target.where(F.col("part").isin(pending)).select(
+            "part", "stage", "run_id", "completed_at", "n_violations"
+        )
+        # no tiebreak: commit timestamps are per-(stage, run) and the
+        # asof tiebreak casts to long (run_id is a hex string)
+        att = asof_join(
+            scoped, screens, ["part"], "completed_at", "completed_at",
+            ["run_id", "completed_at"], prefix="screen_",
+        ).select(
+            "part", F.col("stage").alias("t_stage"), "run_id",
+            "completed_at", "n_violations",
+            "screen_run_id", "screen_completed_at",
+            (
+                F.unix_timestamp("completed_at")
+                - F.unix_timestamp("screen_completed_at")
+            ).cast("bigint").alias("screen_lag_s"),
+        ).persist()
+        try:
+            self.io.replace_partitions(
+                att, "screen_attribution", "part", [str(p) for p in pending]
+            )
+            agg = {
+                r["part"]: (r["n"], r["n_unscreened"])
+                for r in att.groupBy("part").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.col("screen_run_id").isNull().cast("bigint")
+                    ).alias("n_unscreened"),
+                ).collect()
+            }
+        finally:
+            att.unpersist()
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        self._commit(
+            run_id, "screen", [str(p) for p in pending],
+            {p: int(agg.get(p, (0, 0))[0] or 0) for p in map(str, pending)},
+            {p: int(agg.get(p, (0, 0))[1] or 0) for p in map(str, pending)},
+            wall_ms,
+        )
+        return self.verdicts().where(
+            (F.col("stage") == "screen") & (F.col("run_id") == run_id)
+        )
+
+    def screen_attribution(self) -> DataFrame:
+        return self.io.read(
+            "screen_attribution",
+            "part string, t_stage string, run_id string, "
+            "completed_at timestamp, n_violations bigint, "
+            "screen_run_id string, screen_completed_at timestamp, "
+            "screen_lag_s bigint",
+        )
+
     def invalidate(self, parts, stages: tuple[str, ...] = ("audio",)) -> int:
         """Drop manifest completion rows for (part, stage) pairs so the
         next :meth:`run` re-executes exactly those units; returns rows

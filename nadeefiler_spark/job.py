@@ -130,6 +130,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also write the per-partition probe_health table "
                         "(decode-free header-probe stats; stage='probe', "
                         "resumable)")
+    p.add_argument("--incidents", type=int, default=None, nargs="?",
+                   const=86400, metavar="GAP_S",
+                   help="sessionize each partition's violating run history "
+                        "into incident episodes (incident_sessions table, "
+                        "stage='incidents'; runs closer than GAP_S seconds "
+                        "form one incident, default 86400)")
+    p.add_argument("--screen-attribution", action="store_true",
+                   help="as-of attribute each audio-stage run to the most "
+                        "recent prior certificate run for its partition "
+                        "(screen_attribution table, stage='screen'; "
+                        "violations = runs no screen vouched for)")
     p.add_argument("--run-id", default=None)
     return p
 
@@ -281,6 +292,19 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
             resume=not args.no_resume, run_id=args.run_id,
         )
         verdicts = verdicts.unionByName(reg_v)
+    # temporal-lineage stages read the manifest history the stages above
+    # just committed — keep them last
+    if args.incidents is not None:
+        inc_v = eng.run_incident_sessions(
+            gap_s=args.incidents, resume=not args.no_resume,
+            run_id=args.run_id,
+        )
+        verdicts = verdicts.unionByName(inc_v)
+    if args.screen_attribution:
+        sa_v = eng.run_screen_attribution(
+            resume=not args.no_resume, run_id=args.run_id
+        )
+        verdicts = verdicts.unionByName(sa_v)
     rows = verdicts.orderBy("part", "stage").collect()
     summary = {
         "partitions": sorted({r["part"] for r in rows}),

@@ -17,6 +17,7 @@ green). Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import traceback
 
@@ -76,9 +77,52 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
 
 
+class CodegenWatch:
+    """Per-query whole-stage-codegen fallback detector.
+
+    Janino's "Code grows beyond 64 KB" makes Spark fall back to
+    interpreted eval SILENTLY — the query stays correct but the scan
+    pays a multi-x CPU penalty, which at 100 TB is a regression no
+    value check sees. log4j writes the trace to the process's fd 2, so
+    we dup fd 2 into a file and scan the newly appended bytes after
+    each query, attributing any trace to that query by position."""
+
+    MARKERS = (b"grows beyond 64 KB", b"InternalCompilerException")
+    GLOBAL_WINDOW = b"No Partition Defined for Window operation"
+
+    def __init__(self) -> None:
+        import tempfile
+
+        self._f = tempfile.NamedTemporaryFile(prefix="cg_stderr_", delete=False)
+        self._saved_fd = os.dup(2)
+        sys.stderr.flush()
+        os.dup2(self._f.fileno(), 2)
+        self._pos = 0
+
+    def poll(self) -> tuple[bool, int]:
+        """(codegen failure appeared, #global-window warns) since last poll.
+
+        The global-window count is informational: an unpartitioned
+        WindowExec is the right plan on sketch-sized inputs (drift CDFs,
+        rollup grand totals — rows ∝ parts × bins) and a scale bug on
+        row-proportional ones; PLANS.md's global-window table maps each
+        site to its bounded input."""
+        sys.stderr.flush()
+        with open(self._f.name, "rb") as fh:
+            fh.seek(self._pos)
+            chunk = fh.read()
+            self._pos = fh.tell()
+        return (
+            any(m in chunk for m in self.MARKERS),
+            chunk.count(self.GLOBAL_WINDOW),
+        )
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+
+    watch = CodegenWatch()
 
     from nadeefiler_spark.session import get_spark
 
@@ -88,6 +132,8 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = 0
+    codegen_hits: list[str] = []
+    global_windows: dict[str, int] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -99,6 +145,13 @@ def main() -> int:
             traceback.print_exc()
             failures += 1
             continue
+        finally:
+            cg, gw = watch.poll()
+            if cg:
+                codegen_hits.append(name)
+                print(f"WARN {name}: whole-stage codegen fallback (64 KB)")
+            if gw:
+                global_windows[name] = global_windows.get(name, 0) + gw
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(spdf)} rows)")
             continue
@@ -128,6 +181,13 @@ def main() -> int:
             print("spark rows:\n", a[bad].head(5))
             print("oracle rows:\n", b[bad].head(5))
             failures += 1
+    if global_windows:
+        total = sum(global_windows.values())
+        print(f"\nGLOBAL WINDOWS ({total} warns, informational — see "
+              f"PLANS.md global-window table): {global_windows}")
+    if codegen_hits:
+        print(f"\nCODEGEN FALLBACKS ({len(codegen_hits)}): {codegen_hits}")
+        failures += len(codegen_hits)
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
