@@ -1114,6 +1114,142 @@ GROUP BY 1, 2, 3
 """
 
 
+def _temporal_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic run history (manifest-shaped) derived
+    from the orders table: part = order priority, stage = 'audio',
+    completed_at = order date, violations planted on o_orderkey % 3.
+    Shared by the two engine temporal-lineage contract queries so the
+    Spark stage and the DuckDB oracle derive from the same integers."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("run_id"),
+        F.col("o_orderpriority").alias("part"),
+        F.lit("audio").alias("stage"),
+        F.col("o_orderdate").cast("timestamp").alias("completed_at"),
+        F.lit(100).cast("bigint").alias("n_rows"),
+        (F.col("o_orderkey") % 3 == 0).cast("bigint").alias("n_violations"),
+        F.lit(0).cast("bigint").alias("wall_ms"),
+    )
+
+
+def _temporal_engine(spark: SparkSession):
+    import tempfile
+
+    from nadeefiler_spark.engine import ValidationEngine
+    from nadeefiler_spark.profiler import default_clips_config
+
+    return ValidationEngine(
+        spark, tempfile.mkdtemp(prefix="ndf_temporal_"),
+        rules=[], profile_cfg=default_clips_config(),
+    )
+
+
+def _q_incident_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine temporal-lineage stage run end-to-end
+    (engine.run_incident_sessions): the derived run history is appended
+    to a fresh engine's manifest, the stage gap-sessionizes each
+    partition's VIOLATING runs (3-day gap) into incident episodes via
+    operators.sessions.session_stats, and the resulting
+    ``incident_sessions`` table is returned — stage rows, per-partition
+    replace, and manifest commit all exercised inside the query. The
+    DuckDB oracle recomputes the sessionization from the same orders
+    integers. Manifest-sized at any corpus scale (rows ∝ runs, never
+    clips)."""
+    eng = _temporal_engine(spark)
+    eng.io.append(_temporal_history(spark, sf_dir), "manifest", coalesce=1)
+    eng.run_incident_sessions(gap_s=3 * 86400, run_id="q1")
+    return eng.incident_sessions().select(
+        "part", "v_stage", "incident_idx", "n_runs",
+        F.col("t_start").cast("string").alias("t_start"),
+        F.col("t_end").cast("string").alias("t_end"),
+        "dur_s",
+    )
+
+
+_SQL_INCIDENT_SESSIONS = """
+WITH h AS (
+  SELECT o_orderpriority AS part, CAST(o_orderdate AS TIMESTAMP) AS ts,
+         CAST(o_orderkey AS VARCHAR) AS run_id
+  FROM orders WHERE o_orderkey % 3 = 0
+), e AS (
+  SELECT part, ts, run_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 259200
+              THEN 1 ELSE 0 END AS boundary
+  FROM h
+  WINDOW w AS (PARTITION BY part ORDER BY ts, run_id)
+), s AS (
+  SELECT part, ts,
+         sum(boundary) OVER (PARTITION BY part ORDER BY ts, run_id
+                             ROWS UNBOUNDED PRECEDING) AS idx
+  FROM e)
+SELECT part, 'audio' AS v_stage, CAST(idx AS BIGINT) AS incident_idx,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(min(ts) AS VARCHAR) AS t_start, CAST(max(ts) AS VARCHAR) AS t_end,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS dur_s
+FROM s GROUP BY 1, 2, 3
+"""
+
+
+def _q_screen_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine as-of screen attribution run end-to-end
+    (engine.run_screen_attribution): audio-stage runs from the derived
+    history plus certificate-stage screens planted on o_orderkey % 7
+    (deduped to one per (part, ts) — the as-of match must be
+    deterministic), then the stage's backward as-of join attributes
+    every audio run to its most recent screen; unscreened runs keep
+    NULLs. DuckDB's native ASOF LEFT JOIN is the oracle. Manifest-sized
+    at any corpus scale."""
+    eng = _temporal_engine(spark)
+    hist = _temporal_history(spark, sf_dir)
+    screens = (
+        hist.where(F.col("run_id").cast("bigint") % 7 == 0)
+        .groupBy("part", "completed_at")
+        .agg(F.max("run_id").alias("run_id"))
+        .select(
+            "run_id", "part", F.lit("certificate").alias("stage"),
+            "completed_at",
+            F.lit(0).cast("bigint").alias("n_rows"),
+            F.lit(0).cast("bigint").alias("n_violations"),
+            F.lit(0).cast("bigint").alias("wall_ms"),
+        )
+    )
+    eng.io.append(hist.unionByName(screens), "manifest", coalesce=1)
+    eng.run_screen_attribution(run_id="q1")
+    return eng.screen_attribution().select(
+        "part", "t_stage", "run_id",
+        F.col("completed_at").cast("string").alias("completed_at"),
+        "n_violations", "screen_run_id",
+        F.col("screen_completed_at").cast("string").alias(
+            "screen_completed_at"
+        ),
+        "screen_lag_s",
+    )
+
+
+_SQL_SCREEN_ATTRIBUTION = """
+WITH a AS (
+  SELECT o_orderpriority AS part, CAST(o_orderkey AS VARCHAR) AS run_id,
+         CAST(o_orderdate AS TIMESTAMP) AS ts,
+         CAST(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_violations
+  FROM orders
+), c AS (
+  SELECT o_orderpriority AS part, CAST(o_orderdate AS TIMESTAMP) AS ts,
+         max(CAST(o_orderkey AS VARCHAR)) AS run_id
+  FROM orders WHERE o_orderkey % 7 = 0
+  GROUP BY 1, 2
+)
+SELECT a.part, 'audio' AS t_stage, a.run_id,
+       CAST(a.ts AS VARCHAR) AS completed_at, a.n_violations,
+       c.run_id AS screen_run_id,
+       CAST(c.ts AS VARCHAR) AS screen_completed_at,
+       CAST(floor(epoch(a.ts)) - floor(epoch(c.ts)) AS BIGINT)
+         AS screen_lag_s
+FROM a ASOF LEFT JOIN c ON a.part = c.part AND c.ts <= a.ts
+"""
+
+
 # IND candidates: every declared-FK-shaped pair in the testdata schema
 # (all hold on the clean synthetic data) plus two REVERSE pairs that
 # only partially hold (customers with no orders; never-ordered parts),
@@ -6293,6 +6429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_event_sessions,
         "asof_attribution": _q_asof_attribution,
         "session_concurrency": _q_session_concurrency,
+        "incident_sessions": _q_incident_sessions,
+        "screen_attribution": _q_screen_attribution,
         "ind_mine": _q_ind_mine,
         "ucc_mine": _q_ucc_mine,
         "mask_profile": _q_mask_profile,
@@ -6429,6 +6567,8 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": _SQL_EVENT_SESSIONS,
         "asof_attribution": _SQL_ASOF_ATTRIBUTION,
         "session_concurrency": _SQL_SESSION_CONCURRENCY,
+        "incident_sessions": _SQL_INCIDENT_SESSIONS,
+        "screen_attribution": _SQL_SCREEN_ATTRIBUTION,
         "ind_mine": _sql_ind_mine(),
         "ucc_mine": _sql_ucc_mine(),
         "mask_profile": _sql_mask_profile(),

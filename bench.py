@@ -160,6 +160,8 @@ HEADLINE_QUERIES = (
     "vocab_coverage",
     "review_allocation",
     "entropy_l_diversity",
+    "incident_sessions",
+    "screen_attribution",
 )
 
 

@@ -43,12 +43,10 @@ def duck():
     return con
 
 
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+# the DTYPE-STRICT canonical rendering the full sweep uses — the local
+# gate must see exactly what the driver's hash sees (r03 lesson:
+# check_dtype=False passed two queries the driver hash-failed)
+from scripts.check_oracle import canon as _canon  # noqa: E402
 
 
 def test_queries_and_oracles_align():
@@ -76,7 +74,7 @@ def test_query_matches_oracle(spark, duck, name):
     odf = duck.execute(entry.oracle_sql()[name]).df()
     assert len(sdf) == len(odf)
     assert sorted(sdf.columns) == sorted(odf.columns)
-    pd.testing.assert_frame_equal(_canon(sdf), _canon(odf), check_dtype=False)
+    pd.testing.assert_frame_equal(_canon(sdf), _canon(odf))
 
 
 def test_entry_flagship(spark):
