@@ -197,6 +197,36 @@ def test_header_triage_rule_in_engine(spark, tmp_path):
     assert got == expected
 
 
+def test_fused_constraints_scan_keeps_codegen(spark, tmp_path, capfd):
+    """The shared constraints scan with HeaderTriageRule folded in must
+    keep whole-stage codegen. The rule's predicate reads MATERIALIZED
+    probe columns via Rule.prepare/staged_probe (ADVICE r3): the flat
+    finding tree folded alongside other predicate rules is the shape
+    CLOSEST to Janino's 64 KB method limit (measured today it still
+    compiles with the default rule set, but header_triage's
+    union-branch variant of the same tree did NOT — see PLANS.md), so
+    this pins the fused scan against any future rule addition or
+    expression growth tipping it over. capfd captures the JVM's fd-2
+    output, so a silent interpreted-eval fallback fails loudly here."""
+    from nadeefiler_spark.engine import ValidationEngine
+    from nadeefiler_spark.presets import default_clip_rules
+    from nadeefiler_spark.profiler import default_clips_config
+
+    clips = datagen.clips_df(spark, CFG)
+    refs = datagen.refs_df(spark, CFG)
+    capfd.readouterr()  # drop anything buffered before the run
+    eng = ValidationEngine(
+        spark,
+        str(tmp_path / "out"),
+        rules=default_clip_rules(with_header_triage=True, with_drift=False),
+        profile_cfg=default_clips_config(),
+    )
+    eng.run(clips, refs, run_id="r1")
+    err = capfd.readouterr().err
+    assert "grows beyond 64 KB" not in err
+    assert "InternalCompilerException" not in err
+
+
 def test_probe_stats_batch_totals(spark):
     from nadeefiler_spark.operators.headerprobe import probe_stats
 
