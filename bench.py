@@ -252,12 +252,21 @@ def main() -> None:
     ]
 
     load0 = os.getloadavg()
+    # watch the JVM's stderr for whole-stage-codegen 64 KB fallbacks: a
+    # fallback is a silent multi-x CPU penalty, so a bench that reports
+    # throughput must also report whether any measured plan fell back
+    # (same detector as scripts/check_oracle.py, which FAILS on them)
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from check_oracle import CodegenWatch
+
+    watch = CodegenWatch()
     spark = get_spark(app_name="bench", parallelism=cpus)
     # warm the JVM/session so the first timed query doesn't pay startup
     _force(entry_mod.queries()["value_histogram"](spark, sf_dir))
 
     queries = bench_queries(spark, sf_dir, names)
     engine = bench_engine(spark, n_clips)
+    codegen_fallback, _ = watch.poll()
 
     print(json.dumps({
         "metric": "clips validated/sec (end-to-end profile+constraint pass)",
@@ -273,6 +282,10 @@ def main() -> None:
         # this bench is the only VM workload marks an interference window
         "loadavg_start": [round(x, 2) for x in load0],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        # True would mean some measured plan silently dropped to
+        # interpreted eval — the numbers above would be understating
+        # the engine. Guarded at zero by the check_oracle sweep.
+        "codegen_fallback": codegen_fallback,
     }))
 
 
