@@ -1026,8 +1026,14 @@ class ValidationEngine:
         run_id = run_id or uuid.uuid4().hex[:12]
         hist = self.manifest()
         target = hist.where(F.col("stage").isin(*target_stages))
-        screens = hist.where(F.col("stage") == screen_stage).select(
-            "part", "completed_at", "run_id"
+        # one screen per (part, ts): two screen commits stamped the same
+        # instant would otherwise make the as-of carry nondeterministic
+        # (max run_id wins — deterministic on both engines)
+        screens = (
+            hist.where(F.col("stage") == screen_stage)
+            .groupBy("part", "completed_at")
+            .agg(F.max("run_id").alias("run_id"))
+            .select("part", "completed_at", "run_id")
         )
         all_parts = [r[0] for r in target.select("part").distinct().collect()]
         done: set[str] = set()
