@@ -858,7 +858,8 @@ _SQL_WINDOWED_EVENT_STATS = """
 SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
        event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(avg("value"), 6) AS avg_value,
+       round(CAST(sum(CAST("value" AS DECIMAL(30,8))) AS DOUBLE)
+             / count(*), 6) AS avg_value,
        round(min("value"), 6) AS min_value,
        round(max("value"), 6) AS max_value
 FROM events GROUP BY 1, 2
@@ -2690,10 +2691,11 @@ WITH d AS (
 SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
-       round(avg(round(
+       round(CAST(sum(CAST(round(
          0.4 * (CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
          + 0.3 * (CASE WHEN mwl >= 3.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END)
-         + 0.3 * (1.0 - least(praw * 5.0, 1.0)), 6)), 6) AS avg_quality,
+         + 0.3 * (1.0 - least(praw * 5.0, 1.0)), 6) AS DECIMAL(30,8)))
+         AS DOUBLE) / count(*), 6) AS avg_quality,
        round(avg(CAST(ntok AS DOUBLE)), 6) AS avg_tokens
 FROM q GROUP BY ws
 """

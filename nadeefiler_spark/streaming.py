@@ -234,7 +234,14 @@ def windowed_event_stats(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.avg(value_col).alias("avg_value"),
+            # order-independent mean: exact DECIMAL sum (associative),
+            # then ONE double division. A float avg() is summation-
+            # order-dependent — at sf0.1 row counts it diverges from
+            # the DuckDB oracle by 1 ulp, which flips the rounded 6th
+            # decimal and fails a hash-canonical gate (caught by the
+            # round-4 sf0.1 strict sweep). The decimal cast truncates
+            # the same IEEE double identically on both engines.
+            F.sum(F.col(value_col).cast("decimal(30,8)")).alias("_vsum"),
             F.min(value_col).alias("min_value"),
             F.max(value_col).alias("max_value"),
         )
@@ -243,7 +250,9 @@ def windowed_event_stats(
             F.col("w.end").alias("window_end"),
             F.col(key_col),
             "n_events",
-            "avg_value",
+            (
+                F.col("_vsum").cast("double") / F.col("n_events")
+            ).alias("avg_value"),
             "min_value",
             "max_value",
         )
@@ -280,7 +289,17 @@ def windowed_text_quality(
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(has_pii(text_col).cast("bigint")).alias("pii_docs"),
-            F.round(F.avg(quality_score(text_col)), 6).alias("avg_quality"),
+            # decimal-sum mean: quality_score is per-row 6dp, so the
+            # DECIMAL(30,8) cast is exact and the sum associative —
+            # float avg() order-divergence fails the hash gate at
+            # sf0.1 (see windowed_event_stats)
+            F.round(
+                F.sum(quality_score(text_col).cast("decimal(30,8)"))
+                .cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
+            # token counts are integer-valued: their double sum is
+            # exact (and order-independent) up to 2^53
             F.round(
                 F.avg(token_count(text_col).cast("double")), 6
             ).alias("avg_tokens"),
