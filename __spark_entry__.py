@@ -859,7 +859,7 @@ SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
        event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        round(CAST(sum(CAST("value" AS DECIMAL(30,8))) AS DOUBLE)
-             / count(*), 6) AS avg_value,
+             / nullif(count("value"), 0), 6) AS avg_value,
        round(min("value"), 6) AS min_value,
        round(max("value"), 6) AS max_value
 FROM events GROUP BY 1, 2
@@ -2695,7 +2695,7 @@ SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
          0.4 * (CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
          + 0.3 * (CASE WHEN mwl >= 3.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END)
          + 0.3 * (1.0 - least(praw * 5.0, 1.0)), 6) AS DECIMAL(30,8)))
-         AS DOUBLE) / count(*), 6) AS avg_quality,
+         AS DOUBLE) / nullif(count(n_chars), 0), 6) AS avg_quality,
        round(avg(CAST(ntok AS DOUBLE)), 6) AS avg_tokens
 FROM q GROUP BY ws
 """

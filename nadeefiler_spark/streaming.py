@@ -241,7 +241,10 @@ def windowed_event_stats(
             # decimal and fails a hash-canonical gate (caught by the
             # round-4 sf0.1 strict sweep). The decimal cast truncates
             # the same IEEE double identically on both engines.
+            # Denominator is the NON-NULL count (avg() semantics: NULL
+            # values are absent, not zero) — n_events stays count(*).
             F.sum(F.col(value_col).cast("decimal(30,8)")).alias("_vsum"),
+            F.count(F.col(value_col)).alias("_vn"),
             F.min(value_col).alias("min_value"),
             F.max(value_col).alias("max_value"),
         )
@@ -250,8 +253,8 @@ def windowed_event_stats(
             F.col("w.end").alias("window_end"),
             F.col(key_col),
             "n_events",
-            (
-                F.col("_vsum").cast("double") / F.col("n_events")
+            F.when(
+                F.col("_vn") > 0, F.col("_vsum").cast("double") / F.col("_vn")
             ).alias("avg_value"),
             "min_value",
             "max_value",
@@ -292,10 +295,13 @@ def windowed_text_quality(
             # decimal-sum mean: quality_score is per-row 6dp, so the
             # DECIMAL(30,8) cast is exact and the sum associative —
             # float avg() order-divergence fails the hash gate at
-            # sf0.1 (see windowed_event_stats)
+            # sf0.1 (see windowed_event_stats). Denominator = non-null
+            # doc count (quality_score is NULL iff the text is NULL),
+            # so NULL docs are absent from the mean, not zeros.
             F.round(
                 F.sum(quality_score(text_col).cast("decimal(30,8)"))
-                .cast("double") / F.count(F.lit(1)),
+                .cast("double")
+                / F.nullif(F.count(F.col(text_col)), F.lit(0)),
                 6,
             ).alias("avg_quality"),
             # token counts are integer-valued: their double sum is

@@ -317,6 +317,39 @@ def test_windowed_event_stats_stream_equals_batch(spark, tmp_path):
     assert len(canon(batch)) == 4  # (h0,click) (h0,view) (h1,click) (h2,view)
 
 
+def test_windowed_event_stats_null_values_use_nonnull_avg(spark):
+    """avg() semantics under NULLs: NULL values are ABSENT from the
+    mean (denominator = non-null count), not zeros — while n_events
+    stays count(*). An all-NULL window yields avg_value NULL, not a
+    division blow-up (ADVICE r4: the decimal-sum rewrite must not
+    silently change the denominator to count(*))."""
+    import datetime as dt
+
+    from nadeefiler_spark.streaming import windowed_event_stats
+
+    rows = [
+        (dt.datetime(2026, 1, 1, 0, 5), "click", 2.0),
+        (dt.datetime(2026, 1, 1, 0, 10), "click", None),
+        (dt.datetime(2026, 1, 1, 0, 40), "click", 4.0),
+        (dt.datetime(2026, 1, 1, 1, 5), "view", None),
+        (dt.datetime(2026, 1, 1, 1, 6), "view", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double"
+    )
+    out = {
+        (str(r["window_start"]), r["event_type"]): r
+        for r in windowed_event_stats(df).collect()
+    }
+    mixed = out[("2026-01-01 00:00:00", "click")]
+    assert mixed["n_events"] == 3
+    assert abs(mixed["avg_value"] - 3.0) < 1e-12  # (2+4)/2, not /3
+    allnull = out[("2026-01-01 01:00:00", "view")]
+    assert allnull["n_events"] == 2
+    assert allnull["avg_value"] is None
+    assert allnull["min_value"] is None
+
+
 def test_windowed_event_stats_watermark_drops_late_rows(spark, tmp_path):
     """Append mode + watermark: a window is emitted once the watermark
     passes its end, and a row arriving LATER than the watermark (across
