@@ -260,13 +260,20 @@ def main() -> None:
     from check_oracle import CodegenWatch
 
     watch = CodegenWatch()
-    spark = get_spark(app_name="bench", parallelism=cpus)
-    # warm the JVM/session so the first timed query doesn't pay startup
-    _force(entry_mod.queries()["value_histogram"](spark, sf_dir))
+    try:
+        spark = get_spark(app_name="bench", parallelism=cpus)
+        # warm the JVM/session so the first timed query doesn't pay startup
+        _force(entry_mod.queries()["value_histogram"](spark, sf_dir))
 
-    queries = bench_queries(spark, sf_dir, names)
-    engine = bench_engine(spark, n_clips)
-    codegen_fallback, _ = watch.poll()
+        queries = bench_queries(spark, sf_dir, names)
+        engine = bench_engine(spark, n_clips)
+        codegen_fallback, _ = watch.poll()
+    finally:
+        # restore fd 2 before anything can raise out of main: with the
+        # dup2 in place an uncaught traceback would vanish into the
+        # watch's temp file and the bench would die printing nothing
+        # (ADVICE r4)
+        watch.restore()
 
     print(json.dumps({
         "metric": "clips validated/sec (end-to-end profile+constraint pass)",

@@ -98,9 +98,15 @@ class CodegenWatch:
         sys.stderr.flush()
         os.dup2(self._f.fileno(), 2)
         self._pos = 0
+        self.last_chunk = b""
 
     def poll(self) -> tuple[bool, int]:
         """(codegen failure appeared, #global-window warns) since last poll.
+
+        The captured bytes land in ``self.last_chunk`` so failure paths
+        can surface the JVM's actual stderr (dup2 hides fd 2 — without
+        this a FAIL line would print with its diagnostics swallowed
+        into the temp file; ADVICE r4).
 
         The global-window count is informational: an unpartitioned
         WindowExec is the right plan on sketch-sized inputs (drift CDFs,
@@ -112,10 +118,24 @@ class CodegenWatch:
             fh.seek(self._pos)
             chunk = fh.read()
             self._pos = fh.tell()
+        self.last_chunk = chunk
         return (
             any(m in chunk for m in self.MARKERS),
             chunk.count(self.GLOBAL_WINDOW),
         )
+
+    def restore(self) -> None:
+        """Put the real stderr back on fd 2 (idempotent). Call before
+        normal exit / re-raise so Python tracebacks and interpreter
+        diagnostics reach the terminal again."""
+        if self._saved_fd is not None:
+            sys.stderr.flush()
+            os.dup2(self._saved_fd, 2)
+            os.close(self._saved_fd)
+            self._saved_fd = None
+
+    def stderr_tail(self, n: int = 4000) -> str:
+        return self.last_chunk[-n:].decode("utf-8", "replace").strip()
 
 
 def main() -> int:
@@ -123,7 +143,15 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     watch = CodegenWatch()
+    try:
+        return _run(sf_dir, only, watch)
+    finally:
+        # put stderr back so anything fatal after this point (or the
+        # interpreter's own exit diagnostics) is visible
+        watch.restore()
 
+
+def _run(sf_dir: str, only: set[str], watch: CodegenWatch) -> int:
     from nadeefiler_spark.session import get_spark
 
     spark = get_spark(app_name="check_oracle")
@@ -137,14 +165,12 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        spark_err: str | None = None
         try:
             sdf = fn(spark, sf_dir)
             spdf = sdf.toPandas()
         except Exception:
-            print(f"FAIL {name}: spark error")
-            traceback.print_exc()
-            failures += 1
-            continue
+            spark_err = traceback.format_exc()
         finally:
             cg, gw = watch.poll()
             if cg:
@@ -152,6 +178,17 @@ def main() -> int:
                 print(f"WARN {name}: whole-stage codegen fallback (64 KB)")
             if gw:
                 global_windows[name] = global_windows.get(name, 0) + gw
+        if spark_err is not None:
+            # fd 2 is dup2'd into the watch's temp file, so the trace
+            # and the JVM's stderr must go to STDOUT to be seen at all
+            print(f"FAIL {name}: spark error")
+            print(spark_err)
+            tail = watch.stderr_tail()
+            if tail:
+                print(f"--- captured JVM stderr tail ({name}) ---")
+                print(tail)
+            failures += 1
+            continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(spdf)} rows)")
             continue
@@ -159,7 +196,7 @@ def main() -> int:
             opdf = con.execute(oracles[name]).df()
         except Exception:
             print(f"FAIL {name}: oracle error")
-            traceback.print_exc()
+            traceback.print_exc(file=sys.stdout)
             failures += 1
             continue
         if len(spdf) != len(opdf):
