@@ -1726,6 +1726,21 @@ class ValidationEngine:
             pd_ = rule.predicate(ctx)
             if pd_ is not None:
                 scan = rule.prepare(scan, ctx)
+                # prepare() chains over the SHARED scan — a helper
+                # column colliding with an input column or another
+                # rule's staging makes every downstream reference
+                # ambiguous; fail loudly with attribution instead of
+                # letting the whole stage die on AMBIGUOUS_REFERENCE
+                from collections import Counter
+
+                dups = [c for c, n in Counter(scan.columns).items() if n > 1]
+                if dups:
+                    raise ValueError(
+                        f"rule {rule.name!r}: prepare() staged duplicate "
+                        f"column(s) {dups} onto the shared {stage} scan; "
+                        "namespace helper columns per rule instance "
+                        "(__<rule.name>_ prefix convention, rules/base.py)"
+                    )
                 pred, detail = pd_
                 folded.append(F.struct(
                     F.lit(rule.name).alias("rule"),

@@ -261,7 +261,9 @@ def _finding_when(
     )
 
 
-def staged_probe(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+def staged_probe(
+    df: DataFrame, bytes_col: str = "bytes", prefix: str = ""
+) -> DataFrame:
     """Append :data:`PROBE_COLS` plus ``__hdr_sr_raw`` via the staged
     (codegen-safe) two-projection layout: materialize one 64-byte header
     slice + the real byte length, then parse everything from those
@@ -273,8 +275,16 @@ def staged_probe(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     engine's predicate fast path (``Rule.prepare``): downstream
     consumers build findings from the MATERIALIZED probe columns
     (:func:`staged_finding_expr`) instead of re-deriving the flat
-    hex/conv tree per reference."""
-    hdr, bl, raw = "__hdr_slice", "__hdr_blen", "__hdr_sr_raw"
+    hex/conv tree per reference.
+
+    ``prefix`` namespaces every appended column (including the staging
+    temps). The engine's fold path chains many rules' ``prepare`` over
+    ONE shared scan, so helper columns must be unique per rule instance
+    (base.py convention) — ``HeaderTriageRule`` passes
+    ``__<rule.name>_`` so two triage instances, or input clips that
+    already carry ``hdr_*`` columns, cannot produce ambiguous names
+    (ADVICE r4)."""
+    hdr, bl = f"{prefix}__hdr_slice", f"{prefix}__hdr_blen"
     staged = df.select(
         "*",
         F.substring(F.col(bytes_col), 1, 64).alias(hdr),
@@ -283,8 +293,8 @@ def staged_probe(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     cols = _all_cols(hdr, total_len_col=bl)
     return staged.select(
         "*",
-        *(cols[name].alias(name) for name in PROBE_COLS),
-        cols[raw].alias(raw),
+        *(cols[name].alias(prefix + name) for name in PROBE_COLS),
+        cols["__hdr_sr_raw"].alias(prefix + "__hdr_sr_raw"),
     ).drop(hdr, bl)
 
 
@@ -294,11 +304,13 @@ def staged_finding_expr(
     dur_col: str = "dur_ms",
     abs_tol_ms: int = 20,
     rel_tol: float = 0.02,
+    prefix: str = "",
 ) -> Column:
     """:func:`finding_expr` over the MATERIALIZED probe columns that
     :func:`staged_probe` appended — a handful of comparisons, safe to
-    fold into a shared multi-rule scan without busting codegen."""
-    named = {k: F.col(k) for k in (*PROBE_COLS, "__hdr_sr_raw")}
+    fold into a shared multi-rule scan without busting codegen.
+    ``prefix`` must match the one given to :func:`staged_probe`."""
+    named = {k: F.col(prefix + k) for k in (*PROBE_COLS, "__hdr_sr_raw")}
     return _finding_when(named, codec_col, sr_col, dur_col, abs_tol_ms, rel_tol)
 
 

@@ -411,6 +411,15 @@ class HeaderTriageRule(Rule):
     rel_tol: float = 0.02
     flag_real_codecs: bool = False
 
+    @property
+    def _staged_prefix(self) -> str:
+        # per-instance namespace for the staged helper columns: the
+        # engine chains every folded rule's prepare() over ONE shared
+        # scan, so a second triage instance (different tolerances,
+        # distinct name) or clips that already carry hdr_* columns must
+        # not collide with this instance's staging (ADVICE r4)
+        return f"__{self.name}_"
+
     def prepare(self, df: DataFrame, ctx: RuleContext) -> DataFrame:
         # stage the probe (slice -> parse, two projections) so the
         # predicate below reads MATERIALIZED probe columns — folding the
@@ -419,13 +428,15 @@ class HeaderTriageRule(Rule):
         # the whole stage to interpreted eval (see header_probe)
         from ..operators.headerprobe import staged_probe
 
-        return staged_probe(df, self.bytes_col)
+        return staged_probe(df, self.bytes_col, prefix=self._staged_prefix)
 
     def predicate(self, ctx: RuleContext):
         from ..operators.headerprobe import staged_finding_expr
 
         finding = staged_finding_expr(
-            abs_tol_ms=self.abs_tol_ms, rel_tol=self.rel_tol
+            abs_tol_ms=self.abs_tol_ms,
+            rel_tol=self.rel_tol,
+            prefix=self._staged_prefix,
         )
         pred = finding.isNotNull()
         if not self.flag_real_codecs:

@@ -86,8 +86,24 @@ class Rule:
 
 
 def topo_sort(rules: list[Rule]) -> list[Rule]:
-    """Stable topological order over ``depends_on`` (cascade tree analog)."""
+    """Stable topological order over ``depends_on`` (cascade tree analog).
+
+    Duplicate names are an error, not a silent drop: the name keys the
+    violations output, staged-column namespaces, and ``depends_on``
+    edges, so two same-named instances would be indistinguishable
+    downstream (and the visit-marking here would quietly skip the
+    second one — ADVICE r4)."""
     by_name = {r.name: r for r in rules}
+    if len(by_name) != len(rules):
+        from collections import Counter
+
+        dupes = sorted(
+            n for n, c in Counter(r.name for r in rules).items() if c > 1
+        )
+        raise ValueError(
+            f"duplicate rule name(s) {dupes}: give each rule instance a "
+            "unique name (it keys violations rows and staged columns)"
+        )
     seen: dict[str, int] = {}
     out: list[Rule] = []
 

@@ -227,6 +227,93 @@ def test_fused_constraints_scan_keeps_codegen(spark, tmp_path, capfd):
     assert "InternalCompilerException" not in err
 
 
+def test_two_triage_instances_fold_without_collision(spark, tmp_path):
+    """Two HeaderTriageRule instances (distinct names, different
+    tolerances) fold into the SAME shared constraints scan: staging is
+    namespaced per rule instance (__<name>_ prefix), so their helper
+    columns — and any hdr_* column already on the input — cannot
+    collide (ADVICE r4). The lax instance must still produce exactly
+    the golden finding set; the strict one (zero duration tolerance) a
+    superset."""
+    from nadeefiler_spark.engine import ValidationEngine
+    from nadeefiler_spark.profiler import default_clips_config
+    from nadeefiler_spark.rules.audio_rules import HeaderTriageRule
+
+    clips = datagen.clips_df(spark, CFG).withColumn(
+        "hdr_codec", F.lit("preexisting")  # must survive untouched
+    )
+    refs = datagen.refs_df(spark, CFG)
+    eng = ValidationEngine(
+        spark,
+        str(tmp_path / "out"),
+        rules=[
+            HeaderTriageRule(),
+            HeaderTriageRule(
+                name="header_triage_strict", abs_tol_ms=0, rel_tol=0.0
+            ),
+        ],
+        profile_cfg=default_clips_config(),
+    )
+    eng.run(clips, refs, run_id="r1")
+    rows = eng.violations().collect()
+    lax = {(r["clip_id"], r["detail"]) for r in rows
+           if r["rule"] == "header_triage"}
+    strict_ids = {r["clip_id"] for r in rows
+                  if r["rule"] == "header_triage_strict"}
+    expected = set()
+    for i in range(CFG.n_rows):
+        spec = datagen.row_spec(i, CFG)
+        f = expected_finding(spec)
+        if f is not None:
+            expected.add((spec["clip_id"], f))
+    assert lax == expected
+    assert {cid for cid, _ in lax} <= strict_ids
+
+
+def test_colliding_staged_columns_raise_with_attribution(spark, tmp_path):
+    """Staging collisions fail LOUDLY with attribution, at both layers
+    (ADVICE r4): two same-named rule instances are rejected up front
+    (the name keys violations rows and staging namespaces — topo_sort
+    used to silently drop the second), and a prepare() that stages a
+    column already on the shared scan is caught by the engine's fold
+    loop — not left to die downstream on an ambiguous reference."""
+    import pytest
+
+    from nadeefiler_spark.engine import ValidationEngine
+    from nadeefiler_spark.profiler import default_clips_config
+    from nadeefiler_spark.rules.audio_rules import HeaderTriageRule
+    from nadeefiler_spark.rules.base import Rule
+
+    clips = datagen.clips_df(spark, CFG)
+    refs = datagen.refs_df(spark, CFG)
+    eng = ValidationEngine(
+        spark,
+        str(tmp_path / "out"),
+        rules=[HeaderTriageRule(), HeaderTriageRule(abs_tol_ms=0)],
+        profile_cfg=default_clips_config(),
+    )
+    with pytest.raises(ValueError, match="duplicate rule name"):
+        eng.run(clips, refs, run_id="r1")
+
+    class BadStager(Rule):
+        name: str = "bad_stager"
+
+        def prepare(self, df, ctx):
+            return df.select("*", F.lit(1).alias("codec"))  # collides
+
+        def predicate(self, ctx):
+            return F.lit(False), F.lit(None).cast("string")
+
+    eng2 = ValidationEngine(
+        spark,
+        str(tmp_path / "out2"),
+        rules=[BadStager(name="bad_stager")],
+        profile_cfg=default_clips_config(),
+    )
+    with pytest.raises(ValueError, match="staged duplicate"):
+        eng2.run(clips, refs, run_id="r1")
+
+
 def test_probe_stats_batch_totals(spark):
     from nadeefiler_spark.operators.headerprobe import probe_stats
 
