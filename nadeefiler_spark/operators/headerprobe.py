@@ -361,6 +361,18 @@ def triage_route(
     10^12-clip scale an audit rate like 0.001% is a plausible input,
     and silently rounding it to an EMPTY audit sample would void the
     Hoeffding bound for the probe-clean population without any error.
+
+    .. note:: **Sample-set break (round 4).** The modulus was 10000
+       before round 4; raising it to 1e6 changes WHICH clips the
+       xxhash64 bucket selects for the same ``seed`` and ``sample_pct``
+       (``h % 1e6 < k`` and ``h % 1e4 < k'`` pick different rows).
+       Certificates or audit state persisted under the old modulus
+       describe a sample population this version no longer reproduces —
+       re-run certification (``engine.run_certificates`` /
+       ``job.py --certify``) rather than comparing old and new audit
+       sets member-by-member. Membership under a FIXED version is
+       stable across runs and cluster sizes; it is not stable across
+       this version boundary (ADVICE r4).
     """
     if not 0.0 <= sample_pct <= 100.0:
         raise ValueError(
