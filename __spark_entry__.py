@@ -1474,17 +1474,19 @@ def _qc_planted_clips(spark: SparkSession) -> DataFrame:
     )
 
 
-def _q_audio_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio signal-QC profile (rules.audio_rules decode_facts
-    with_qc=True + AudioQcRule thresholds): clipping / dead-air /
-    DC-offset stats computed on the SAME decoded PCM pass as every
-    other audio fact (decode-once-check-many), flagged rows only.
-    Planted defect clips ride along a synthetic corpus, so the result
-    is the planted set plus the datagen's SNR-distorted clips (their
-    distortion genuinely clips ~2% of samples — the QC gate catches
-    them without needing the reference waveform). No DuckDB oracle
-    (binary decode); pinned by the pure-numpy twin in
-    tests/test_audio.py::test_qc_stats_twin."""
+def _q_audio_qc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio signal-QC profile over the DECODED synthetic corpus
+    (rules.audio_rules decode_facts with_qc=True + AudioQcRule
+    thresholds): clipping / dead-air / DC-offset stats computed on the
+    SAME decoded PCM pass as every other audio fact
+    (decode-once-check-many), flagged rows only. Planted defect clips
+    ride along a synthetic corpus, so the result is the planted set
+    plus the datagen's SNR-distorted clips (their distortion genuinely
+    clips ~2% of samples — the QC gate catches them without needing
+    the reference waveform). No DuckDB oracle (the corpus is rendered
+    PCM); pinned by the pure-numpy twin in
+    tests/test_audio.py::test_qc_stats_twin. The DuckDB-oracled twin
+    of the same operator over SQL-built containers is ``audio_qc``."""
     from nadeefiler_spark.rules.audio_rules import decode_facts
 
     cfg = datagen.GenConfig(n_rows=2000, seed=11, dur_min_ms=40, dur_max_ms=200)
@@ -1741,13 +1743,15 @@ def _sql_numeric_quantiles() -> str:
     return " UNION ALL ".join(sub.format(q=q) for q in (0.25, 0.5, 0.75, 0.95))
 
 
-def _q_audio_fp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio CONTENT dedup (operators.audio_fp): decoded-PCM
-    Haitsma–Kalker fingerprints over the deterministic synthetic clips
-    table — catches the same recording re-encoded in a different
-    container, which byte-hash dedup cannot see. No DuckDB oracle
-    (binary decode); pinned by an independent pure-numpy twin
-    (tests/test_audio_fp.py) and the planted-duplicate golden."""
+def _q_audio_fp_dups_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio CONTENT dedup over the DECODED synthetic corpus
+    (operators.audio_fp): decoded-PCM Haitsma–Kalker fingerprints over
+    the deterministic synthetic clips table — catches the same
+    recording re-encoded in a different container, which byte-hash
+    dedup cannot see. No DuckDB oracle (the corpus is rendered PCM);
+    pinned by an independent pure-numpy twin (tests/test_audio_fp.py)
+    and the planted-duplicate golden. The DuckDB-oracled twin of the
+    same operator over SQL-built containers is ``audio_fp_dups``."""
     from nadeefiler_spark.operators.audio_fp import audio_content_dup_groups
 
     cfg = datagen.GenConfig(n_rows=4000, seed=7, dur_min_ms=40, dur_max_ms=200)
@@ -1813,16 +1817,19 @@ def _q_transcript_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_clip_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental clip admission (operators.audio_fp
-    .incremental_clip_admission): a derived delivery batch classified
-    against the deterministic synthetic corpus. Batch rows are planted
-    by clip-index residue — byte copies (exact_corpus), cross-codec
-    re-encodes (content_corpus), lightly noised re-encodes
-    (near_corpus), duplicated fresh content (accept + exact_batch), and
-    junk blobs (undecodable). No DuckDB oracle (binary decode); the
+def _q_clip_admission_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental clip admission over the DECODED synthetic corpus
+    (operators.audio_fp.incremental_clip_admission): a derived
+    delivery batch classified against the deterministic synthetic
+    corpus. Batch rows are planted by clip-index residue — byte copies
+    (exact_corpus), cross-codec re-encodes (content_corpus), lightly
+    noised re-encodes (near_corpus), duplicated fresh content (accept
+    + exact_batch), and junk blobs (undecodable). No DuckDB oracle
+    (rendered-PCM inputs and the near tier's hamming math); the
     operator is pinned by planted-outcome pytests
-    (tests/test_audio_fp.py)."""
+    (tests/test_audio_fp.py). The DuckDB-oracled twin of the same
+    operator over SQL-built containers (near tier excluded) is
+    ``clip_admission``."""
     from typing import Iterator
 
     import pandas as pd
@@ -4567,6 +4574,336 @@ ORDER BY grp
 """
 
 
+# --- SQL-built audio containers: DuckDB-oracled decode-path queries -------
+#
+# The _built_probe_rows technique extended to the DECODE tier (VERDICT r4
+# #1): containers are BUILT in pure SQL (hex concat/repeat from
+# supplier-table integers) on BOTH engines, Spark runs the REAL decode
+# operators (audio.decode -> numpy) over them, and the DuckDB oracle
+# derives the same outputs arithmetically from the same source integers.
+# Payloads are square waves (period 2p samples), not constants: a constant
+# payload is a DC signal whose band energies are all ~0, making the
+# spectral fingerprint degenerate. Design constants verified empirically
+# (deterministic, so once true always true): the 7 corpus content classes
+# are pairwise >=7 hamming bits apart, fresh-content classes are >=7 bits
+# from every corpus class (admission max_hamming=3), and identical
+# payloads round-trip bit-exact through both WAV and NDF1 containers.
+
+
+def _le_hex32(v) -> Column:
+    """Little-endian u32 hex of an int Column (shared by the built-blob
+    family; same layout as _built_probe_rows' local helper)."""
+    h = F.lpad(F.hex(v), 8, "0")
+    return F.concat(
+        F.substring(h, 7, 2), F.substring(h, 5, 2),
+        F.substring(h, 3, 2), F.substring(h, 1, 2),
+    )
+
+
+def _sq_payload_hex(p, m) -> Column:
+    """Square-wave PCM16 payload hex: p samples of +10000 then p of
+    -10000, repeated m times (n = 2*p*m samples, fundamental at
+    sr/(2p) Hz)."""
+    return F.repeat(
+        F.concat(F.repeat(F.lit("1027"), p), F.repeat(F.lit("F0D8"), p)), m
+    )
+
+
+def _wav_hex(sr, n, payload_hex) -> Column:
+    """RIFF/WAVE PCM16 mono container hex around a payload of n samples."""
+    return F.concat(
+        F.lit("52494646"), _le_hex32(F.lit(36) + 2 * n), F.lit("57415645"),
+        F.lit("666D7420"), _le_hex32(F.lit(16)), F.lit("01000100"),
+        _le_hex32(sr), _le_hex32(sr * 2), F.lit("02001000"),
+        F.lit("64617461"), _le_hex32(2 * n), payload_hex,
+    )
+
+
+_NDF_TAG_FLAC = "666C6163" + "00" * 6
+_NDF_TAG_OPUS = "6F707573" + "00" * 6
+
+
+def _ndf_hex(tag_hex: str, sr, n, payload_hex) -> Column:
+    """NDF1 fake-container hex (magic + 10-byte codec tag + sr + n +
+    payload) — the sandbox stand-in for compressed codecs (audio.py)."""
+    return F.concat(
+        F.lit("4E444631"), F.lit(tag_hex), _le_hex32(sr), _le_hex32(n),
+        payload_hex,
+    )
+
+
+_BUILT_SR = 16000
+
+
+def _built_content_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-dedup corpus BUILT in pure SQL: 7 content classes
+    (c = k % 7; square wave with period p = 2+c, m = 20+c repeats, so
+    distinct classes have distinct fundamentals 16000/(2p) Hz and
+    pairwise fingerprint hamming >= 7 — verified, deterministic), each
+    clip stored as WAV (even k) or NDF1-flac (odd k). Same payload ->
+    same decoded PCM -> same fingerprint regardless of container, so
+    content-dup groups are exactly the k%7 classes — arithmetically
+    derivable by the DuckDB oracle."""
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("bigint").alias("k")
+    )
+    k = F.col("k")
+    c = (k % 7).cast("int")
+    p, m = c + 2, c + 20
+    n = (2 * p * m).cast("bigint")
+    payload = _sq_payload_hex(p, m)
+    sr = F.lit(_BUILT_SR)
+    blob_hex = F.when(k % 2 == 0, _wav_hex(sr, n, payload)).otherwise(
+        _ndf_hex(_NDF_TAG_FLAC, sr, n, payload)
+    )
+    return s.select(
+        F.format_string("blt-%012d", k).alias("id"),
+        F.unhex(blob_hex).alias("bytes"),
+    )
+
+
+def _q_audio_fp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio CONTENT dedup, DuckDB-oracled (operators.audio_fp
+    .audio_content_dup_groups over :func:`_built_content_rows`): the
+    REAL decode + spectral-fingerprint + groupBy path runs on Spark
+    (WAV/NDF1 parse -> numpy rFFT band-energy hash -> one 8-byte-key
+    shuffle); the oracle groups the same clips arithmetically by
+    content class. The fingerprint VALUE is not SQL-derivable, so the
+    output keys groups by keeper_id instead of fp — if two distinct
+    content classes ever collided in fingerprint space, Spark would
+    merge groups and the row/hash gate would catch it. The
+    decoded-synthetic-corpus variant (planted datagen duplicates,
+    numpy-twin-pinned) is ``audio_fp_dups_corpus``."""
+    _ensure_pkg_shipped(spark)
+    from nadeefiler_spark.operators.audio_fp import audio_content_dup_groups
+
+    rows = _built_content_rows(spark, sf_dir)
+    return (
+        audio_content_dup_groups(rows, id_col="id", bytes_col="bytes")
+        .select(
+            "keeper_id",
+            F.col("n_clips").cast("bigint").alias("n_clips"),
+            F.to_json("clip_ids").alias("clip_ids"),
+        )
+        .orderBy("keeper_id")
+    )
+
+
+_SQL_AUDIO_FP_DUPS = """
+WITH s AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier
+), d AS (
+  SELECT k, k % 7 AS c, printf('blt-%012d', k) AS id FROM s
+)
+SELECT min(id) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       to_json(list_sort(list(id))) AS clip_ids
+FROM d GROUP BY c HAVING count(*) > 1
+ORDER BY keeper_id
+"""
+
+
+def _q_clip_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental clip admission, DuckDB-oracled (operators.audio_fp
+    .incremental_clip_admission over SQL-built containers): the REAL
+    tiered operator runs on Spark — md5 byte tier, decoded-PCM
+    fingerprint tier, chunk-blocked near tier, undecodable routing —
+    against a delivery batch whose dispositions are arithmetically
+    derivable. Batch plants by k % 8: r=0 byte copies (exact_corpus,
+    match = smallest corpus clip with the same class+container), r=1
+    NDF1-opus re-encodes of the class payload (byte-new, fingerprint
+    EQUAL -> content_corpus for the smallest-id clip per class; its
+    byte-identical batch siblings are exact_batch), r=2 junk blobs
+    (undecodable), r=3 fresh square waves (period 12..20, >= 7
+    fingerprint bits from every corpus class — verified, so the near
+    tier never fires and the keeper is accept) delivered twice
+    (-a keeper accepts, -b is exact_batch). The near_corpus tier's
+    hamming math is NOT SQL-derivable and is exercised by
+    ``clip_admission_corpus`` + tests/test_audio_fp.py instead."""
+    _ensure_pkg_shipped(spark)
+    from nadeefiler_spark.operators.audio_fp import incremental_clip_admission
+
+    corpus = _built_content_rows(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("bigint").alias("k")
+    )
+    k = F.col("k")
+    c = (k % 7).cast("int")
+    p, m = c + 2, c + 20
+    n = (2 * p * m).cast("bigint")
+    payload = _sq_payload_hex(p, m)
+    sr = F.lit(_BUILT_SR)
+    nid = F.format_string("new-%012d", k)
+
+    copies = s.where(k % 8 == 0).select(
+        nid.alias("id"),
+        F.unhex(
+            F.when(k % 2 == 0, _wav_hex(sr, n, payload)).otherwise(
+                _ndf_hex(_NDF_TAG_FLAC, sr, n, payload)
+            )
+        ).alias("bytes"),
+    )
+    content = s.where(k % 8 == 1).select(
+        nid.alias("id"),
+        F.unhex(_ndf_hex(_NDF_TAG_OPUS, sr, n, payload)).alias("bytes"),
+    )
+    junk = s.where(k % 8 == 2).select(
+        nid.alias("id"),
+        F.unhex(F.concat(F.lit("DEADBEEF"), F.lpad(F.hex(k), 8, "0"))).alias(
+            "bytes"
+        ),
+    )
+    fp_p = (F.lit(12) + 2 * (k % 5)).cast("int")
+    fp_m = (F.lit(25) + (k % 89)).cast("int")
+    fn = (2 * fp_p * fp_m).cast("bigint")
+    fresh_blob = F.unhex(_wav_hex(sr, fn, _sq_payload_hex(fp_p, fp_m)))
+    fresh = s.where(k % 8 == 3).select(
+        nid.alias("id"), fresh_blob.alias("bytes")
+    )
+    twins = fresh.select(
+        F.explode(F.array(F.lit("-a"), F.lit("-b"))).alias("sfx"), "id", "bytes"
+    ).select(F.concat("id", "sfx").alias("id"), "bytes")
+
+    batch = copies.unionByName(content).unionByName(junk).unionByName(twins)
+    out = incremental_clip_admission(
+        corpus, batch, id_col="id", bytes_col="bytes"
+    )
+    return out.select(
+        F.col("id").alias("clip_id"),
+        "disposition",
+        F.coalesce("match_id", F.lit("-")).alias("match_id"),
+        F.coalesce("hamming", F.lit(-1)).cast("int").alias("hamming"),
+    ).orderBy("clip_id")
+
+
+_SQL_CLIP_ADMISSION = """
+WITH s AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier
+), mins_cp AS (  -- byte identity: same class AND same container parity
+  SELECT k % 7 AS c, k % 2 AS par, min(k) AS mk FROM s GROUP BY 1, 2
+), mins_c AS (   -- fingerprint identity: same class, any container
+  SELECT k % 7 AS c, min(k) AS mk FROM s GROUP BY 1
+), mins_r1 AS (  -- batch-internal byte identity among the r=1 re-encodes
+  SELECT k % 7 AS c, min(k) AS mk FROM s WHERE k % 8 = 1 GROUP BY 1
+)
+SELECT clip_id, disposition, match_id, hamming FROM (
+  SELECT printf('new-%012d', s.k) AS clip_id,
+         'exact_corpus' AS disposition,
+         printf('blt-%012d', m.mk) AS match_id,
+         CAST(0 AS INTEGER) AS hamming
+  FROM s JOIN mins_cp m ON m.c = s.k % 7 AND m.par = s.k % 2
+  WHERE s.k % 8 = 0
+  UNION ALL
+  SELECT printf('new-%012d', s.k), 'content_corpus',
+         printf('blt-%012d', m.mk), CAST(0 AS INTEGER)
+  FROM s JOIN mins_c m ON m.c = s.k % 7
+  WHERE s.k % 8 = 1 AND s.k = (SELECT mk FROM mins_r1 r WHERE r.c = s.k % 7)
+  UNION ALL
+  SELECT printf('new-%012d', s.k), 'exact_batch',
+         printf('new-%012d', r.mk), CAST(0 AS INTEGER)
+  FROM s JOIN mins_r1 r ON r.c = s.k % 7
+  WHERE s.k % 8 = 1 AND s.k <> r.mk
+  UNION ALL
+  SELECT printf('new-%012d', k), 'undecodable', '-', CAST(-1 AS INTEGER)
+  FROM s WHERE k % 8 = 2
+  UNION ALL
+  SELECT printf('new-%012d', k) || '-a', 'accept', '-', CAST(-1 AS INTEGER)
+  FROM s WHERE k % 8 = 3
+  UNION ALL
+  SELECT printf('new-%012d', k) || '-b', 'exact_batch',
+         printf('new-%012d', k) || '-a', CAST(0 AS INTEGER)
+  FROM s WHERE k % 8 = 3
+) ORDER BY clip_id
+"""
+
+
+def _q_audio_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio signal-QC, DuckDB-oracled (rules.audio_rules.decode_facts
+    with_qc=True over SQL-built containers): the REAL decode + numpy QC
+    pass runs on Spark; the oracle derives the exact ratios from the
+    planted sample counts. Each clip is 1000 samples, case = k % 4:
+    clean (+-5000 alternating — not flagged), clipping (100 samples at
+    +-32600 -> clip_ratio 0.1), dead air (950 zeros -> silence_ratio
+    0.95), DC offset (all 3000 -> dc_offset 3000/32768). clip_ratio =
+    mean(|x| >= 32000), silence_ratio = mean(|x| <= 327), dc_offset =
+    mean(x)/32768 — integer sums are exact in both engines' doubles,
+    so the rounded values match bit-for-bit. The decoded-synthetic-
+    corpus variant (SNR-distorted clips, numpy-twin-pinned) is
+    ``audio_qc_corpus``."""
+    _ensure_pkg_shipped(spark)
+    from nadeefiler_spark.rules.audio_rules import decode_facts
+
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("bigint").alias("k")
+    )
+    k = F.col("k")
+    clean_blk = F.lit("881378EC")  # +5000, -5000
+    payload = (
+        F.when(k % 4 == 1, F.concat(
+            F.repeat(F.lit("587F"), 50), F.repeat(F.lit("A880"), 50),
+            F.repeat(clean_blk, 450),
+        ))
+        .when(k % 4 == 2, F.concat(
+            F.repeat(F.lit("0000"), 950), F.repeat(clean_blk, 25)
+        ))
+        .when(k % 4 == 3, F.repeat(F.lit("B80B"), 1000))
+        .otherwise(F.repeat(clean_blk, 500))
+    )
+    n = F.lit(1000).cast("bigint")
+    sr = F.lit(_BUILT_SR)
+    is_wav = k % 2 == 0
+    blob_hex = F.when(is_wav, _wav_hex(sr, n, payload)).otherwise(
+        _ndf_hex(_NDF_TAG_FLAC, sr, n, payload)
+    )
+    built = s.select(
+        (k % 3).cast("string").alias("part"),
+        F.format_string("qc-%012d", k).alias("clip_id"),
+        sr.cast("int").alias("sr_hz"),
+        F.lit(62).alias("dur_ms"),
+        F.when(is_wav, F.lit("pcm_s16le")).otherwise(F.lit("flac")).alias(
+            "codec"
+        ),
+        F.unhex(blob_hex).alias("bytes"),
+    )
+    facts = decode_facts(built, with_snr=False, with_qc=True)
+    return (
+        facts.where(
+            F.col("decode_error").isNull()
+            & (
+                (F.col("clip_ratio") > 0.01)
+                | (F.col("silence_ratio") > 0.9)
+                | (F.abs(F.col("dc_offset")) > 0.05)
+            )
+        )
+        .select(
+            "clip_id",
+            "part",
+            F.round("clip_ratio", 6).alias("clip_ratio"),
+            F.round("silence_ratio", 6).alias("silence_ratio"),
+            F.round("dc_offset", 6).alias("dc_offset"),
+        )
+        .orderBy("clip_id")
+    )
+
+
+_SQL_AUDIO_QC = """
+WITH s AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier
+)
+SELECT printf('qc-%012d', k) AS clip_id,
+       CAST(k % 3 AS VARCHAR) AS part,
+       CAST(CASE WHEN k % 4 = 1 THEN 0.1 ELSE 0.0 END AS DOUBLE)
+         AS clip_ratio,
+       CAST(CASE WHEN k % 4 = 2 THEN 0.95 ELSE 0.0 END AS DOUBLE)
+         AS silence_ratio,
+       CASE WHEN k % 4 = 3
+            THEN round(CAST(3000.0 AS DOUBLE) / 32768, 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS dc_offset
+FROM s WHERE k % 4 IN (1, 2, 3)
+ORDER BY clip_id
+"""
+
+
 def _q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition signals
     (operators/repetition.py): top-word / top-2-gram character-mass
@@ -6443,9 +6780,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_repairs": _q_fd_repairs,
         "repair_whatif": _q_repair_whatif,
         "audio_qc": _q_audio_qc,
+        "audio_qc_corpus": _q_audio_qc_corpus,
         "numeric_quantiles": _q_numeric_quantiles,
         "audio_fp_dups": _q_audio_fp_dups,
+        "audio_fp_dups_corpus": _q_audio_fp_dups_corpus,
         "clip_admission": _q_clip_admission,
+        "clip_admission_corpus": _q_clip_admission_corpus,
         "audio_feature_ann": _q_audio_feature_ann,
         "audio_embedding_dups": _q_audio_embedding_dups,
         "percent_histogram": _q_percent_histogram,
@@ -6632,6 +6972,9 @@ def oracle_sql() -> dict[str, str]:
         "binary_meta_docs": _SQL_BINARY_META_DOCS,
         "header_probe_sql": _SQL_HEADER_PROBE_SQL,
         "probe_stats_sql": _SQL_PROBE_STATS_SQL,
+        "audio_qc": _SQL_AUDIO_QC,
+        "audio_fp_dups": _SQL_AUDIO_FP_DUPS,
+        "clip_admission": _SQL_CLIP_ADMISSION,
         "repetition_profile": _SQL_REPETITION_PROFILE,
         "pack_manifest": _sql_pack_manifest(),
         "label_agreement": _sql_label_agreement(),

@@ -111,10 +111,18 @@ HEADLINE_QUERIES = (
     "fuzzy_name_pairs",
     "fd_repairs",
     "repair_whatif",
+    # r5 rename: the decoded-synthetic-corpus workloads benched as
+    # audio_qc / audio_fp_dups / clip_admission through r4 are now the
+    # *_corpus entries (same bodies — compare r4 numbers against those);
+    # the unsuffixed names are the new DuckDB-oracled built-container
+    # twins (smaller inputs, the correctness surface)
     "audio_qc",
+    "audio_qc_corpus",
     "numeric_quantiles",
     "audio_fp_dups",
+    "audio_fp_dups_corpus",
     "clip_admission",
+    "clip_admission_corpus",
     "audio_feature_ann",
     "audio_embedding_dups",
     "repetition_profile",

@@ -32,6 +32,10 @@ SUBSET = [
     "text_quality",
     "rollup_stats",
     "event_sessions",
+    # SQL-built audio containers -> REAL decode operators, oracled
+    "audio_qc",
+    "audio_fp_dups",
+    "clip_admission",
 ]
 
 
@@ -55,8 +59,13 @@ def test_queries_and_oracles_align():
     # everything SQL-expressible has an oracle; known exceptions listed
     assert set(qs) - set(oracles) == {
         "minhash_pairs", "simhash_pairs", "audio_validate", "binary_meta",
-        "audio_fp_dups", "audio_feature_ann", "audio_embedding_dups",
-        "audio_qc", "clip_admission", "transcript_conflicts",
+        # decoded-synthetic-corpus variants: rendered-PCM inputs (and
+        # the near tier's hamming math) are not SQL-derivable; each is
+        # numpy-twin-pinned, and the SAME operators are DuckDB-oracled
+        # over SQL-built containers as audio_qc / audio_fp_dups /
+        # clip_admission (VERDICT r4 #1)
+        "audio_fp_dups_corpus", "audio_feature_ann", "audio_embedding_dups",
+        "audio_qc_corpus", "clip_admission_corpus", "transcript_conflicts",
         "audio_vad", "audio_loudness", "audio_bandwidth",
         # HLL-approximate by design; exact twin session_concurrency IS
         # oracled, accuracy bound pinned in test_sessions_rollup.py
