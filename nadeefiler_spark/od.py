@@ -46,6 +46,7 @@ def check_order_dependencies(
     df: DataFrame,
     pairs: list[tuple[str, str]],
     part_col: str | None = None,
+    max_on_ndv: int | None = 1_000_000,
 ) -> DataFrame:
     """Check each order dependency ``on ↦ ordered`` in ``pairs``.
 
@@ -60,7 +61,35 @@ def check_order_dependencies(
     NULL ``ordered`` values are ignored by min/max.
 
     All pairs' branches union into one plan → one Spark job.
+
+    ``max_on_ndv`` guards the one at-scale hazard (VERDICT r4 #6): the
+    unpartitioned lag-window sorts an NDV(``on``)-sized group table in
+    ONE task, so a row-scale ordering column (an id, a timestamp) would
+    funnel the corpus through a single sort. When ``part_col`` is None,
+    ordering columns are pre-checked with one HLL scan (same guard as
+    :func:`candidate_on` / ``fd.candidate_lhs``; ~2% sketch error) and
+    a clear error names the offenders instead of launching the
+    degenerate plan. Remedies, in preference order: pre-filter with
+    :func:`candidate_on`, scope with ``part_col`` (the sort then
+    distributes across partitions — the guard does not apply), raise
+    ``max_on_ndv`` if a single sort partition can genuinely hold the
+    group table, or pass ``None`` to opt out explicitly.
     """
+    if pairs and part_col is None and max_on_ndv is not None:
+        on_cols = sorted({on for on, _ in pairs})
+        row = df.agg(
+            *[F.approx_count_distinct(c).alias(c) for c in on_cols]
+        ).first()
+        bad = {c: int(row[c]) for c in on_cols if row[c] > max_on_ndv}
+        if bad:
+            raise ValueError(
+                f"order-dependency ordering column(s) exceed "
+                f"max_on_ndv={max_on_ndv}: {bad} (approx NDV). The "
+                "global lag-window sorts an NDV(on)-sized group table "
+                "in one task. Pre-filter candidates with candidate_on, "
+                "scope with part_col, raise max_on_ndv, or pass "
+                "max_on_ndv=None to opt out."
+            )
     part_keys = [part_col] if part_col else []
     branches: list[DataFrame] = []
     for on, ordc in pairs:

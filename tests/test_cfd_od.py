@@ -133,6 +133,38 @@ def test_od_candidate_guard_excludes_high_ndv(spark):
     assert od.candidate_on(df, ["id", "code"], max_ndv=50) == ["code"]
 
 
+def test_od_check_guards_high_ndv_ordering_column(spark):
+    """A row-scale ordering column must not reach the global
+    single-task window sort (VERDICT r4 #6): check_order_dependencies
+    raises with the offending column named; part_col scoping, a raised
+    limit, and the explicit opt-out all still run."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, i % 3, i % 2) for i in range(500)],
+        "id int, code int, part int",
+    )
+    with pytest.raises(ValueError, match="max_on_ndv.*id"):
+        od.check_order_dependencies(df, [("id", "code")], max_on_ndv=50)
+    # bounded ordering column passes under the same limit
+    r = od.check_order_dependencies(df, [("code", "id")], max_on_ndv=50)
+    assert r.count() == 1
+    # part_col distributes the sort -> guard does not apply
+    assert (
+        od.check_order_dependencies(
+            df, [("id", "code")], part_col="part", max_on_ndv=50
+        ).count()
+        == 2
+    )
+    # explicit opt-out
+    assert (
+        od.check_order_dependencies(
+            df, [("id", "code")], max_on_ndv=None
+        ).count()
+        == 1
+    )
+
+
 # --------------------------------------------------------------------------
 # sequential dependencies
 
