@@ -110,8 +110,9 @@ def test_snr_f32_reference():
 def test_qc_stats_twin(spark):
     """Spark-side QC stats must equal an independent pure-numpy
     recomputation on the same planted defect clips, and only the
-    planted clips may be flagged by the audio_qc contract query's
-    thresholds."""
+    planted clips may be flagged by the audio_qc_corpus contract
+    query's thresholds (the SQL-built-container twin audio_qc is
+    DuckDB-oracled directly)."""
     import numpy as np
 
     import __spark_entry__ as entry
