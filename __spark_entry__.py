@@ -1761,7 +1761,7 @@ def _q_audio_fp_dups_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("fp")
 
 
-def _q_transcript_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_transcript_conflicts_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript-consistency inside audio CONTENT dup groups
     (operators/consistency.group_attr_conflicts over
     operators/audio_fp fingerprints): the same recording carrying two
@@ -1771,8 +1771,10 @@ def _q_transcript_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (MUST flag) and two copies whose transcript differs only in casing
     and spacing (norm_text — must NOT flag). Datagen's own i%211 exact
     duplicates copy the transcript verbatim, so they group consistent.
-    No DuckDB oracle (binary decode); the planted conflict set is
-    pinned exactly in tests/test_consistency.py."""
+    No DuckDB oracle (rendered-PCM inputs); the planted conflict set is
+    pinned exactly in tests/test_consistency.py. The DuckDB-oracled
+    twin of the same operators over SQL-built containers is
+    ``transcript_conflicts``."""
     from nadeefiler_spark.operators import consistency
     from nadeefiler_spark.operators.audio_fp import audio_fingerprints
 
@@ -4817,6 +4819,78 @@ SELECT clip_id, disposition, match_id, hamming FROM (
 """
 
 
+def _q_transcript_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-consistency inside CONTENT dup groups, DuckDB-oracled
+    (operators.consistency.group_attr_conflicts over
+    operators.audio_fp.audio_fingerprints of
+    :func:`_built_content_rows`): the REAL decode → fingerprint →
+    group-agreement path runs on Spark; the oracle regroups the same
+    clips by content class and recomputes the normalized-transcript
+    distinct count with the identical lower/trim/collapse-whitespace
+    normalization in DuckDB — pure string/integer arithmetic, no float
+    risk. Plants by supplier key: k%13==5 gets an upper-cased,
+    trailing-spaced transcript (norm-equal — must NOT count as a
+    second annotation), k%17==6 gets a genuinely different transcript
+    (one extra distinct per such member). Groups are keyed by
+    keeper_id (the fingerprint VALUE is not SQL-derivable — same
+    convention as ``audio_fp_dups``). The decoded-synthetic-corpus
+    variant is ``transcript_conflicts_corpus``."""
+    _ensure_pkg_shipped(spark)
+    from nadeefiler_spark.operators import consistency
+    from nadeefiler_spark.operators.audio_fp import audio_fingerprints
+
+    rows = _built_content_rows(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("bigint").alias("k")
+    )
+    k = F.col("k")
+    base_t = F.concat(F.lit("reading of class "), (k % 7).cast("string"))
+    transcript = (
+        F.when(k % 17 == 6, F.concat(F.lit("mislabeled "), k.cast("string")))
+        .when(k % 13 == 5, F.concat(F.upper(base_t), F.lit("  ")))
+        .otherwise(base_t)
+    )
+    labels = s.select(
+        F.format_string("blt-%012d", k).alias("id"), transcript.alias("transcript")
+    )
+    fps = audio_fingerprints(rows, id_col="id", bytes_col="bytes").where(
+        F.col("fp").isNotNull()
+    )
+    labeled = fps.join(labels, "id")
+    return (
+        consistency.group_attr_conflicts(
+            labeled, "fp", "id",
+            {"transcript": consistency.norm_text("transcript")},
+        )
+        .select("keeper_id", "n_members", "n_transcript", "consistent")
+        .orderBy("keeper_id")
+    )
+
+
+_SQL_TRANSCRIPT_CONFLICTS = r"""
+WITH s AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier
+), d AS (
+  SELECT k, k % 7 AS c, printf('blt-%012d', k) AS id,
+         CASE WHEN k % 17 = 6 THEN 'mislabeled ' || CAST(k AS VARCHAR)
+              WHEN k % 13 = 5 THEN upper('reading of class '
+                   || CAST(k % 7 AS VARCHAR)) || '  '
+              ELSE 'reading of class ' || CAST(k % 7 AS VARCHAR)
+         END AS transcript
+  FROM s
+)
+SELECT min(id) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(DISTINCT regexp_replace(lower(trim(transcript)),
+                                          '\s+', ' ', 'g')) AS BIGINT)
+         AS n_transcript,
+       count(DISTINCT regexp_replace(lower(trim(transcript)),
+                                     '\s+', ' ', 'g')) <= 1 AS consistent
+FROM d GROUP BY c HAVING count(*) >= 2
+ORDER BY keeper_id
+"""
+
+
 def _q_audio_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio signal-QC, DuckDB-oracled (rules.audio_rules.decode_facts
     with_qc=True over SQL-built containers): the REAL decode + numpy QC
@@ -5214,14 +5288,16 @@ def _vad_planted_clips(spark: SparkSession) -> DataFrame:
     )
 
 
-def _q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Voice-activity coverage audit (rules.audio_rules decode_facts
-    with_vad=True): per-clip speech ratio, speech-run count, and
-    longest silence, computed on the SAME decoded-PCM pass as every
-    other audio fact (decode-once-check-many) — planted speech/silence
-    patterns ride along a synthetic corpus. No DuckDB oracle (binary
-    decode); pinned by the independent twin in
-    tests/test_audio.py::test_vad_stats_twin."""
+def _q_audio_vad_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity coverage audit over the DECODED synthetic corpus
+    (rules.audio_rules decode_facts with_vad=True): per-clip speech
+    ratio, speech-run count, and longest silence, computed on the SAME
+    decoded-PCM pass as every other audio fact
+    (decode-once-check-many) — planted speech/silence patterns ride
+    along a synthetic corpus. No DuckDB oracle (rendered-PCM inputs);
+    pinned by the independent twin in
+    tests/test_audio.py::test_vad_stats_twin. The DuckDB-oracled twin
+    over SQL-built containers is ``audio_vad``."""
     from nadeefiler_spark.rules.audio_rules import decode_facts
 
     _ensure_pkg_shipped(spark)
@@ -5234,6 +5310,93 @@ def _q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_speech_runs",
         "longest_silence_ms",
     ).orderBy("clip_id")
+
+
+def _q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection, DuckDB-oracled (rules.audio_rules
+    decode_facts with_vad=True over SQL-built containers): the REAL
+    decode + 20 ms frame-RMS gating runs on Spark; the oracle derives
+    all three outputs arithmetically because payloads are built in
+    whole 320-sample frames (sr 16000) that are either unambiguous
+    speech (alternating ±5000 → frame RMS exactly 5000 ≫ the 655
+    threshold) or digital silence (zeros → RMS 0): speech_ratio is an
+    exact small rational, run count and longest-silence are pure
+    integer arithmetic (20 ms per frame). Cases by supplier key:
+    k%11==0 all-silence (5 frames — ratio 0, runs 0, 100 ms), k%11==1
+    all-speech (3 frames — ratio 1, 1 run, 0 ms), else a
+    speech/silence/speech(/silence) pattern with a=1+k%3, b=1+k%4,
+    c=1+k%2, d=k%2 frames (2 runs, longest b·20 ms). The
+    decoded-synthetic-corpus variant is ``audio_vad_corpus``."""
+    _ensure_pkg_shipped(spark)
+    from nadeefiler_spark.rules.audio_rules import decode_facts
+
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("bigint").alias("k")
+    )
+    k = F.col("k")
+    sp = F.repeat(F.lit("881378EC"), 160)  # one 320-sample speech frame
+    si = F.repeat(F.lit("0000"), 320)      # one 320-sample silent frame
+    a, b = (k % 3 + 1).cast("int"), (k % 4 + 1).cast("int")
+    c, d = (k % 2 + 1).cast("int"), (k % 2).cast("int")
+    payload = (
+        F.when(k % 11 == 0, F.repeat(si, 5))
+        .when(k % 11 == 1, F.repeat(sp, 3))
+        .otherwise(F.concat(
+            F.repeat(sp, a), F.repeat(si, b), F.repeat(sp, c), F.repeat(si, d)
+        ))
+    )
+    n_frames = (
+        F.when(k % 11 == 0, F.lit(5))
+        .when(k % 11 == 1, F.lit(3))
+        .otherwise(a + b + c + d)
+    ).cast("bigint")
+    n = (n_frames * 320).cast("bigint")
+    sr = F.lit(_BUILT_SR)
+    is_wav = k % 2 == 0
+    blob_hex = F.when(is_wav, _wav_hex(sr, n, payload)).otherwise(
+        _ndf_hex(_NDF_TAG_FLAC, sr, n, payload)
+    )
+    built = s.select(
+        (k % 3).cast("string").alias("part"),
+        F.format_string("vad-%012d", k).alias("clip_id"),
+        sr.cast("int").alias("sr_hz"),
+        F.floor(n * 1000 / _BUILT_SR).cast("int").alias("dur_ms"),
+        F.when(is_wav, F.lit("pcm_s16le")).otherwise(F.lit("flac")).alias(
+            "codec"
+        ),
+        F.unhex(blob_hex).alias("bytes"),
+    )
+    facts = decode_facts(built, with_snr=False, with_vad=True)
+    return facts.where(F.col("decode_error").isNull()).select(
+        "clip_id",
+        F.round("speech_ratio", 6).alias("speech_ratio"),
+        "n_speech_runs",
+        "longest_silence_ms",
+    ).orderBy("clip_id")
+
+
+_SQL_AUDIO_VAD = """
+WITH s AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier
+), p AS (
+  SELECT k,
+         CAST(k % 3 + 1 AS BIGINT) AS a, CAST(k % 4 + 1 AS BIGINT) AS b,
+         CAST(k % 2 + 1 AS BIGINT) AS c, CAST(k % 2 AS BIGINT) AS d
+  FROM s
+)
+SELECT printf('vad-%012d', k) AS clip_id,
+       CASE WHEN k % 11 = 0 THEN CAST(0.0 AS DOUBLE)
+            WHEN k % 11 = 1 THEN CAST(1.0 AS DOUBLE)
+            ELSE round(CAST(a + c AS DOUBLE) / (a + b + c + d), 6)
+       END AS speech_ratio,
+       CAST(CASE WHEN k % 11 = 0 THEN 0
+                 WHEN k % 11 = 1 THEN 1
+                 ELSE 2 END AS INTEGER) AS n_speech_runs,
+       CAST(CASE WHEN k % 11 = 0 THEN 100
+                 WHEN k % 11 = 1 THEN 0
+                 ELSE b * 20 END AS INTEGER) AS longest_silence_ms
+FROM p ORDER BY clip_id
+"""
 
 
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6014,13 +6177,15 @@ def _loudness_planted_clips(spark: SparkSession) -> DataFrame:
     )
 
 
-def _q_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gain-normalization manifest (rules.audio_rules.loudness_stats):
-    per-clip RMS/peak dBFS and the gain to a −20 dBFS target, with a
-    would-clip flag, computed on the SAME decoded-PCM pass as every
-    other audio fact — planted level-calibration clips ride along a
-    synthetic corpus. No DuckDB oracle (binary decode); pinned by the
-    pure-numpy twin in tests/test_audio.py::test_loudness_stats_twin."""
+def _q_audio_loudness_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gain-normalization manifest over the DECODED synthetic corpus
+    (rules.audio_rules.loudness_stats): per-clip RMS/peak dBFS and the
+    gain to a −20 dBFS target, with a would-clip flag, computed on the
+    SAME decoded-PCM pass as every other audio fact — planted
+    level-calibration clips ride along a synthetic corpus. No DuckDB
+    oracle (rendered-PCM inputs); pinned by the pure-numpy twin in
+    tests/test_audio.py::test_loudness_stats_twin. The DuckDB-oracled
+    twin over SQL-built containers is ``audio_loudness``."""
     from nadeefiler_spark.rules.audio_rules import loudness_stats
 
     _ensure_pkg_shipped(spark)
@@ -6032,6 +6197,92 @@ def _q_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("clip_id", "rms_dbfs", "peak_dbfs", "gain_db", "would_clip")
         .orderBy("clip_id")
     )
+
+
+def _q_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gain-normalization manifest, DuckDB-oracled
+    (rules.audio_rules.loudness_stats over SQL-built containers): the
+    REAL decode + float64 level math runs on Spark; the oracle mirrors
+    it EXACTLY because every intermediate is exact in IEEE double —
+    x = pcm/32768 scales by a power of two, x² is an exact multiple of
+    2⁻³⁰, every partial sum stays an integer multiple of 2⁻³⁰ below
+    2⁵³ (so numpy's pairwise summation and DuckDB's integer sum agree
+    bit-for-bit regardless of order), leaving ONE rounding at the /n,
+    one correctly-rounded sqrt, and 20·log10 through the same host
+    libm on both engines. 1000-sample cases by k%4: constant ±5000
+    (−16.33 dBFS), constant ±32000 (loud, −0.21), constant ±300
+    (quiet, −40.77), and a peaky clip (2 samples at ±32600 over a
+    ±100 floor — crest ≈ 30 dB, the one would_clip=true case; margins
+    are tens of dB from every threshold). The decoded-synthetic-corpus
+    variant is ``audio_loudness_corpus``."""
+    _ensure_pkg_shipped(spark)
+    from nadeefiler_spark.rules.audio_rules import loudness_stats
+
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("bigint").alias("k")
+    )
+    k = F.col("k")
+    # le16 hex: 5000='8813' -5000='78EC' 32000='007D' -32000='0083'
+    # 300='2C01' -300='D4FE' 32600='587F' -32600='A880' 100='6400' -100='9CFF'
+    payload = (
+        F.when(k % 4 == 0, F.repeat(F.lit("881378EC"), 500))
+        .when(k % 4 == 1, F.repeat(F.lit("007D0083"), 500))
+        .when(k % 4 == 2, F.repeat(F.lit("2C01D4FE"), 500))
+        .otherwise(F.concat(F.lit("587FA880"), F.repeat(F.lit("64009CFF"), 499)))
+    )
+    n = F.lit(1000).cast("bigint")
+    sr = F.lit(_BUILT_SR)
+    is_wav = k % 2 == 0
+    blob_hex = F.when(is_wav, _wav_hex(sr, n, payload)).otherwise(
+        _ndf_hex(_NDF_TAG_FLAC, sr, n, payload)
+    )
+    built = s.select(
+        (k % 3).cast("string").alias("part"),
+        F.format_string("ld-%012d", k).alias("clip_id"),
+        sr.cast("int").alias("sr_hz"),
+        F.lit(62).alias("dur_ms"),
+        F.when(is_wav, F.lit("pcm_s16le")).otherwise(F.lit("flac")).alias(
+            "codec"
+        ),
+        F.unhex(blob_hex).alias("bytes"),
+    )
+    return (
+        loudness_stats(built, target_dbfs=-20.0)
+        .where(F.col("decode_error").isNull())
+        .select("clip_id", "rms_dbfs", "peak_dbfs", "gain_db", "would_clip")
+        .orderBy("clip_id")
+    )
+
+
+_SQL_AUDIO_LOUDNESS = """
+WITH s AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier
+), lv AS (
+  -- exact integer sum of squares and max |sample| per planted case
+  SELECT k,
+         CASE k % 4
+           WHEN 0 THEN 1000 * CAST(5000 AS BIGINT) * 5000
+           WHEN 1 THEN 1000 * CAST(32000 AS BIGINT) * 32000
+           WHEN 2 THEN 1000 * CAST(300 AS BIGINT) * 300
+           ELSE 2 * CAST(32600 AS BIGINT) * 32600 + 998 * 100 * 100
+         END AS sq_sum,
+         CASE k % 4 WHEN 0 THEN 5000 WHEN 1 THEN 32000
+                    WHEN 2 THEN 300 ELSE 32600 END AS mx
+  FROM s
+), db AS (
+  SELECT k,
+         20.0 * log10(sqrt((CAST(sq_sum AS DOUBLE) / 1073741824.0) / 1000))
+           AS rms_db,
+         20.0 * log10(CAST(mx AS DOUBLE) / 32768.0) AS peak_db
+  FROM lv
+)
+SELECT printf('ld-%012d', k) AS clip_id,
+       round(rms_db, 6) AS rms_dbfs,
+       round(peak_db, 6) AS peak_dbfs,
+       round(-20.0 - rms_db, 6) AS gain_db,
+       (peak_db + (-20.0 - rms_db)) > 0.0 AS would_clip
+FROM db ORDER BY clip_id
+"""
 
 
 _MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
@@ -6802,6 +7053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectation_suite": _q_expectation_suite,
         "windowed_expectations": _q_windowed_expectations,
         "transcript_conflicts": _q_transcript_conflicts,
+        "transcript_conflicts_corpus": _q_transcript_conflicts_corpus,
         "incremental_dedup": _q_incremental_dedup,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -6852,6 +7104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_card": _q_corpus_card,
         "split_leakage": _q_split_leakage,
         "audio_vad": _q_audio_vad,
+        "audio_vad_corpus": _q_audio_vad_corpus,
         "snapshot_diff": _q_snapshot_diff,
         "layout_advisor": _q_layout_advisor,
         "chi2_drift": _q_chi2_drift,
@@ -6869,6 +7122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_scores": _q_domain_scores,
         "group_split": _q_group_split,
         "audio_loudness": _q_audio_loudness,
+        "audio_loudness_corpus": _q_audio_loudness_corpus,
         "mixing_plan": _q_mixing_plan,
         "audio_bandwidth": _q_audio_bandwidth,
         "suggest_checks": _q_suggest_checks,
@@ -6975,6 +7229,9 @@ def oracle_sql() -> dict[str, str]:
         "audio_qc": _SQL_AUDIO_QC,
         "audio_fp_dups": _SQL_AUDIO_FP_DUPS,
         "clip_admission": _SQL_CLIP_ADMISSION,
+        "transcript_conflicts": _SQL_TRANSCRIPT_CONFLICTS,
+        "audio_vad": _SQL_AUDIO_VAD,
+        "audio_loudness": _SQL_AUDIO_LOUDNESS,
         "repetition_profile": _SQL_REPETITION_PROFILE,
         "pack_manifest": _sql_pack_manifest(),
         "label_agreement": _sql_label_agreement(),

@@ -79,6 +79,7 @@ HEADLINE_QUERIES = (
     "expectation_suite",
     "windowed_expectations",
     "transcript_conflicts",
+    "transcript_conflicts_corpus",
     "transcript_cer",
     "incremental_dedup",
     "golden_records",
@@ -132,6 +133,7 @@ HEADLINE_QUERIES = (
     "corpus_card",
     "split_leakage",
     "audio_vad",
+    "audio_vad_corpus",
     "snapshot_diff",
     "layout_advisor",
     "chi2_drift",
@@ -143,6 +145,7 @@ HEADLINE_QUERIES = (
     "domain_scores",
     "group_split",
     "audio_loudness",
+    "audio_loudness_corpus",
     "mixing_plan",
     "audio_bandwidth",
     "suggest_checks",

@@ -36,6 +36,9 @@ SUBSET = [
     "audio_qc",
     "audio_fp_dups",
     "clip_admission",
+    "transcript_conflicts",
+    "audio_vad",
+    "audio_loudness",
 ]
 
 
@@ -65,8 +68,9 @@ def test_queries_and_oracles_align():
         # over SQL-built containers as audio_qc / audio_fp_dups /
         # clip_admission (VERDICT r4 #1)
         "audio_fp_dups_corpus", "audio_feature_ann", "audio_embedding_dups",
-        "audio_qc_corpus", "clip_admission_corpus", "transcript_conflicts",
-        "audio_vad", "audio_loudness", "audio_bandwidth",
+        "audio_qc_corpus", "clip_admission_corpus",
+        "transcript_conflicts_corpus",
+        "audio_vad_corpus", "audio_loudness_corpus", "audio_bandwidth",
         # HLL-approximate by design; exact twin session_concurrency IS
         # oracled, accuracy bound pinned in test_sessions_rollup.py
         "session_concurrency_approx",
