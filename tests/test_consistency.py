@@ -82,7 +82,9 @@ def test_transcript_conflicts_planted_set(spark):
     variants and datagen's verbatim i%211 copies group consistent."""
     import __spark_entry__ as entry
 
-    df = entry.queries()["transcript_conflicts"](spark, "/root/testdata/sf0.001")
+    df = entry.queries()["transcript_conflicts_corpus"](
+        spark, "/root/testdata/sf0.001"
+    )
     pdf = df.toPandas()
     bad = pdf[~pdf["consistent"]].sort_values("keeper_id")
     assert bad["keeper_id"].tolist() == [
